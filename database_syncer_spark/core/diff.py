@@ -1,0 +1,162 @@
+"""Snapshot diff: the core computation of the reference, Spark-first.
+
+The reference (sync.py:228-302) diffs two keyed in-memory snapshots with
+Python hash probes:
+
+- rows to INSERT = PK in production, not in backup   (sync.py:264-267)
+- rows to UPDATE = PK in both, values differ          (sync.py:268-277)
+- rows to DELETE = PK in backup, not in production    (sync.py:279-283)
+
+That is exactly ONE full-outer join on the primary key plus a CASE
+classification — a single shuffle in Spark (or zero shuffles if one side is
+broadcast-able), instead of three passes. Change comparison is null-safe
+struct equality over non-PK columns (the reference compares positional raw
+strings, sync.py:217-226, and so treats NULL as the literal string "NULL" —
+``eqNullSafe`` reproduces NULL==NULL semantics for typed columns).
+
+Scale notes (100 TB):
+- The join shuffles both sides by PK once; AQE handles skew-splitting.
+  If the backup side is small (dimension tables), pass
+  ``broadcast_backup=True`` to eliminate the shuffle entirely.
+- Only PK + compared columns are read (column pruning reaches the parquet
+  scan because everything below is declarative).
+- Change detection is a struct comparison inside codegen — no Python, no
+  UDFs, no per-row driver work.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+CHANGE_TYPE = "change_type"
+INSERT, UPDATE, DELETE = "INSERT", "UPDATE", "DELETE"
+
+
+def _ns_eq(cols: list[str]) -> Column:
+    """Null-safe equality of the given columns across the p/b aliases."""
+    cond = F.lit(True)
+    for c in cols:
+        cond = cond & F.col(f"p.{c}").eqNullSafe(F.col(f"b.{c}"))
+    return cond
+
+
+def snapshot_diff(
+    prod: DataFrame,
+    backup: DataFrame,
+    pk_cols: list[str],
+    compare_cols: list[str] | None = None,
+    broadcast_backup: bool = False,
+    last_wins_col: str | None = None,
+) -> DataFrame:
+    """Classify row-level changes that turn ``backup`` into ``prod``.
+
+    Returns a CDC DataFrame: ``pk_cols + [change_type] + value columns``
+    where value columns carry the post-image for INSERT/UPDATE and the
+    pre-image for DELETE (the reference emits the backup record's PK for
+    DELETE, sync.py:199-215, and production values for INSERT/UPDATE,
+    sync.py:175-197 / :388-395).
+
+    ``last_wins_col``: if given, both sides are first deduplicated on PK
+    keeping the row with the greatest value of this column — the explicit
+    Spark form of the reference's dict-overwrite semantics (sync.py:67,
+    "last INSERT for a PK wins").
+    """
+    if compare_cols is None:
+        compare_cols = [c for c in prod.columns if c not in pk_cols]
+    if last_wins_col is not None:
+        prod = dedup_last_wins(prod, pk_cols, last_wins_col)
+        backup = dedup_last_wins(backup, pk_cols, last_wins_col)
+
+    p = prod.select(pk_cols + compare_cols).alias("p")
+    b = backup.select(pk_cols + compare_cols).alias("b")
+    if broadcast_backup:
+        b = F.broadcast(b)
+
+    on = [F.col(f"p.{c}").eqNullSafe(F.col(f"b.{c}")) for c in pk_cols]
+    joined = p.join(b, on, "full_outer")
+
+    # Presence flags: a PK column may legitimately be NULL only if the row
+    # is absent from that side (PKs are non-null by construction).
+    in_prod = F.col(f"p.{pk_cols[0]}").isNotNull()
+    in_backup = F.col(f"b.{pk_cols[0]}").isNotNull()
+    changed = ~_ns_eq(compare_cols)
+
+    change = (
+        F.when(in_prod & ~in_backup, F.lit(INSERT))
+        .when(~in_prod & in_backup, F.lit(DELETE))
+        .when(changed, F.lit(UPDATE))
+    )
+
+    out_cols: list[Column] = [
+        F.coalesce(F.col(f"p.{c}"), F.col(f"b.{c}")).alias(c) for c in pk_cols
+    ]
+    out_cols.append(change.alias(CHANGE_TYPE))
+    for c in compare_cols:
+        out_cols.append(
+            F.when(change == DELETE, F.col(f"b.{c}"))
+            .otherwise(F.col(f"p.{c}")).alias(c)
+        )
+    return joined.where(change.isNotNull()).select(*out_cols)
+
+
+def dedup_last_wins(df: DataFrame, pk_cols: list[str],
+                    order_cols: str | list[str]) -> DataFrame:
+    """Keep one row per PK: the one greatest under ``order_cols`` (desc).
+
+    Explicit form of the reference's last-write-wins dict insert
+    (sync.py:64-70). Pass more than one order column when the first can
+    tie — ``row_number`` over a tied ordering is nondeterministic.
+    """
+    from pyspark.sql import Window as W
+
+    if isinstance(order_cols, str):
+        order_cols = [order_cols]
+    w = W.partitionBy(*pk_cols).orderBy(*[F.col(c).desc() for c in order_cols])
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def diff_stats(changes: DataFrame) -> DataFrame:
+    """Per-change-type counts (reference per-table stats, sync.py:293-300)."""
+    return changes.groupBy(CHANGE_TYPE).agg(F.count("*").alias("n"))
+
+
+def catalog_diff(prod_tables: dict, backup_tables: dict) -> dict[str, list[str]]:
+    """Table-level DDL diff (reference sync.py:245-253).
+
+    Catalogs are tiny; this is deliberately driver-side (the reference's
+    set membership loops map to set difference, no Spark job needed).
+    """
+    prod_names = set(prod_tables)
+    backup_names = set(backup_tables)
+    return {
+        "create": sorted(prod_names - backup_names),   # missing in backup
+        "drop": sorted(backup_names - prod_names),     # extra in backup
+        "common": sorted(prod_names & backup_names),
+    }
+
+
+def apply_changes(backup: DataFrame, changes: DataFrame, pk_cols: list[str]) -> DataFrame:
+    """Apply a CDC changes DataFrame to ``backup`` — MERGE emulation.
+
+    Equivalent to executing the reference's generated sync script against
+    the backup database (sync.py:304-437): delete DELETEd and UPDATEd PKs,
+    then union in the INSERT/UPDATE post-images. Used by the round-trip
+    metamorphic test ``apply(diff(P,B), B) == P``.
+
+    Without Delta in the image this is the anti-join + union emulation; on
+    a Delta/Iceberg table the same changes feed ``MERGE INTO`` via
+    ``whenMatched/whenNotMatched``.
+    """
+    value_cols = [c for c in backup.columns]
+    touched = changes.where(F.col(CHANGE_TYPE).isin(DELETE, UPDATE)).select(pk_cols)
+    kept = backup.join(touched, pk_cols, "left_anti")
+    upserts = (
+        changes.where(F.col(CHANGE_TYPE).isin(INSERT, UPDATE))
+        .select(*value_cols)
+    )
+    return kept.unionByName(upserts)

@@ -1,0 +1,118 @@
+"""Sync-script sink: render the CDC changes DataFrame as ordered SQL text.
+
+Reference behavior (sync.py:304-437): emit DROP TABLE -> CREATE TABLE ->
+DELETE -> UPDATE -> INSERT sections, UPDATE statements SET production
+values / WHERE backup PK (sync.py:175-197), DELETE by PK (sync.py:199-215),
+INSERT re-emitted positionally (sync.py:69, :388-395).
+
+Spark-first differences:
+- statement text is built with built-in string expressions
+  (``format_string``/``concat_ws``) inside codegen — no Python in the row
+  path;
+- ordering is EXPLICIT (section rank, then PK) because dict insertion
+  order does not survive a shuffle (SURVEY.md §2 ordering note);
+- the sink is a DataFrame of one ``statement`` string column, so at scale
+  it writes distributed text (``df.write.text``); ``assemble_script``
+  collects only for small scripts / parity display.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from database_syncer_spark.core.diff import CHANGE_TYPE, DELETE, INSERT, UPDATE
+
+SECTION_RANK = {DELETE: 2, UPDATE: 3, INSERT: 4}  # DROP=0, CREATE=1 are DDL
+
+
+def sql_literal(col: Column, dtype: T.DataType) -> Column:
+    """Render a typed column as a SQL literal string column (JVM-side)."""
+    if isinstance(dtype, T.StringType):
+        lit = F.concat(F.lit("'"), F.regexp_replace(col, "'", "''"), F.lit("'"))
+    elif isinstance(dtype, (T.TimestampType, T.TimestampNTZType, T.DateType)):
+        lit = F.concat(F.lit("'"), F.date_format(col, "yyyy-MM-dd HH:mm:ss.SSSSSS"), F.lit("'"))
+    elif isinstance(dtype, T.BooleanType):
+        lit = F.when(col, F.lit("TRUE")).otherwise(F.lit("FALSE"))
+    else:
+        lit = col.cast("string")
+    return F.coalesce(lit, F.lit("NULL"))
+
+
+def _literal_map(df: DataFrame, cols: list[str]) -> dict[str, Column]:
+    dtypes = {f.name: f.dataType for f in df.schema.fields}
+    return {c: sql_literal(F.col(c), dtypes[c]) for c in cols}
+
+
+def generate_sync_script(changes: DataFrame, table: str, pk_cols: list[str]) -> DataFrame:
+    """changes CDC DataFrame -> ordered DataFrame of SQL statement strings.
+
+    Returns columns ``(section int, statement string)`` ordered by
+    (section, pk) — apply order DELETE -> UPDATE -> INSERT, matching the
+    reference's script layout (sync.py:318-395).
+    """
+    value_cols = [c for c in changes.columns if c != CHANGE_TYPE]
+    non_pk = [c for c in value_cols if c not in pk_cols]
+    lits = _literal_map(changes, value_cols)
+
+    set_clause = F.concat_ws(
+        ", ", *[F.concat(F.lit(f"`{c}` = "), lits[c]) for c in non_pk]
+    )
+    where_clause = F.concat_ws(
+        " AND ", *[F.concat(F.lit(f"`{c}` = "), lits[c]) for c in pk_cols]
+    )
+    values_clause = F.concat_ws(", ", *[lits[c] for c in value_cols])
+
+    stmt = (
+        F.when(
+            F.col(CHANGE_TYPE) == DELETE,
+            F.concat(F.lit(f"DELETE FROM `{table}` WHERE "), where_clause, F.lit(";")),
+        )
+        .when(
+            F.col(CHANGE_TYPE) == UPDATE,
+            F.concat(
+                F.lit(f"UPDATE `{table}` SET "), set_clause,
+                F.lit(" WHERE "), where_clause, F.lit(";"),
+            ),
+        )
+        .otherwise(
+            # Positional INSERT, as the reference re-emits it (sync.py:69).
+            F.concat(F.lit(f"INSERT INTO `{table}` VALUES ("), values_clause, F.lit(");")),
+        )
+    )
+    section = (
+        F.when(F.col(CHANGE_TYPE) == DELETE, F.lit(SECTION_RANK[DELETE]))
+        .when(F.col(CHANGE_TYPE) == UPDATE, F.lit(SECTION_RANK[UPDATE]))
+        .otherwise(F.lit(SECTION_RANK[INSERT]))
+    )
+    return (
+        changes.select(section.alias("section"), stmt.alias("statement"), *pk_cols)
+        .orderBy("section", *pk_cols)
+        .select("section", "statement")
+    )
+
+
+def ddl_statements(catalog: dict[str, list[str]],
+                   create_ddl: dict[str, str] | None = None) -> list[str]:
+    """DROP/CREATE section from a catalog diff (reference sync.py:318-341)."""
+    create_ddl = create_ddl or {}
+    out = [f"DROP TABLE IF EXISTS `{t}`;" for t in catalog.get("drop", [])]
+    for t in catalog.get("create", []):
+        out.append(f"DROP TABLE IF EXISTS `{t}`;")
+        out.append(create_ddl.get(t, f"-- CREATE TABLE `{t}` (DDL unavailable);"))
+    return out
+
+
+def assemble_script(statements: DataFrame, header: str = "-- sync script",
+                    ddl: list[str] | None = None) -> str:
+    """Collect an ordered statement DataFrame into one script string.
+
+    Only for small scripts (parity with the reference's file output,
+    sync.py:587-589); at scale use ``statements.select("statement")
+    .write.text(path)`` which keeps ordering via the upstream sort.
+    """
+    lines = [header]
+    lines.extend(ddl or [])
+    lines.extend(r.statement for r in statements.select("statement").collect())
+    return "\n".join(lines)

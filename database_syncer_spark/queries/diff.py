@@ -1,0 +1,101 @@
+"""Query keys for the core snapshot-diff engine (SURVEY.md §2 A8-A22).
+
+The prod/backup snapshot pair is derived deterministically from the
+``orders`` fixture (core/snapshots.py) so the DuckDB oracle can rebuild the
+identical pair in pure SQL.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from database_syncer_spark.catalog import load_table
+from database_syncer_spark.core.diff import dedup_last_wins, diff_stats, snapshot_diff
+from database_syncer_spark.core.script import generate_sync_script
+from database_syncer_spark.core.snapshots import derive_backup, derive_backup_sql
+
+ORDERS_COLS = [
+    "o_orderkey", "o_custkey", "o_orderstatus",
+    "o_totalprice", "o_orderdate", "o_orderpriority",
+]
+_NON_PK = [c for c in ORDERS_COLS if c != "o_orderkey"]
+
+
+def _snapshot_pair(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    prod = load_table(spark, sf_dir, "orders")
+    backup = derive_backup(prod, "o_orderkey", "o_totalprice")
+    return prod, backup
+
+
+def diff_cdc_fullouter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full CDC diff: one full-outer join + CASE classify (ref sync.py:256-300)."""
+    prod, backup = _snapshot_pair(spark, sf_dir)
+    return snapshot_diff(prod, backup, pk_cols=["o_orderkey"])
+
+
+def diff_stats_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-change-type operation counts (ref stats dict, sync.py:293-300)."""
+    return diff_stats(diff_cdc_fullouter(spark, sf_dir))
+
+
+def win_row_number_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-wins dedup by key — the reference's dict-overwrite (sync.py:67)
+    made explicit: keep each user's latest event."""
+    events = load_table(spark, sf_dir, "events")
+    out = dedup_last_wins(events, ["user_id"], ["ts", "event_id"])
+    return out.select("user_id", "event_id", "ts", "event_type")
+
+
+def sink_sync_script(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered sync-SQL statement stream (ref generate_sync_sql, sync.py:304-437)."""
+    changes = diff_cdc_fullouter(spark, sf_dir)
+    return generate_sync_script(changes, "orders", ["o_orderkey"])
+
+
+def _backup_cte() -> str:
+    return derive_backup_sql("orders", "o_orderkey", "o_totalprice", ORDERS_COLS)
+
+
+def _diff_sql() -> str:
+    post_image = ",\n  ".join(
+        f"CASE WHEN p.o_orderkey IS NULL THEN b.{c} ELSE p.{c} END AS {c}"
+        for c in _NON_PK
+    )
+    unchanged = " AND ".join(
+        f"p.{c} IS NOT DISTINCT FROM b.{c}" for c in _NON_PK
+    )
+    return f"""
+WITH backup AS ({_backup_cte()})
+SELECT
+  coalesce(p.o_orderkey, b.o_orderkey) AS o_orderkey,
+  CASE WHEN b.o_orderkey IS NULL THEN 'INSERT'
+       WHEN p.o_orderkey IS NULL THEN 'DELETE'
+       ELSE 'UPDATE' END AS change_type,
+  {post_image}
+FROM orders p
+FULL OUTER JOIN backup b ON p.o_orderkey = b.o_orderkey
+WHERE b.o_orderkey IS NULL OR p.o_orderkey IS NULL OR NOT ({unchanged})
+"""
+
+
+QUERIES = {
+    "diff_cdc_fullouter": diff_cdc_fullouter,
+    "diff_stats_by_type": diff_stats_by_type,
+    "win_row_number_dedup": win_row_number_dedup,
+    "sink_sync_script": sink_sync_script,  # rows-only (SQL text output)
+}
+
+ORACLES = {
+    "diff_cdc_fullouter": _diff_sql(),
+    "diff_stats_by_type": (
+        f"SELECT change_type, count(*) AS n FROM ({_diff_sql()}) GROUP BY change_type"
+    ),
+    "win_row_number_dedup": """
+SELECT user_id, event_id, ts, event_type FROM (
+  SELECT user_id, event_id, ts, event_type,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+) WHERE rn = 1
+""",
+}

@@ -1,0 +1,39 @@
+"""Assemble the full queries()/oracle_sql() registry for __spark_entry__.py.
+
+Import is deliberately lazy-tolerant: a broken module must not take down
+the whole registry (the driver grades per-key).
+"""
+
+from __future__ import annotations
+
+import importlib
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+_MODULES = [
+    "database_syncer_spark.queries.diff",
+]
+
+
+def _load() -> tuple[dict, dict]:
+    queries: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+    oracles: dict[str, str] = {}
+    for modname in _MODULES:
+        try:
+            mod = importlib.import_module(modname)
+        except Exception as exc:  # pragma: no cover — per-key isolation
+            import sys
+            print(f"[registry] failed to import {modname}: {exc}", file=sys.stderr)
+            continue
+        queries.update(getattr(mod, "QUERIES", {}))
+        oracles.update(getattr(mod, "ORACLES", {}))
+    return queries, oracles
+
+
+def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return _load()[0]
+
+
+def all_oracles() -> dict[str, str]:
+    return _load()[1]

@@ -1,0 +1,45 @@
+"""SparkSession factory with scale-appropriate defaults.
+
+Local mode is a single JVM; the settings below are chosen so the same code
+is correct on a real cluster:
+
+- AQE on: runtime shuffle-partition coalescing, skew-join splitting, and
+  dynamic join-strategy switching (sort-merge -> broadcast) replace any
+  hand-tuning at 100x data.
+- shuffle.partitions sized to local cores; on a cluster AQE coalesces from
+  a higher initial number, so code never depends on the exact value.
+- Session timezone pinned to UTC so timestamp semantics match the DuckDB
+  oracle (DuckDB timestamps are UTC-naive).
+- Arrow enabled: every pandas_udf / applyInPandas / mapInPandas transfer is
+  Arrow-batched, never row-at-a-time pickle.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(app_name: str = "database_syncer_spark",
+              shuffle_partitions: int | None = None) -> SparkSession:
+    """Build (or reuse) the SparkSession used by the engine and tests."""
+    cpus = os.environ.get("SPARK_GRAFT_CPUS") or os.cpu_count() or 4
+    if shuffle_partitions is None:
+        shuffle_partitions = int(os.environ.get("SPARK_GRAFT_SHUFFLE", cpus))
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.shuffle.spill.compress", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+    )
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

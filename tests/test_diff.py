@@ -1,0 +1,103 @@
+"""Metamorphic invariants for the diff engine (SURVEY.md §5.2)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from database_syncer_spark.catalog import load_table
+from database_syncer_spark.core.diff import (
+    DELETE, INSERT, UPDATE, apply_changes, catalog_diff, snapshot_diff,
+)
+from database_syncer_spark.core.script import assemble_script, generate_sync_script
+from database_syncer_spark.core.snapshots import NEW_PK_OFFSET, derive_backup
+
+
+def _pair(spark, sf_dir):
+    prod = load_table(spark, sf_dir, "orders")
+    backup = derive_backup(prod, "o_orderkey", "o_totalprice")
+    return prod, backup
+
+
+def test_diff_self_is_empty(spark, sf_dir):
+    """diff(X, X) = ∅ — the reference's 'No differences found!' invariant
+    (sync.py:489-490)."""
+    prod = load_table(spark, sf_dir, "orders")
+    assert snapshot_diff(prod, prod, ["o_orderkey"]).count() == 0
+
+
+def test_diff_classification_counts(spark, sf_dir):
+    prod, backup = _pair(spark, sf_dir)
+    changes = snapshot_diff(prod, backup, ["o_orderkey"])
+    by_type = {r[0]: r[1] for r in changes.groupBy("change_type").count().collect()}
+
+    n_insert = prod.where(F.col("o_orderkey") % 20 == 0).count()
+    n_update = prod.where(
+        (F.col("o_orderkey") % 10 == 3) & (F.col("o_orderkey") % 20 != 0)
+    ).count()
+    n_delete = prod.where(F.col("o_orderkey") % 25 == 0).count()
+    assert by_type.get(INSERT, 0) == n_insert
+    assert by_type.get(UPDATE, 0) == n_update
+    assert by_type.get(DELETE, 0) == n_delete
+
+
+def test_roundtrip_apply(spark, sf_dir):
+    """apply(diff(P,B), B) ≡ P."""
+    prod, backup = _pair(spark, sf_dir)
+    changes = snapshot_diff(prod, backup, ["o_orderkey"])
+    restored = apply_changes(backup, changes, ["o_orderkey"])
+    assert snapshot_diff(prod, restored, ["o_orderkey"]).count() == 0
+    assert restored.count() == prod.count()
+
+
+def test_symmetry(spark, sf_dir):
+    """diff(P,B).inserts == diff(B,P).deletes (as PK sets)."""
+    prod, backup = _pair(spark, sf_dir)
+    fwd = snapshot_diff(prod, backup, ["o_orderkey"])
+    rev = snapshot_diff(backup, prod, ["o_orderkey"])
+    ins = {r[0] for r in fwd.where(F.col("change_type") == INSERT)
+           .select("o_orderkey").collect()}
+    dels = {r[0] for r in rev.where(F.col("change_type") == DELETE)
+            .select("o_orderkey").collect()}
+    assert ins == dels
+
+
+def test_delete_rows_carry_preimage(spark, sf_dir):
+    prod, backup = _pair(spark, sf_dir)
+    changes = snapshot_diff(prod, backup, ["o_orderkey"])
+    deleted = changes.where(F.col("change_type") == DELETE)
+    assert deleted.where(F.col("o_totalprice").isNull()).count() == 0
+    assert deleted.where(F.col("o_orderkey") < NEW_PK_OFFSET).count() == 0
+
+
+def test_sync_script_shape(spark, sf_dir):
+    prod, backup = _pair(spark, sf_dir)
+    changes = snapshot_diff(prod, backup, ["o_orderkey"])
+    stmts = generate_sync_script(changes, "orders", ["o_orderkey"])
+    script = assemble_script(stmts)
+    lines = script.splitlines()[1:]
+    # section order DELETE -> UPDATE -> INSERT (reference sync.py:318-395)
+    kinds = []
+    for ln in lines:
+        kinds.append(ln.split(" ", 1)[0])
+    order = {"DELETE": 0, "UPDATE": 1, "INSERT": 2}
+    ranks = [order[k] for k in kinds]
+    assert ranks == sorted(ranks)
+    assert all(ln.endswith(";") for ln in lines)
+    n = changes.count()
+    assert len(lines) == n
+
+
+def test_catalog_diff():
+    cat = catalog_diff({"a": 1, "b": 2}, {"b": 2, "c": 3})
+    assert cat["create"] == ["a"] and cat["drop"] == ["c"] and cat["common"] == ["b"]
+
+
+def test_last_wins_dedup(spark):
+    from database_syncer_spark.core.diff import dedup_last_wins
+
+    df = spark.createDataFrame(
+        [(1, 10, "old"), (1, 20, "new"), (2, 5, "only")],
+        "id int, seq int, val string",
+    )
+    out = {(r.id, r.val) for r in dedup_last_wins(df, ["id"], ["seq"]).collect()}
+    assert out == {(1, "new"), (2, "only")}

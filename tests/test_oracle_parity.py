@@ -1,0 +1,35 @@
+"""Local mirror of the driver's correctness gate.
+
+Runs EVERY registered query key that has an oracle against DuckDB at
+sf0.001 and requires exact canonical-value equality. If this passes, the
+driver's sf0.01 check should too (same derivations, just more rows).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from database_syncer_spark.registry import all_oracles, all_queries
+
+QUERIES = all_queries()
+ORACLES = all_oracles()
+
+
+def test_every_oracle_key_has_a_query():
+    missing = set(ORACLES) - set(QUERIES)
+    assert not missing, f"oracle keys without query impl: {missing}"
+
+
+@pytest.mark.parametrize("key", sorted(ORACLES))
+def test_oracle_parity(key, spark, duck, sf_dir):
+    from database_syncer_spark.oracle import compare_query
+
+    df = QUERIES[key](spark, sf_dir)
+    res = compare_query(key, df, duck, ORACLES[key])
+    assert res.ok, res.message()
+
+
+@pytest.mark.parametrize("key", sorted(set(QUERIES) - set(ORACLES)))
+def test_rows_only_keys_run(key, spark, sf_dir):
+    df = QUERIES[key](spark, sf_dir)
+    assert df.count() >= 0
