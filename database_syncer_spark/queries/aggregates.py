@@ -1,0 +1,262 @@
+"""Aggregation & window surface: SURVEY.md §2 B4-B5.
+
+Float discipline: money aggregates go through DECIMAL(18,s) so the sum is
+exact and order-independent — a double sum's value depends on shuffle
+order, which would break both determinism at scale and oracle hashing.
+Integer-valued doubles (l_quantity) sum exactly in double, so they stay
+native.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from database_syncer_spark.catalog import load_table
+
+
+def _money_sum(col, scale: int = 4):
+    return F.sum(col.cast(f"decimal(18,{scale})")).cast("double")
+
+
+# --- B4: aggregations -----------------------------------------------------
+
+def agg_groupby_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash agg with map-side partial aggregation (ref stats, sync.py:293-300)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag", "l_linestatus").agg(F.count("*").alias("n"))
+
+
+def agg_global_sums(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return li.agg(
+        F.count("*").alias("n_rows"),
+        F.sum("l_quantity").alias("total_qty"),
+        _money_sum(revenue).alias("total_revenue"),
+    )
+
+
+def agg_multi_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: 2 group cols, 8 measures, date filter."""
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.where(F.col("l_shipdate") <= "1998-09-02")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").alias("sum_qty"),
+            _money_sum(F.col("l_extendedprice"), 2).alias("sum_base_price"),
+            _money_sum(disc_price, 4).alias("sum_disc_price"),
+            _money_sum(charge, 6).alias("sum_charge"),
+            F.avg("l_quantity").alias("avg_qty"),
+            (_money_sum(F.col("l_extendedprice"), 2) / F.count("*")).alias("avg_price"),
+            (_money_sum(F.col("l_discount"), 2) / F.count("*")).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+def agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.countDistinct("o_custkey").alias("n_customers"),
+        F.count("*").alias("n_orders"),
+    )
+
+
+def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL approx-distinct — the 100-TB path where exact distinct would
+    shuffle every key. No oracle (HLL estimates differ per engine); the
+    rows-only check plus tests/test_relational.py bound the error vs exact."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.approx_count_distinct("l_orderkey").alias("approx_orders"),
+        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+    )
+
+
+def agg_percentile_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact median per group (interpolated) — deterministic because
+    l_quantity is integer-valued."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.percentile("l_quantity", F.lit(0.5)).alias("median_qty"),
+        F.count("*").alias("n"),
+    )
+
+
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("n"), F.sum("l_quantity").alias("sum_qty")
+    )
+
+
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("n"), F.sum("l_quantity").alias("sum_qty")
+    )
+
+
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS via the SQL API (same Catalyst plan as DataFrame)."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("v_lineitem")
+    return spark.sql("""
+        SELECT l_returnflag, l_linestatus, count(*) AS n
+        FROM v_lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    """)
+
+
+def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot change-type-style stats into columns (ref stats dict shape,
+    sync.py:294-300)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    out = li.groupBy("l_returnflag").pivot("l_linestatus", ["O", "F"]).count()
+    # pivot yields NULL for empty cells; align with the CASE-sum oracle (0)
+    return out.select(
+        "l_returnflag",
+        F.coalesce("O", F.lit(0)).alias("n_open"),
+        F.coalesce("F", F.lit(0)).alias("n_filled"),
+    )
+
+
+# --- B5: window functions -------------------------------------------------
+
+def win_rank_topn_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+        .select("o_orderpriority", "rn", "o_orderkey", "o_totalprice")
+    )
+
+
+def win_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    running = F.sum(F.col("o_totalprice").cast("decimal(18,2)")).over(w)
+    return o.select(
+        "o_custkey", "o_orderkey", "o_orderdate",
+        running.cast("double").alias("running_total"),
+    )
+
+
+def win_lag_lead_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change vs previous row — CDC-flavored lag/lead over event time."""
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("value").over(w)
+    nxt = F.lead("value").over(w)
+    return ev.select(
+        "event_id", "user_id", "ts", "value",
+        prev.alias("prev_value"),
+        nxt.alias("next_value"),
+        (F.col("value") - prev).alias("delta_prev"),
+    )
+
+
+QUERIES = {
+    "agg_groupby_counts": agg_groupby_counts,
+    "agg_global_sums": agg_global_sums,
+    "agg_multi_measures": agg_multi_measures,
+    "agg_distinct": agg_distinct,
+    "agg_approx_distinct": agg_approx_distinct,  # rows-only (engine-specific HLL)
+    "agg_percentile_median": agg_percentile_median,
+    "agg_rollup": agg_rollup,
+    "agg_cube": agg_cube,
+    "agg_grouping_sets": agg_grouping_sets,
+    "agg_pivot": agg_pivot,
+    "win_rank_topn_per_group": win_rank_topn_per_group,
+    "win_running_sum": win_running_sum,
+    "win_lag_lead_change": win_lag_lead_change,
+}
+
+ORACLES = {
+    "agg_groupby_counts": """
+SELECT l_returnflag, l_linestatus, count(*) AS n
+FROM lineitem GROUP BY l_returnflag, l_linestatus
+""",
+    "agg_global_sums": """
+SELECT count(*) AS n_rows, sum(l_quantity) AS total_qty,
+       CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE)
+         AS total_revenue
+FROM lineitem
+""",
+    "agg_multi_measures": """
+SELECT l_returnflag, l_linestatus,
+       sum(l_quantity) AS sum_qty,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+       CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE)
+         AS sum_disc_price,
+       CAST(sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,6))) AS DOUBLE)
+         AS sum_charge,
+       avg(l_quantity) AS avg_qty,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_price,
+       CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_disc,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+""",
+    "agg_distinct": """
+SELECT o_orderstatus, CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_customers,
+       count(*) AS n_orders
+FROM orders GROUP BY o_orderstatus
+""",
+    "agg_percentile_median": """
+SELECT l_returnflag, quantile_cont(l_quantity, 0.5) AS median_qty, count(*) AS n
+FROM lineitem GROUP BY l_returnflag
+""",
+    "agg_rollup": """
+SELECT l_returnflag, l_linestatus, count(*) AS n, sum(l_quantity) AS sum_qty
+FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+""",
+    "agg_cube": """
+SELECT l_returnflag, l_linestatus, count(*) AS n, sum(l_quantity) AS sum_qty
+FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+""",
+    "agg_grouping_sets": """
+SELECT l_returnflag, l_linestatus, count(*) AS n
+FROM lineitem GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+""",
+    "agg_pivot": """
+SELECT l_returnflag,
+       CAST(count(CASE WHEN l_linestatus = 'O' THEN 1 END) AS BIGINT) AS n_open,
+       CAST(count(CASE WHEN l_linestatus = 'F' THEN 1 END) AS BIGINT) AS n_filled
+FROM lineitem GROUP BY l_returnflag
+""",
+    "win_rank_topn_per_group": """
+SELECT o_orderpriority, CAST(rn AS INT) AS rn, o_orderkey, o_totalprice FROM (
+  SELECT o_orderpriority, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_orderpriority
+                            ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+  FROM orders
+) WHERE rn <= 3
+""",
+    "win_running_sum": """
+SELECT o_custkey, o_orderkey, o_orderdate,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+         PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_total
+FROM orders
+""",
+    "win_lag_lead_change": """
+SELECT event_id, user_id, ts, value,
+       lag(value) OVER w AS prev_value,
+       lead(value) OVER w AS next_value,
+       value - lag(value) OVER w AS delta_prev
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+""",
+}
