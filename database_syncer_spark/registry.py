@@ -16,6 +16,7 @@ _MODULES = [
     "database_syncer_spark.queries.relational",
     "database_syncer_spark.queries.aggregates",
     "database_syncer_spark.queries.functions",
+    "database_syncer_spark.queries.dump",
 ]
 
 

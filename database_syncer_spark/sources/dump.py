@@ -1,0 +1,474 @@
+"""MySQL-dump source: distributed ingest of mysqldump-style SQL text.
+
+The reference reads the whole dump into one string and regex-parses it
+(sync.py:566-573, :33-70) — O(file) driver memory, and its VALUES splitter
+``\\(([^)]+)\\)`` (sync.py:112) silently truncates rows containing ``)``
+inside quoted strings (SURVEY §1.2 [verified]). This rebuild:
+
+- splits the file into statements DISTRIBUTEDLY via the Hadoop text input
+  format with a custom record delimiter (``;\\n``) — statements never need
+  to fit on one driver, and partition boundaries can't split a statement;
+- parses DDL driver-side (DDL is tiny) into typed Spark schemas, with
+  composite-PK support the reference lacks (sync.py:89-104 matches only
+  single-column keys);
+- tokenizes INSERT rows with a real quote-aware scanner (handles ``''``
+  and backslash escapes, parens/commas/semicolons inside strings) inside
+  ``mapInPandas`` — Arrow-batched, one Python pass, no row-at-a-time UDF;
+- casts raw SQL literals to typed columns JVM-side.
+
+Known format assumptions (same family as mysqldump defaults): statements
+end with ``;`` at end of line; a literal ``;\\n`` inside a quoted value
+would mis-split (the reference's whole-file regex has the analogous
+limitation on ``);``).
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+__all__ = [
+    "TableSchema", "read_sql_dump", "read_dump_statements",
+    "parse_create_table", "tokenize_insert_rows", "write_sql_dump",
+    "sync_dumps",
+]
+
+# --- DDL ------------------------------------------------------------------
+
+#: MySQL type -> Spark cast target
+_TYPE_MAP = [
+    (re.compile(r"^tinyint\(1\)", re.I), "boolean"),
+    (re.compile(r"^bigint", re.I), "bigint"),
+    (re.compile(r"^(tiny|small|medium)?int", re.I), "int"),
+    (re.compile(r"^(decimal|numeric)\s*\((\d+)\s*,\s*(\d+)\)", re.I), None),  # special
+    (re.compile(r"^(decimal|numeric)", re.I), "decimal(10,0)"),
+    (re.compile(r"^(float|double|real)", re.I), "double"),
+    (re.compile(r"^(datetime|timestamp)", re.I), "timestamp"),
+    (re.compile(r"^date", re.I), "date"),
+    (re.compile(r"^(varchar|char|.*text|enum|set|time|year|json)", re.I), "string"),
+    (re.compile(r"^(.*blob|binary|varbinary|bit)", re.I), "binary"),
+]
+
+
+def _spark_type(mysql_type: str) -> str:
+    for pat, target in _TYPE_MAP:
+        m = pat.match(mysql_type.strip())
+        if m:
+            if target is None:
+                return f"decimal({m.group(2)},{m.group(3)})"
+            return target
+    return "string"
+
+
+@dataclass
+class TableSchema:
+    name: str
+    columns: list[tuple[str, str]]          # (name, mysql_type)
+    pk_cols: list[str]
+    create_stmt: str
+
+    @property
+    def column_names(self) -> list[str]:
+        return [c for c, _ in self.columns]
+
+    def spark_types(self) -> list[tuple[str, str]]:
+        return [(c, _spark_type(t)) for c, t in self.columns]
+
+
+_CREATE_RE = re.compile(r"CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?[`\"]?(\w+)[`\"]?", re.I)
+_COL_RE = re.compile(r"^[`\"]?(\w+)[`\"]?\s+(\S+)")
+_PK_RE = re.compile(r"^PRIMARY\s+KEY\s*\((.*)\)", re.I)
+_IDENT_RE = re.compile(r"[`\"]?(\w+)[`\"]?")
+
+
+def _matching_paren_body(stmt: str) -> str:
+    """Text between the first '(' and its matching ')' — quote-aware."""
+    start = stmt.index("(")
+    depth, in_q = 0, None
+    for i in range(start, len(stmt)):
+        ch = stmt[i]
+        if in_q:
+            if ch == in_q:
+                in_q = None
+            continue
+        if ch in "'\"":
+            in_q = ch
+        elif ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+            if depth == 0:
+                return stmt[start + 1:i]
+    return stmt[start + 1:]
+
+
+def _split_top_level(body: str, sep: str = ",") -> list[str]:
+    """Split on ``sep`` at paren depth 0, honoring quotes."""
+    parts, buf, depth, in_q = [], [], 0, None
+    for ch in body:
+        if in_q:
+            buf.append(ch)
+            if ch == in_q:
+                in_q = None
+            continue
+        if ch in "'\"":
+            in_q = ch
+            buf.append(ch)
+        elif ch == "(":
+            depth += 1
+            buf.append(ch)
+        elif ch == ")":
+            depth -= 1
+            buf.append(ch)
+        elif ch == sep and depth == 0:
+            parts.append("".join(buf))
+            buf = []
+        else:
+            buf.append(ch)
+    if buf:
+        parts.append("".join(buf))
+    return parts
+
+
+def parse_create_table(stmt: str) -> TableSchema | None:
+    """Parse one CREATE TABLE statement (reference sync.py:33-52, :74-104;
+    unlike the reference we keep types and support composite PRIMARY KEY)."""
+    m = _CREATE_RE.search(stmt)
+    if not m:
+        return None
+    name = m.group(1)
+    body = _matching_paren_body(stmt)
+    columns: list[tuple[str, str]] = []
+    pk: list[str] = []
+    auto_inc: str | None = None
+    for raw in _split_top_level(body):
+        line = raw.strip()
+        if not line:
+            continue
+        pkm = _PK_RE.match(line)
+        if pkm:
+            pk = _IDENT_RE.findall(pkm.group(1))
+            continue
+        upper = line.upper()
+        if upper.startswith(("KEY", "UNIQUE", "INDEX", "CONSTRAINT", "FOREIGN", "FULLTEXT", "SPATIAL", "CHECK")):
+            continue
+        cm = _COL_RE.match(line)
+        if not cm:
+            continue
+        columns.append((cm.group(1), cm.group(2)))
+        if auto_inc is None and "AUTO_INCREMENT" in upper:
+            auto_inc = cm.group(1)
+    col_names = [c for c, _ in columns]
+    if not pk:
+        # Reference fallback chain (sync.py:97-104): AUTO_INCREMENT col,
+        # then 'id'; we add first-column as the final fallback instead of
+        # keying on a column that doesn't exist (sync.py:169-171 keys on
+        # values[0] in that case — same effect, made explicit).
+        if auto_inc:
+            pk = [auto_inc]
+        elif "id" in col_names:
+            pk = ["id"]
+        elif col_names:
+            pk = [col_names[0]]
+    pk = [c for c in pk if c in col_names] or col_names[:1]
+    return TableSchema(name=name, columns=columns, pk_cols=pk, create_stmt=stmt.strip())
+
+
+# --- value tokenizer --------------------------------------------------------
+
+def tokenize_insert_rows(values_part: str) -> list[list[str | None]]:
+    """Split a multi-row VALUES clause into rows of raw SQL literals.
+
+    Quote-aware char scan: handles ``''`` escapes (reference handles these,
+    sync.py:144-151), backslash escapes, and — unlike the reference's
+    ``\\(([^)]+)\\)`` regex (sync.py:112) — parens/commas inside quoted
+    strings. ``NULL`` literals come back as None; quoted strings are
+    unescaped; other literals stay as their raw text.
+    """
+    s = values_part
+    rows: list[list[str | None]] = []
+    vals: list[str | None] = []
+    buf: list[str] = []
+    depth = 0
+    in_q: str | None = None
+    was_quoted = False
+    i, n = 0, len(s)
+
+    def flush() -> None:
+        nonlocal buf, was_quoted
+        raw = "".join(buf).strip()
+        if was_quoted:
+            vals.append(_unquote(raw))
+        elif raw.upper() == "NULL":
+            vals.append(None)
+        else:
+            vals.append(raw)
+        buf = []
+        was_quoted = False
+
+    while i < n:
+        ch = s[i]
+        if in_q:
+            if ch == "\\" and i + 1 < n:
+                buf.append(ch)
+                buf.append(s[i + 1])
+                i += 2
+                continue
+            buf.append(ch)
+            if ch == in_q:
+                if i + 1 < n and s[i + 1] == in_q:  # '' escape
+                    buf.append(s[i + 1])
+                    i += 2
+                    continue
+                in_q = None
+            i += 1
+            continue
+        if ch in "'\"" and depth >= 1:
+            in_q = ch
+            was_quoted = True
+            buf.append(ch)
+        elif ch == "(":
+            depth += 1
+            if depth == 1:
+                vals = []
+                buf = []
+            else:
+                buf.append(ch)
+        elif ch == ")":
+            depth -= 1
+            if depth == 0:
+                flush()
+                rows.append(vals)
+                vals = []
+            else:
+                buf.append(ch)
+        elif ch == "," and depth == 1:
+            flush()
+        elif depth >= 1:
+            buf.append(ch)
+        i += 1
+    return rows
+
+
+def _unquote(raw: str) -> str:
+    q = raw[0]
+    inner = raw[1:-1] if len(raw) >= 2 and raw.endswith(q) else raw[1:]
+    out: list[str] = []
+    i, n = 0, len(inner)
+    while i < n:
+        ch = inner[i]
+        if ch == "\\" and i + 1 < n:
+            nxt = inner[i + 1]
+            out.append({"n": "\n", "t": "\t", "r": "\r", "0": "\0"}.get(nxt, nxt))
+            i += 2
+        elif ch == q and i + 1 < n and inner[i + 1] == q:
+            out.append(q)
+            i += 2
+        else:
+            out.append(ch)
+            i += 1
+    return "".join(out)
+
+
+# --- distributed read --------------------------------------------------------
+
+_INSERT_RE = re.compile(
+    r"INSERT\s+INTO\s+[`\"]?(\w+)[`\"]?\s*(?:\(([^)]*)\))?\s*VALUES\s*(.*)",
+    re.I | re.S,
+)
+
+
+def read_dump_statements(spark: SparkSession, path: str) -> DataFrame:
+    """One row per SQL statement, split distributedly on ``;\\n``.
+
+    Uses the Hadoop text input format's custom record delimiter so a
+    multi-GB dump splits across partitions without a statement ever
+    straddling a boundary (the input format handles the carry-over).
+    ``stmt_seq`` preserves file order for last-wins duplicate-PK
+    semantics (reference dict overwrite, sync.py:67).
+    """
+    rdd = (
+        spark.sparkContext.newAPIHadoopFile(
+            path,
+            "org.apache.hadoop.mapreduce.lib.input.TextInputFormat",
+            "org.apache.hadoop.io.LongWritable",
+            "org.apache.hadoop.io.Text",
+            conf={"textinputformat.record.delimiter": ";\n"},
+        )
+        .map(lambda kv: kv[1].strip())
+        .filter(lambda s: bool(s) and not s.startswith("--"))
+    )
+    return spark.createDataFrame(
+        rdd.zipWithIndex().map(lambda t: (t[0], t[1])), "stmt: string, stmt_seq: long"
+    )
+
+
+def _parse_insert_batches(schemas: dict[str, TableSchema]):
+    """mapInPandas worker: statements -> (table, vals, seq) rows.
+
+    ``seq`` is a global ingest-order key (statement order in the file ×
+    1e6 + row position inside the statement) so duplicate PKs can resolve
+    last-wins exactly like the reference's dict overwrite (sync.py:67).
+    """
+    import pandas as pd
+
+    def run(batches):
+        for pdf in batches:
+            tables: list[str] = []
+            values: list[list[str | None]] = []
+            seqs: list[int] = []
+            for stmt, stmt_seq in zip(pdf["stmt"], pdf["stmt_seq"]):
+                m = _INSERT_RE.match(stmt)
+                if not m:
+                    continue
+                table = m.group(1)
+                if table not in schemas:
+                    continue
+                ncols = len(schemas[table].columns)
+                for row_idx, row in enumerate(tokenize_insert_rows(m.group(3))):
+                    if len(row) == ncols:
+                        tables.append(table)
+                        values.append(row)
+                        seqs.append(int(stmt_seq) * 1_000_000 + row_idx)
+            yield pd.DataFrame({"table": tables, "vals": values, "seq": seqs})
+
+    return run
+
+
+def read_sql_dump(spark: SparkSession, path: str, typed: bool = True,
+                  dedup_pk: bool = True) -> dict[str, DataFrame]:
+    """Ingest a SQL dump into a dict of DataFrames (one per table).
+
+    The reference's parse_sql_dump (sync.py:29-72), distributed: DDL is
+    parsed on the driver (tiny), DML rows are tokenized in parallel Arrow
+    batches and cast to the DDL-derived schema. ``typed=False`` keeps
+    every value as its raw string (the reference's string-typed semantics,
+    SURVEY §1.2) for bit-faithful parity. ``dedup_pk`` resolves duplicate
+    PKs last-wins in file order (reference sync.py:67).
+    """
+    from database_syncer_spark.core.diff import dedup_last_wins
+
+    stmts = read_dump_statements(spark, path)
+    create_stmts = [
+        r.stmt for r in
+        stmts.where(F.upper(F.col("stmt")).startswith("CREATE TABLE")).collect()
+    ]
+    schemas: dict[str, TableSchema] = {}
+    for stmt in create_stmts:
+        ts = parse_create_table(stmt)
+        if ts:
+            schemas[ts.name] = ts
+    if not schemas:
+        return {}
+
+    inserts = stmts.where(F.upper(F.col("stmt")).startswith("INSERT INTO"))
+    parsed = inserts.mapInPandas(
+        _parse_insert_batches(schemas), "table string, vals array<string>, seq long"
+    )
+    # One pass over the parsed rows serves every table; per-table filter +
+    # positional cast is pure Catalyst from here.
+    out: dict[str, DataFrame] = {}
+    for name, ts in schemas.items():
+        rows = parsed.where(F.col("table") == name)
+        cols = [F.col("seq").alias("__seq")]
+        for idx, (col, spark_t) in enumerate(ts.spark_types()):
+            raw = F.col("vals").getItem(idx)
+            cols.append(raw.alias(col) if not typed else raw.cast(spark_t).alias(col))
+        df = rows.select(*cols)
+        if dedup_pk and ts.pk_cols:
+            df = dedup_last_wins(df, ts.pk_cols, ["__seq"])
+        out[name] = df.drop("__seq")
+    return out
+
+
+def get_dump_schemas(spark: SparkSession, path: str) -> dict[str, TableSchema]:
+    """Parsed DDL only (driver-side)."""
+    stmts = read_dump_statements(spark, path)
+    create_stmts = [
+        r.stmt for r in
+        stmts.where(F.upper(F.col("stmt")).startswith("CREATE TABLE")).collect()
+    ]
+    out: dict[str, TableSchema] = {}
+    for stmt in create_stmts:
+        ts = parse_create_table(stmt)
+        if ts:
+            out[ts.name] = ts
+    return out
+
+
+# --- dump writer (tests / fixtures / round-trips) ---------------------------
+
+_SPARK_TO_MYSQL = {
+    "bigint": "bigint",
+    "int": "int(11)",
+    "smallint": "smallint",
+    "double": "double",
+    "float": "float",
+    "string": "varchar(255)",
+    "timestamp": "datetime(6)",
+    "timestamp_ntz": "datetime(6)",
+    "date": "date",
+    "boolean": "tinyint(1)",
+}
+
+
+def write_sql_dump(df: DataFrame, table: str, pk_cols: list[str], path: str,
+                   rows_per_insert: int = 100) -> None:
+    """Render a (small) DataFrame as a mysqldump-style SQL file.
+
+    Statement text is produced by the same JVM-side literal rendering as
+    the sync-script sink; only the final file assembly is driver-side
+    (this writer exists for round-trip tests and fixture generation, not
+    the 100-TB path — that's parquet/CDC)."""
+    from database_syncer_spark.core.script import sql_literal
+
+    dtypes = {f.name: f.dataType for f in df.schema.fields}
+    lits = [sql_literal(F.col(c), dtypes[c]) for c in df.columns]
+    rows = (
+        df.select(F.concat_ws(", ", *lits).alias("r"))
+        .collect()
+    )
+    col_defs = []
+    for f in df.schema.fields:
+        mysql_t = _SPARK_TO_MYSQL.get(f.dataType.simpleString().split("(")[0], "varchar(255)")
+        col_defs.append(f"  `{f.name}` {mysql_t} {'NOT NULL' if f.name in pk_cols else 'DEFAULT NULL'}")
+    pk_def = ", ".join(f"`{c}`" for c in pk_cols)
+    lines = [
+        f"DROP TABLE IF EXISTS `{table}`;",
+        f"CREATE TABLE `{table}` (",
+        ",\n".join(col_defs) + ",",
+        f"  PRIMARY KEY ({pk_def})",
+        ") ENGINE=InnoDB DEFAULT CHARSET=utf8mb4;",
+        "",
+    ]
+    for i in range(0, len(rows), rows_per_insert):
+        chunk = rows[i:i + rows_per_insert]
+        values = ",\n".join(f"({r.r})" for r in chunk)
+        lines.append(f"INSERT INTO `{table}` VALUES\n{values};")
+    with open(path, "w", encoding="utf-8") as fh:
+        fh.write("\n".join(lines) + "\n")
+
+
+# --- end-to-end orchestration (reference compare_sql_files, sync.py:522) ----
+
+def sync_dumps(spark: SparkSession, prod_path: str, backup_path: str):
+    """Diff two SQL dumps: the reference's whole pipeline
+    (sync.py:522-625) on Spark. Returns (changes_per_table, catalog,
+    script_statements_per_table)."""
+    from database_syncer_spark.core.diff import catalog_diff, snapshot_diff
+    from database_syncer_spark.core.script import generate_sync_script
+
+    prod = read_sql_dump(spark, prod_path)
+    backup = read_sql_dump(spark, backup_path)
+    prod_schemas = get_dump_schemas(spark, prod_path)
+    catalog = catalog_diff(prod, backup)
+    changes, scripts = {}, {}
+    for name in catalog["common"]:
+        pk = prod_schemas[name].pk_cols
+        ch = snapshot_diff(prod[name], backup[name], pk)
+        changes[name] = ch
+        scripts[name] = generate_sync_script(ch, name, pk)
+    return changes, catalog, scripts

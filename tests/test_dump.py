@@ -1,0 +1,184 @@
+"""Golden tests for the SQL-dump source (FIXTURES.md §B2 edge cases).
+
+Each case cites the reference behavior it preserves or deliberately fixes
+(SURVEY.md §1.2-1.3)."""
+
+from __future__ import annotations
+
+import textwrap
+
+import pytest
+
+from database_syncer_spark.sources.dump import (
+    get_dump_schemas,
+    parse_create_table,
+    read_sql_dump,
+    sync_dumps,
+    tokenize_insert_rows,
+    write_sql_dump,
+)
+
+USERS_DDL = textwrap.dedent("""\
+    CREATE TABLE `users` (
+      `id` int(11) NOT NULL AUTO_INCREMENT,
+      `name` varchar(100) DEFAULT NULL,
+      `bal` decimal(10,2),
+      PRIMARY KEY (`id`)
+    ) ENGINE=InnoDB;
+""")
+
+
+def _write(tmp_path, name, text):
+    p = tmp_path / name
+    p.write_text(text)
+    return str(p)
+
+
+# --- tokenizer ---------------------------------------------------------------
+
+def test_tokenizer_escaped_quote():
+    """'o''brien' round-trips (reference handles this too, sync.py:144-151)."""
+    rows = tokenize_insert_rows("(1,'o''brien',7)")
+    assert rows == [["1", "o'brien", "7"]]
+
+
+def test_tokenizer_null_literal():
+    rows = tokenize_insert_rows("(2,NULL,0.5)")
+    assert rows == [["2", None, "0.5"]]
+
+
+def test_tokenizer_paren_in_string():
+    """The reference's regex truncates 'bob (admin)' (sync.py:112,
+    SURVEY §1.2 [verified]); ours must not."""
+    rows = tokenize_insert_rows("(2,'bob (admin)','x')")
+    assert rows == [["2", "bob (admin)", "x"]]
+
+
+def test_tokenizer_multirow_with_commas_and_semicolons():
+    rows = tokenize_insert_rows("(1,'a,b'),(2,'c;d'),(3,'e')")
+    assert rows == [["1", "a,b"], ["2", "c;d"], ["3", "e"]]
+
+
+def test_tokenizer_backslash_escape():
+    rows = tokenize_insert_rows(r"(1,'it\'s','a\\b')")
+    assert rows == [["1", "it's", "a\\b"]]
+
+
+# --- DDL ---------------------------------------------------------------------
+
+def test_ddl_basic_pk_and_types():
+    ts = parse_create_table(USERS_DDL)
+    assert ts.name == "users"
+    assert ts.column_names == ["id", "name", "bal"]
+    assert ts.pk_cols == ["id"]
+    assert dict(ts.spark_types()) == {
+        "id": "int", "name": "string", "bal": "decimal(10,2)"}
+
+
+def test_ddl_composite_pk():
+    """Reference fails to match composite keys and falls back to column 0
+    (sync.py:89-104 [verified]); we support them."""
+    ts = parse_create_table(
+        "CREATE TABLE `t` (`a` int, `b` int, `v` text, PRIMARY KEY (`a`,`b`)) ENGINE=X;")
+    assert ts.pk_cols == ["a", "b"]
+
+
+def test_ddl_auto_increment_fallback():
+    ts = parse_create_table(
+        "CREATE TABLE `t` (`seq` bigint AUTO_INCREMENT, `v` text) ENGINE=X;")
+    assert ts.pk_cols == ["seq"]
+
+
+def test_ddl_no_pk_no_id_keys_first_column():
+    """Reference keys on values[0] in this case (sync.py:169-171); we make
+    the same choice explicit in the schema."""
+    ts = parse_create_table("CREATE TABLE `t` (`x` int, `y` int) ENGINE=X;")
+    assert ts.pk_cols == ["x"]
+
+
+# --- distributed ingest --------------------------------------------------------
+
+def test_read_sql_dump_typed(spark, tmp_path):
+    dump = USERS_DDL + textwrap.dedent("""\
+        INSERT INTO `users` (`id`,`name`,`bal`) VALUES (1,'alice',10.50),(2,'bob',NULL),(3,'o''brien',7);
+    """)
+    path = _write(tmp_path, "d.sql", dump)
+    tables = read_sql_dump(spark, path)
+    rows = {r.id: r for r in tables["users"].collect()}
+    assert rows[1].name == "alice" and float(rows[1].bal) == 10.50
+    assert rows[2].bal is None
+    assert rows[3].name == "o'brien"
+
+
+def test_read_sql_dump_raw_mode(spark, tmp_path):
+    """typed=False keeps raw literal strings (reference semantics: '1' and
+    '1.0' differ, SURVEY §1.2)."""
+    dump = (
+        "CREATE TABLE `t` (`id` int, `v` double, PRIMARY KEY (`id`)) ENGINE=X;\n"
+        "INSERT INTO `t` VALUES (1,1.0);\n"
+    )
+    path = _write(tmp_path, "raw.sql", dump)
+    tables = read_sql_dump(spark, path, typed=False)
+    r = tables["t"].collect()[0]
+    assert r.v == "1.0"  # not coerced
+
+
+def test_duplicate_pk_last_wins(spark, tmp_path):
+    """Reference dict overwrite (sync.py:67): later INSERT wins."""
+    dump = (
+        "CREATE TABLE `t` (`id` int, `v` varchar(10), PRIMARY KEY (`id`)) ENGINE=X;\n"
+        "INSERT INTO `t` VALUES (1,'old'),(1,'mid');\n"
+        "INSERT INTO `t` VALUES (1,'new');\n"
+    )
+    path = _write(tmp_path, "dup.sql", dump)
+    rows = read_sql_dump(spark, path)["t"].collect()
+    assert len(rows) == 1 and rows[0].v == "new"
+
+
+def test_sync_dumps_end_to_end(spark, tmp_path):
+    """Full pipeline parity with the reference's worked example
+    (compare_sql_files, sync.py:522-625): catalog diff + per-table CRUD."""
+    prod = USERS_DDL + (
+        "INSERT INTO `users` VALUES (1,'alice',10.50),(2,'bob (admin)',3.00),(4,'dora',1.00);\n"
+        "CREATE TABLE `only_prod` (`id` int, PRIMARY KEY (`id`)) ENGINE=X;\n"
+        "INSERT INTO `only_prod` VALUES (1);\n"
+    )
+    backup = USERS_DDL + (
+        "INSERT INTO `users` VALUES (1,'alice',10.50),(2,'bob (admin)',9.99),(3,'carl',5.00);\n"
+        "CREATE TABLE `only_backup` (`id` int, PRIMARY KEY (`id`)) ENGINE=X;\n"
+    )
+    p = _write(tmp_path, "prod.sql", prod)
+    b = _write(tmp_path, "backup.sql", backup)
+    changes, catalog, scripts = sync_dumps(spark, p, b)
+    assert catalog["create"] == ["only_prod"]
+    assert catalog["drop"] == ["only_backup"]
+    by_type = {
+        (r.id, r.change_type) for r in changes["users"].collect()
+    }
+    assert by_type == {(4, "INSERT"), (2, "UPDATE"), (3, "DELETE")}
+    script = [r.statement for r in scripts["users"].collect()]
+    assert script[0].startswith("DELETE FROM `users` WHERE `id` = 3")
+    assert "UPDATE `users` SET" in script[1] and "9.99" not in script[1]
+    assert script[2].startswith("INSERT INTO `users` VALUES (4")
+
+
+def test_dump_roundtrip_via_writer(spark, sf_dir, tmp_path):
+    """parquet -> SQL dump -> parsed back: values survive exactly."""
+    from database_syncer_spark.catalog import load_table
+    from database_syncer_spark.core.diff import snapshot_diff
+    from pyspark.sql import functions as F
+
+    orders = load_table(spark, sf_dir, "orders").where(F.col("o_orderkey") < 100)
+    path = str(tmp_path / "orders.sql")
+    write_sql_dump(orders, "orders", ["o_orderkey"], path, rows_per_insert=7)
+    back = read_sql_dump(spark, path)["orders"]
+    assert back.count() == orders.count()
+    # timestamps come back as timestamp (session UTC) vs ntz: align for diff
+    back = back.withColumn("o_orderdate", F.col("o_orderdate").cast("timestamp_ntz"))
+    assert snapshot_diff(orders, back, ["o_orderkey"]).count() == 0
+
+
+def test_get_dump_schemas(spark, tmp_path):
+    path = _write(tmp_path, "s.sql", USERS_DDL)
+    schemas = get_dump_schemas(spark, path)
+    assert schemas["users"].pk_cols == ["id"]
