@@ -1,0 +1,158 @@
+"""Streaming query keys (SURVEY.md §2 B9).
+
+The window/dedup shapes run here in BATCH mode — the unified API makes the
+same code a streaming job on a readStream source, and
+tests/test_streaming.py replays the events fixture file-by-file to prove
+batch/stream equivalence. stream_foreachbatch_merge and
+stream_stateful_custom run REAL streaming jobs (micro-batch replay) inside
+the query callable, then hand the materialized result to the driver.
+
+Window-start arithmetic in the oracles mirrors Spark's epoch-aligned
+window assignment: start = floor(epoch / slide) * slide.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from database_syncer_spark.catalog import load_table
+from database_syncer_spark.streaming.queries import (
+    session_window_agg,
+    sliding_agg,
+    stream_distinct,
+    tumbling_agg,
+    watermarked_tumbling,
+)
+
+
+def stream_tumbling_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tumbling_agg(load_table(spark, sf_dir, "events"))
+
+
+def stream_sliding_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sliding_agg(load_table(spark, sf_dir, "events"))
+
+
+def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return session_window_agg(load_table(spark, sf_dir, "events"))
+
+
+def stream_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return watermarked_tumbling(load_table(spark, sf_dir, "events"))
+
+
+def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return stream_distinct(load_table(spark, sf_dir, "events"))
+
+
+def stream_foreachbatch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental sync: CDC changes streamed in 5 micro-batches, each
+    MERGEd into the backup state. Final state must equal production — the
+    oracle is literally ``SELECT * FROM orders``."""
+    from database_syncer_spark.core.diff import snapshot_diff
+    from database_syncer_spark.core.snapshots import derive_backup
+    from database_syncer_spark.streaming.runner import incremental_sync_foreachbatch
+
+    prod = load_table(spark, sf_dir, "orders")
+    backup = derive_backup(prod, "o_orderkey", "o_totalprice")
+    changes = snapshot_diff(prod, backup, ["o_orderkey"])
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    workdir = tempfile.mkdtemp(prefix=f"dss_febm_{tag}_")
+    return incremental_sync_foreachbatch(
+        spark, changes, backup, ["o_orderkey"], n_chunks=5, workdir=workdir)
+
+
+def stream_stateful_custom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom per-user state machine (applyInPandasWithState) run as a real
+    micro-batch streaming job; final running totals per user."""
+    from database_syncer_spark.streaming.runner import (
+        run_stream_to_memory, stage_as_stream_source)
+    from database_syncer_spark.streaming.stateful import running_user_profile
+
+    events = load_table(spark, sf_dir, "events")
+    tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+    src = stage_as_stream_source(
+        events, os.path.join(tempfile.gettempdir(), f"dss_stateful_src_{tag}"), 5)
+    staged = spark.read.parquet(src)
+    sink = run_stream_to_memory(
+        spark, src, staged.schema, running_user_profile,
+        f"dss_stateful_{tag}", output_mode="update",
+    )
+    # update-mode sink holds one row per (user, batch); the final state is
+    # the row with the greatest running count.
+    w = W.partitionBy("user_id").orderBy(F.col("n_events").desc())
+    return (
+        sink.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .select("user_id", "n_events", "last_ts")
+    )
+
+
+def _bucket(col_sec: int, offset: str = "0") -> str:
+    return (
+        f"make_timestamp(CAST((floor(epoch(ts) / {col_sec}) - ({offset})) "
+        f"* {col_sec} * 1000000 AS BIGINT))"
+    )
+
+
+QUERIES = {
+    "stream_tumbling_agg": stream_tumbling_agg,
+    "stream_sliding_agg": stream_sliding_agg,
+    "stream_session_window": stream_session_window,
+    "stream_watermark_late": stream_watermark_late,
+    "stream_dedup": stream_dedup,
+    "stream_foreachbatch_merge": stream_foreachbatch_merge,
+    "stream_stateful_custom": stream_stateful_custom,
+}
+
+ORACLES = {
+    "stream_tumbling_agg": f"""
+SELECT {_bucket(600)} AS window_start,
+       {_bucket(600)} + INTERVAL 10 MINUTE AS window_end,
+       event_type, count(*) AS n,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM events GROUP BY 1, 2, 3
+""",
+    "stream_sliding_agg": f"""
+SELECT {_bucket(300, 'g.i')} AS window_start, event_type, count(*) AS n
+FROM events CROSS JOIN (SELECT 0 AS i UNION ALL SELECT 1) g
+GROUP BY 1, 2
+""",
+    "stream_session_window": """
+WITH seq AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR ts - lag(ts) OVER w >= INTERVAL 5 MINUTE
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), sess AS (
+  SELECT user_id, ts,
+         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                          ROWS UNBOUNDED PRECEDING) AS sid
+  FROM seq
+)
+SELECT min(ts) AS session_start,
+       max(ts) + INTERVAL 5 MINUTE AS session_end,
+       user_id, count(*) AS n_events
+FROM sess GROUP BY user_id, sid
+""",
+    "stream_watermark_late": f"""
+SELECT {_bucket(600)} AS window_start, event_type, count(*) AS n
+FROM events GROUP BY 1, 2
+""",
+    "stream_dedup": "SELECT DISTINCT user_id, event_type FROM events",
+    "stream_foreachbatch_merge": """
+SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate,
+       o_orderpriority
+FROM orders
+""",
+    "stream_stateful_custom": """
+SELECT user_id, count(*) AS n_events, max(ts) AS last_ts
+FROM events GROUP BY user_id
+""",
+}

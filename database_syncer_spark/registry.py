@@ -17,6 +17,7 @@ _MODULES = [
     "database_syncer_spark.queries.aggregates",
     "database_syncer_spark.queries.functions",
     "database_syncer_spark.queries.dump",
+    "database_syncer_spark.queries.streaming",
 ]
 
 

@@ -1,0 +1,122 @@
+"""Streaming execution helpers: file replay, memory-sink runs, and the
+foreachBatch incremental-sync loop (the reference's diff, incrementalized).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def stage_as_stream_source(df: DataFrame, path: str, n_files: int = 5) -> str:
+    """Write a DataFrame as N parquet files for file-by-file stream replay
+    (FIXTURES.md §B3). Arrival order across files is arbitrary."""
+    if os.path.exists(path):
+        shutil.rmtree(path)
+    df.repartition(n_files).write.parquet(path)
+    return path
+
+
+def stage_as_stream_source_ordered(df: DataFrame, path: str, n_files: int = 5,
+                                   order_col: str = "ts") -> str:
+    """Stage N files in EVENT-TIME order (file i holds the i-th time
+    quantile, written sequentially so the file source replays them in
+    arrival order). Required for watermark tests: with out-of-order
+    replay a watermark legitimately drops late rows."""
+    from pyspark.sql import Window as W
+
+    if os.path.exists(path):
+        shutil.rmtree(path)
+    chunked = df.withColumn(
+        "__chunk", F.ntile(n_files).over(W.orderBy(order_col)))
+    for i in range(1, n_files + 1):
+        (chunked.where(F.col("__chunk") == i).drop("__chunk")
+         .coalesce(1).write.mode("append").parquet(path))
+    return path
+
+
+def run_stream_to_memory(
+    spark: SparkSession,
+    source_path: str,
+    schema,
+    shape: Callable[[DataFrame], DataFrame],
+    query_name: str,
+    output_mode: str = "complete",
+    max_files_per_trigger: int = 1,
+) -> DataFrame:
+    """Replay a staged parquet dir through ``shape`` as a real streaming
+    query (memory sink), synchronously to completion; return the sink."""
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(source_path)
+    )
+    q = (
+        shape(stream)
+        .writeStream.outputMode(output_mode)
+        .format("memory")
+        .queryName(query_name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(query_name)
+
+
+def incremental_sync_foreachbatch(
+    spark: SparkSession,
+    changes: DataFrame,
+    initial_state: DataFrame,
+    pk_cols: list[str],
+    n_chunks: int = 5,
+    workdir: str | None = None,
+) -> DataFrame:
+    """Incrementalized snapshot sync: stream CDC changes in micro-batches,
+    each batch MERGEd into the running state via foreachBatch.
+
+    This is the reference's one-shot diff-apply (sync.py:304-437) turned
+    into a continuously-applying pipeline: at scale the 'state' is a
+    Delta/Iceberg table and apply_changes becomes MERGE INTO; here state
+    versions are parquet snapshots (no table format jars in the image).
+    Each change-PK appears exactly once, so the final state is independent
+    of how the stream is chunked.
+    """
+    from database_syncer_spark.core.diff import apply_changes
+
+    workdir = workdir or tempfile.mkdtemp(prefix="dss_sync_stream_")
+    src = stage_as_stream_source(changes, os.path.join(workdir, "changes"), n_chunks)
+
+    state_path = os.path.join(workdir, "state_v0")
+    initial_state.write.mode("overwrite").parquet(state_path)
+    version = {"n": 0, "path": state_path}
+
+    def merge_batch(batch: DataFrame, epoch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        cur = spark.read.parquet(version["path"])
+        new = apply_changes(cur, batch, pk_cols)
+        nxt = os.path.join(workdir, f"state_v{version['n'] + 1}")
+        new.write.mode("overwrite").parquet(nxt)
+        version["n"] += 1
+        version["path"] = nxt
+
+    q = (
+        spark.readStream.schema(changes.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .writeStream.foreachBatch(merge_batch)
+        .outputMode("update")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.read.parquet(version["path"])

@@ -1,0 +1,129 @@
+"""Batch ≡ stream equivalence (SURVEY.md §5.2 item 4).
+
+Each B9 shape runs twice: once as a plain batch DataFrame, once as a real
+Structured Streaming query over the same rows replayed file-by-file
+(maxFilesPerTrigger=1, complete mode). End-of-stream results must match.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from database_syncer_spark.catalog import load_table
+from database_syncer_spark.streaming.queries import (
+    session_window_agg, sliding_agg, stream_distinct, tumbling_agg,
+    watermarked_tumbling,
+)
+from database_syncer_spark.streaming.runner import (
+    run_stream_to_memory, stage_as_stream_source,
+)
+
+
+@pytest.fixture(scope="module")
+def staged_events(spark, sf_dir, tmp_path_factory):
+    events = load_table(spark, sf_dir, "events")
+    path = str(tmp_path_factory.mktemp("stream") / "events")
+    stage_as_stream_source(events, path, n_files=4)
+    df = spark.read.parquet(path)
+    return path, df
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+@pytest.mark.parametrize("shape,name", [
+    (tumbling_agg, "t_tumble"),
+    (sliding_agg, "t_slide"),
+    (session_window_agg, "t_session"),
+])
+def test_stream_equals_batch(shape, name, spark, staged_events):
+    path, df = staged_events
+    batch = shape(df)
+    streamed = run_stream_to_memory(spark, path, df.schema, shape, name,
+                                    output_mode="complete")
+    assert _rows(streamed) == _rows(batch)
+
+
+def test_watermark_append_mode_closes_windows(spark, sf_dir, tmp_path_factory):
+    """With a watermark and IN-ORDER replay, append mode emits exactly the
+    finalized windows, each with its complete batch-true count; windows
+    newer than (max event time - watermark) are withheld."""
+    from database_syncer_spark.streaming.runner import stage_as_stream_source_ordered
+
+    events = load_table(spark, sf_dir, "events")
+    path = str(tmp_path_factory.mktemp("stream_ord") / "events")
+    stage_as_stream_source_ordered(events, path, n_files=4)
+    df = spark.read.parquet(path)
+    batch = {tuple(r) for r in watermarked_tumbling(df).collect()}
+    streamed = run_stream_to_memory(
+        spark, path, df.schema, watermarked_tumbling, "t_wm",
+        output_mode="append")
+    emitted = {tuple(r) for r in streamed.collect()}
+    assert emitted  # something was finalized
+    assert emitted <= batch  # finalized counts are complete and batch-true
+
+
+def test_watermark_drops_late_rows_out_of_order(spark, staged_events):
+    """Counter-case: out-of-order replay + watermark loses late rows —
+    the emitted finalized windows undercount vs batch. This documents WHY
+    ordered replay matters (and that the watermark actually drops)."""
+    path, df = staged_events
+    batch = {tuple(r): r.n for r in watermarked_tumbling(df).collect()}
+    streamed = run_stream_to_memory(
+        spark, path, df.schema,
+        lambda d: watermarked_tumbling(d, "1 minute"), "t_wm_ooo",
+        output_mode="append")
+    under = 0
+    for r in streamed.collect():
+        key = (r.window_start, r.event_type, r.n)
+        if key not in batch:
+            under += 1
+    assert under > 0
+
+
+def test_stream_dedup_equals_batch(spark, staged_events):
+    path, df = staged_events
+    batch = _rows(stream_distinct(df))
+    streamed = run_stream_to_memory(
+        spark, path, df.schema,
+        lambda d: d.select("user_id", "event_type").dropDuplicates(),
+        "t_dedup", output_mode="append")
+    assert _rows(streamed) == batch
+
+
+def test_foreachbatch_merge_restores_prod(spark, sf_dir, tmp_path):
+    """The incrementalized sync converges to production regardless of how
+    the change stream is chunked (1 vs 5 micro-batches)."""
+    from database_syncer_spark.core.diff import snapshot_diff
+    from database_syncer_spark.core.snapshots import derive_backup
+    from database_syncer_spark.streaming.runner import incremental_sync_foreachbatch
+
+    prod = load_table(spark, sf_dir, "orders")
+    backup = derive_backup(prod, "o_orderkey", "o_totalprice")
+    changes = snapshot_diff(prod, backup, ["o_orderkey"])
+    for n_chunks in (1, 5):
+        final = incremental_sync_foreachbatch(
+            spark, changes, backup, ["o_orderkey"], n_chunks=n_chunks,
+            workdir=str(tmp_path / f"sync{n_chunks}"))
+        assert snapshot_diff(prod, final, ["o_orderkey"]).count() == 0
+
+
+def test_stateful_running_profile(spark, staged_events):
+    """applyInPandasWithState totals equal the batch groupBy at stream end."""
+    from database_syncer_spark.streaming.stateful import running_user_profile
+    from pyspark.sql import Window as W
+
+    path, df = staged_events
+    sink = run_stream_to_memory(
+        spark, path, df.schema, running_user_profile, "t_state",
+        output_mode="update")
+    w = W.partitionBy("user_id").orderBy(F.col("n_events").desc())
+    final = (sink.withColumn("rn", F.row_number().over(w))
+             .where("rn = 1").select("user_id", "n_events", "last_ts"))
+    batch = df.groupBy("user_id").agg(
+        F.count("*").alias("n_events"), F.max("ts").alias("last_ts"))
+    assert _rows(final) == _rows(batch)
