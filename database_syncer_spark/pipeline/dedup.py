@@ -1,0 +1,246 @@
+"""Deduplication operators (SURVEY.md §2 B11; north-star mandate).
+
+Five strategies, each a distributed query shape that survives 100 TB:
+
+- exact: hash-groupBy on a content digest — one shuffle of (digest, id).
+- MinHash+LSH: shingle -> K minhashes -> B banded bucket keys -> self-join
+  per bucket -> exact-Jaccard verify. The self-join touches only
+  same-bucket pairs (never the N² cross product); band count trades
+  recall vs candidate volume.
+- SimHash: 64-bit sign-of-weighted-sum fingerprint in 4×16-bit chunks;
+  pigeonhole on chunks (hamming ≤ 3 ⇒ ≥ 1 identical chunk) prunes
+  candidates, then exact hamming verify via xor+bit_count.
+- n-gram Jaccard: inverted-index join on shingles (|A∩B| by counting
+  shared shingles) — exact, no LSH approximation, heavier shuffle.
+- embedding cosine: near-dup by vector similarity within blocking keys.
+
+Everything is built-in expressions — xxhash64 / arrays / explode / joins —
+no Python in any row path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# --- exact -------------------------------------------------------------------
+
+def exact_dedup(documents: DataFrame) -> DataFrame:
+    """Group identical texts by digest; keep the lowest doc_id as canonical
+    (deterministic survivor rule)."""
+    return (
+        documents.select(F.sha2("text", 256).alias("digest"), "doc_id")
+        .groupBy("digest")
+        .agg(F.min("doc_id").alias("keep_id"), F.count("*").alias("n_copies"))
+    )
+
+
+# --- shingling ----------------------------------------------------------------
+
+def _shingles(col, k: int = 3) -> Column:
+    """Distinct word k-shingles as strings (built-in transform over token
+    positions; the reference's tokenizer-era equivalent would be a Python
+    loop — this stays in codegen)."""
+    return F.array_distinct(F.expr(
+        f"transform(sequence(1, greatest(size(split({col}, ' ')) - {k - 1}, 1)),"
+        f" i -> concat_ws(' ', slice(split({col}, ' '), CAST(i AS INT), {k})))"
+    ))
+
+
+def with_shingles(documents: DataFrame, k: int = 3) -> DataFrame:
+    return documents.select("doc_id", _shingles("text", k).alias("shingles"))
+
+
+# --- MinHash + LSH --------------------------------------------------------------
+
+N_HASHES = 16
+N_BANDS = 4  # 4 rows per band
+
+
+def minhash_signatures(shingled: DataFrame) -> DataFrame:
+    """K minhashes per doc: min over shingles of xxhash64(seed, shingle).
+
+    xxhash64 with a distinct literal first argument per hash function is K
+    independent hash families, all inside whole-stage codegen."""
+    sigs = [
+        F.array_min(
+            F.transform("shingles", lambda s, i=i: F.xxhash64(F.lit(i), s))
+        ).alias(f"mh_{i}")
+        for i in range(N_HASHES)
+    ]
+    return shingled.select("doc_id", "shingles", *sigs)
+
+
+def lsh_candidate_pairs(signed: DataFrame) -> DataFrame:
+    """Band the signature (B bands × R rows), bucket-join within bands.
+
+    Rows that agree on all R minhashes of any band collide; the join key
+    (band_id, band_hash) keeps the shuffle proportional to data, not N².
+    """
+    rows_per_band = N_HASHES // N_BANDS
+    bands = F.array(*[
+        F.struct(
+            F.lit(b).alias("band_id"),
+            F.xxhash64(*[F.col(f"mh_{b * rows_per_band + r}")
+                         for r in range(rows_per_band)]).alias("band_hash"),
+        )
+        for b in range(N_BANDS)
+    ])
+    exploded = (
+        signed.select("doc_id", F.explode(bands).alias("band"))
+        .select("doc_id", "band.band_id", "band.band_hash")
+    )
+    a = exploded.alias("a")
+    b = exploded.alias("b")
+    return (
+        a.join(b, ["band_id", "band_hash"])
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+def minhash_lsh_dedup(documents: DataFrame, threshold: float = 0.5,
+                      k: int = 3) -> DataFrame:
+    """Near-dup pairs: LSH candidates verified by exact Jaccard."""
+    shingled = with_shingles(documents, k)
+    candidates = lsh_candidate_pairs(minhash_signatures(shingled))
+    a = shingled.select(F.col("doc_id").alias("doc_a"),
+                        F.col("shingles").alias("sh_a"))
+    b = shingled.select(F.col("doc_id").alias("doc_b"),
+                        F.col("shingles").alias("sh_b"))
+    jac = (
+        F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+        / F.size(F.array_union("sh_a", "sh_b"))
+    )
+    return (
+        candidates.join(a, "doc_a").join(b, "doc_b")
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+# --- SimHash ---------------------------------------------------------------------
+
+def simhash_chunks(documents: DataFrame) -> DataFrame:
+    """64-bit SimHash as 4×16-bit chunk columns.
+
+    Explode tokens, hash each, then per doc sum the ±1 contribution of
+    every bit; bit = 1 iff the sum is positive. Chunks double as the
+    pigeonhole join keys for hamming-bounded candidate search."""
+    tok = (
+        documents.select(
+            "doc_id", F.explode(F.split("text", " ")).alias("token"))
+        .where(F.col("token") != "")
+        .select("doc_id", F.xxhash64("token").alias("h"))
+    )
+    chunk_cols = []
+    for c in range(4):
+        bits = []
+        for i in range(16):
+            bit = 16 * c + i
+            # shiftright+mask instead of a 1<<bit literal: bit 63 would
+            # overflow a signed long
+            contrib = F.when(
+                F.shiftright(F.col("h"), bit).bitwiseAND(F.lit(1)) == 1,
+                1).otherwise(-1)
+            bits.append(
+                F.when(F.sum(contrib) > 0, F.lit(1 << i)).otherwise(F.lit(0)))
+        chunk = bits[0]
+        for extra in bits[1:]:
+            chunk = chunk + extra
+        chunk_cols.append(chunk.alias(f"chunk_{c}"))
+    return tok.groupBy("doc_id").agg(*chunk_cols)
+
+
+def simhash_dedup(documents: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """Near-dup pairs with SimHash hamming distance <= max_hamming.
+
+    With 4 chunks and hamming <= 3, at least one chunk is identical
+    (pigeonhole), so candidates come from 4 equi-joins on chunk value —
+    never a cross product. Verify = xor + bit_count, exact."""
+    fps = simhash_chunks(documents)
+    pieces = []
+    for c in range(4):
+        a = fps.alias("a")
+        b = fps.alias("b")
+        pieces.append(
+            a.join(b, F.col(f"a.chunk_{c}") == F.col(f"b.chunk_{c}"))
+            .where(F.col("a.doc_id") < F.col("b.doc_id"))
+            .select(
+                F.col("a.doc_id").alias("doc_a"),
+                F.col("b.doc_id").alias("doc_b"),
+                *[F.col(f"a.chunk_{i}").alias(f"ac{i}") for i in range(4)],
+                *[F.col(f"b.chunk_{i}").alias(f"bc{i}") for i in range(4)],
+            )
+        )
+    cand = pieces[0]
+    for p in pieces[1:]:
+        cand = cand.unionByName(p)
+    cand = cand.distinct()
+    hamming = sum(
+        F.bit_count(F.col(f"ac{i}").bitwiseXOR(F.col(f"bc{i}")))
+        for i in range(4)
+    )
+    return (
+        cand.select("doc_a", "doc_b", hamming.alias("hamming"))
+        .where(F.col("hamming") <= max_hamming)
+    )
+
+
+# --- exact n-gram Jaccard (inverted index) ------------------------------------
+
+def ngram_jaccard_pairs(documents: DataFrame, threshold: float = 0.2,
+                        k: int = 3) -> DataFrame:
+    """EXACT Jaccard over word k-shingles via an inverted-index self-join:
+    |A∩B| = count of shared shingles; sizes come from the per-doc shingle
+    count, so no second pass over text. The shuffle is
+    sum(posting-list²) — bounded by shingle selectivity, not N²."""
+    sh = with_shingles(documents, k).select(
+        "doc_id", F.explode("shingles").alias("sh"),
+        F.size("shingles").alias("n_sh"),
+    )
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, "sh")
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"),
+            F.col("a.n_sh").alias("na"), F.col("b.n_sh").alias("nb"))
+        .agg(F.count("*").alias("c"))
+    )
+    jac = F.col("c").cast("double") / (F.col("na") + F.col("nb") - F.col("c"))
+    return (
+        inter.select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+# --- embedding cosine near-dup ---------------------------------------------------
+
+def embedding_near_dup(embeddings: DataFrame, threshold: float = 0.9,
+                       block_col: str = "label") -> DataFrame:
+    """Vector near-dup within blocking keys (label here; at 100 TB the
+    block is an LSH bucket or IVF cell — see similarity.py). Cosine in
+    exact double arithmetic, built-in zip_with/aggregate."""
+    def norm(col):
+        return F.sqrt(F.aggregate(
+            col, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")))
+
+    e = embeddings.select(
+        "vec_id", F.col(block_col).alias("block"), "embedding",
+        norm(F.col("embedding")).alias("nrm"))
+    a, b = e.alias("a"), e.alias("b")
+    dot = F.aggregate(
+        F.zip_with("a.embedding", "b.embedding",
+                   lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0), lambda acc, x: acc + x)
+    cos = dot / (F.col("a.nrm") * F.col("b.nrm"))
+    return (
+        a.join(b, "block")
+        .where(F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"),
+            F.round(cos, 6).alias("cosine"))
+        .where(F.col("cosine") >= threshold)
+    )

@@ -1,0 +1,84 @@
+"""Multimodal column plumbing (SURVEY.md §2 B11 multimodal_columns).
+
+Pattern for 100-TB multimodal corpora: media payloads are opaque
+``binary`` columns with typed metadata columns beside them; decode /
+feature-extraction runs as Arrow-batched ``mapInPandas`` so each Python
+worker sees a columnar batch of payloads (never one row at a time), and
+partitioning/pruning stay fully Spark-native because the payload is just
+another column.
+
+The container has no image/audio codecs, so the real decoder is a
+clearly-marked stub (NotImplementedError) and the default pipeline uses a
+deterministic byte-level feature extractor — the Spark-side plumbing
+(schema, batching, UDF signature) is identical to what a real decoder
+would use.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+DECODED_SCHEMA = "doc_id bigint, n_bytes int, payload_md5 string, header_hex string"
+
+
+def attach_binary_payload(documents: DataFrame) -> DataFrame:
+    """Materialize an opaque binary column (utf-8 bytes of text here; an
+    image/audio blob in production — the engine treats both identically)."""
+    return documents.withColumn("payload", F.encode("text", "utf-8"))
+
+
+def decode_media(payload: bytes) -> dict:
+    """REAL media decode (image/audio/video) — not available in this
+    container (no codec libraries baked in). The distributed plumbing in
+    extract_features works unchanged once this is implemented."""
+    raise NotImplementedError(
+        "media codecs not available in this environment; "
+        "use extract_features (deterministic byte-level fake decode)")
+
+
+def extract_features(with_payload: DataFrame) -> DataFrame:
+    """mapInPandas feature extraction over binary payloads.
+
+    Batch shape: the worker receives pandas DataFrames of (doc_id,
+    payload) — one Arrow batch per ~10k rows — and emits fixed-schema
+    features. Swap the body for decode_media + numpy once codecs exist.
+    """
+    def extract(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            payloads = pdf["payload"]
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "n_bytes": payloads.map(len).astype("int32"),
+                "payload_md5": payloads.map(
+                    lambda b: hashlib.md5(bytes(b)).hexdigest()),
+                "header_hex": payloads.map(lambda b: bytes(b)[:4].hex()),
+            })
+
+    return (
+        with_payload.select("doc_id", "payload")
+        .mapInPandas(extract, DECODED_SCHEMA)
+    )
+
+
+def multimodal_join(documents: DataFrame, embeddings: DataFrame) -> DataFrame:
+    """Mixed text + vector + scalar table: documents ⋈ embeddings with
+    array math on the vector column (all built-in exprs)."""
+    emb = F.col("embedding")
+    l2sq = F.aggregate(
+        emb, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double"))
+    return (
+        documents.join(
+            embeddings, documents.doc_id == embeddings.vec_id, "inner")
+        .select(
+            "doc_id", "lang", "label",
+            F.length("text").alias("text_len"),
+            F.size(emb).alias("dim"),
+            F.round(F.sqrt(l2sq), 6).alias("l2_norm"),
+        )
+    )

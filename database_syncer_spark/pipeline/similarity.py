@@ -1,0 +1,121 @@
+"""Similarity search over embedding columns (SURVEY.md §2 B11
+sim_topk_cosine / sim_lsh_ann; PAPERS.md top-k similarity corpus).
+
+Two paths:
+
+- brute_force_topk: exact cosine top-k. The query set broadcasts; the
+  corpus streams through one codegen'd pass (zip_with dot product) and a
+  per-query top-k window. Correct at any scale but O(Q×N) — the baseline
+  and the verifier for the approximate path.
+- lsh_ann_topk: random-hyperplane LSH. Deterministic hyperplanes (hash-
+  seeded, no RNG), bucket ids for corpus and queries, candidates = same
+  bucket in ANY of T tables, exact re-rank of candidates only. At 100 TB
+  the bucket id is also the partitioning key, so a query touches one
+  partition per table instead of the full corpus.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import struct
+
+from pyspark.sql import DataFrame, Window as W
+from pyspark.sql import functions as F
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0), lambda acc, x: acc + x)
+
+
+def _norm(col):
+    return F.sqrt(F.aggregate(
+        col, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")))
+
+
+def brute_force_topk(embeddings: DataFrame, n_queries: int = 10,
+                     k: int = 10) -> DataFrame:
+    """Exact top-k cosine neighbors for the first ``n_queries`` vectors.
+
+    Rank on round(cosine, 6) with vec_id tie-break so ordering is stable
+    across engines and shuffle orders."""
+    e = embeddings.select("vec_id", "embedding", _norm(F.col("embedding")).alias("nrm"))
+    q = (e.where(F.col("vec_id") < n_queries)
+         .select(F.col("vec_id").alias("query_id"),
+                 F.col("embedding").alias("q_emb"),
+                 F.col("nrm").alias("q_nrm")))
+    pairs = F.broadcast(q).crossJoin(e).where(F.col("vec_id") != F.col("query_id"))
+    cos = F.round(_dot("q_emb", "embedding") / (F.col("q_nrm") * F.col("nrm")), 6)
+    w = W.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        pairs.select("query_id", F.col("vec_id").alias("neighbor_id"),
+                     cos.alias("cosine"))
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )
+
+
+def _hyperplanes(n_planes: int, dim: int, table: int) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes from md5 — no RNG state,
+    same planes on every executor and every run."""
+    planes = []
+    for p in range(n_planes):
+        row = []
+        for d in range(dim):
+            h = hashlib.md5(f"dss-lsh:{table}:{p}:{d}".encode()).digest()
+            (u,) = struct.unpack("<Q", h[:8])
+            row.append((u / 2**63) - 1.0)  # uniform [-1, 1)
+        planes.append(row)
+    return planes
+
+
+def _bucket_expr(planes: list[list[float]]):
+    """Bucket id = sign bits of the plane projections."""
+    bucket = F.lit(0)
+    for p, row in enumerate(planes):
+        plane = F.array(*[F.lit(v) for v in row])
+        proj = _dot(F.col("embedding"), plane)
+        bucket = bucket + F.when(proj > 0, F.lit(1 << p)).otherwise(F.lit(0))
+    return bucket
+
+
+def lsh_ann_topk(embeddings: DataFrame, n_queries: int = 10, k: int = 10,
+                 n_planes: int = 4, n_tables: int = 2,
+                 dim: int = 64) -> DataFrame:
+    """Approximate top-k: union of per-table bucket matches, exact re-rank.
+
+    Returns the same schema as brute_force_topk (rank within retrieved
+    candidates); tests measure recall against the exact path."""
+    e = embeddings.select("vec_id", "embedding",
+                          _norm(F.col("embedding")).alias("nrm"))
+    per_table = []
+    for t in range(n_tables):
+        bucket = _bucket_expr(_hyperplanes(n_planes, dim, t))
+        per_table.append(
+            e.select("vec_id", "embedding", "nrm",
+                     F.lit(t).alias("tbl"), bucket.alias("bucket")))
+    bucketed = per_table[0]
+    for p in per_table[1:]:
+        bucketed = bucketed.unionByName(p)
+
+    q = (bucketed.where(F.col("vec_id") < n_queries)
+         .select(F.col("vec_id").alias("query_id"),
+                 F.col("embedding").alias("q_emb"), F.col("nrm").alias("q_nrm"),
+                 "tbl", "bucket"))
+    cand = (
+        q.join(bucketed, ["tbl", "bucket"])
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "q_emb", "q_nrm", "vec_id", "embedding", "nrm")
+        .dropDuplicates(["query_id", "vec_id"])
+    )
+    cos = F.round(_dot("q_emb", "embedding") / (F.col("q_nrm") * F.col("nrm")), 6)
+    w = W.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        cand.select("query_id", F.col("vec_id").alias("neighbor_id"),
+                    cos.alias("cosine"))
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )

@@ -1,0 +1,145 @@
+"""Text-analysis operators over the documents table (SURVEY.md §2 B11).
+
+All hot-path logic is built-in expressions (split/explode/regexp/aggregate
+— JVM codegen); Python appears only in the language-ID profile *training*
+(driver-side, tiny) — classification itself is a broadcast join + array
+intersection.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+STOPWORDS = ("the", "a", "of", "and", "to", "in")
+
+#: BPE-ish token pattern: letter runs, digit runs, single non-alnum marks.
+TOKEN_PATTERN = "[a-z]+|[A-Z]+|[0-9]+|[^a-zA-Z0-9 ]"
+
+
+def tokens(col) -> F.Column:
+    return F.split(col, " ")
+
+
+def tokens_tf(documents: DataFrame) -> DataFrame:
+    """Corpus term frequencies: tokenize -> explode -> count."""
+    return (
+        documents.select(F.explode(tokens(F.col("text"))).alias("token"))
+        .where(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count("*").alias("tf"))
+    )
+
+
+def lang_stats(documents: DataFrame) -> DataFrame:
+    return documents.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.avg("n_chars").alias("avg_chars"),
+        F.sum("n_chars").alias("total_chars"),
+    )
+
+
+def quality_score(documents: DataFrame) -> DataFrame:
+    """Heuristic quality features + score (length / stopword / punct
+    ratios — the standard pre-training corpus filters)."""
+    toks = tokens(F.col("text"))
+    n_tokens = F.size(toks)
+    stop_hits = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS)))
+    n_alnum_sp = F.length(F.regexp_replace("text", "[^a-z0-9 ]", ""))
+    punct_count = F.length("text") - n_alnum_sp
+    avg_tok_len = (
+        F.length(F.regexp_replace("text", " ", "")).cast("double") / n_tokens
+    )
+    stop_ratio = stop_hits.cast("double") / n_tokens
+    score = F.round(
+        F.least(F.lit(1.0), n_tokens.cast("double") / 100.0)
+        * (1.0 - stop_ratio), 6)
+    return documents.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        F.round(avg_tok_len, 6).alias("avg_token_len"),
+        F.round(stop_ratio, 6).alias("stopword_ratio"),
+        punct_count.alias("punct_count"),
+        score.alias("quality_score"),
+    )
+
+
+def token_count_bpe(documents: DataFrame) -> DataFrame:
+    """Regex token counting (BPE-ish segmentation), whitespace count, and
+    chars-per-token — the budget metric of every training pipeline."""
+    n_re = F.size(F.regexp_extract_all("text", F.lit(TOKEN_PATTERN), 0))
+    n_ws = F.size(tokens(F.col("text")))
+    return documents.select(
+        "doc_id",
+        n_re.alias("n_bpe_tokens"),
+        n_ws.alias("n_ws_tokens"),
+        F.round(F.length("text").cast("double") / n_re, 6).alias("chars_per_token"),
+    )
+
+
+def fingerprint(documents: DataFrame) -> DataFrame:
+    """Order-insensitive document fingerprint: md5 of the sorted distinct
+    token set — near-free dedup key for bag-of-words-identical docs."""
+    fp = F.md5(
+        F.concat_ws(" ", F.array_sort(F.array_distinct(tokens(F.col("text")))))
+    )
+    return documents.select("doc_id", fp.alias("fingerprint"))
+
+
+# --- language ID -------------------------------------------------------------
+
+#: distinct character bigrams of the first 200 chars (cheap, codegen'd)
+_BIGRAMS_EXPR = (
+    "array_distinct(transform("
+    "sequence(1, greatest(length(substring(text,1,200))-1, 1)),"
+    " i -> substring(substring(text,1,200), CAST(i AS INT), 2)))"
+)
+
+
+def train_lang_profiles(documents: DataFrame, top_n: int = 40) -> DataFrame:
+    """Per-language top-N character bigrams by document frequency.
+
+    Profiles are tiny (n_langs x top_n) — they broadcast to classification.
+    """
+    from pyspark.sql import Window as W
+
+    bigrams = documents.select(
+        "lang", F.explode(F.expr(_BIGRAMS_EXPR)).alias("bg"),
+    ).groupBy("lang", "bg").agg(F.count("*").alias("df"))
+    w = W.partitionBy("lang").orderBy(F.col("df").desc(), F.col("bg"))
+    return (
+        bigrams.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= top_n)
+        .groupBy("lang")
+        .agg(F.array_sort(F.collect_set("bg")).alias("profile"))
+    )
+
+
+def classify_lang(documents: DataFrame, profiles: DataFrame) -> DataFrame:
+    """Score = |doc bigrams ∩ lang profile|; argmax lang (ties -> lang asc).
+
+    Broadcast the profiles; one pass over documents, no shuffle of the
+    corpus itself."""
+    from pyspark.sql import Window as W
+
+    doc_bg = documents.select(
+        "doc_id", "lang", F.expr(_BIGRAMS_EXPR).alias("bg"),
+    )
+    scored = doc_bg.crossJoin(
+        F.broadcast(profiles.select(F.col("lang").alias("cand_lang"), "profile"))
+    ).select(
+        "doc_id", "lang", "cand_lang",
+        F.size(F.array_intersect("bg", "profile")).alias("overlap"),
+    )
+    w = W.partitionBy("doc_id").orderBy(
+        F.col("overlap").desc(), F.col("cand_lang").asc())
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+        .select("doc_id", F.col("lang").alias("true_lang"),
+                F.col("cand_lang").alias("pred_lang"), "overlap")
+    )
+
+
+def langid(spark: SparkSession, documents: DataFrame) -> DataFrame:
+    return classify_lang(documents, train_lang_profiles(documents))

@@ -1,0 +1,311 @@
+"""LLM-pipeline + UDF/UDTF query keys (SURVEY.md §2 B10, B11).
+
+Keys without oracles (minhash/simhash/LSH-ANN/langid) are engine-specific
+by nature (xxhash64 families, hyperplane buckets); their semantics are
+pinned by tests/test_pipeline.py against brute-force references instead.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from database_syncer_spark.catalog import load_table
+from database_syncer_spark.pipeline import dedup as D
+from database_syncer_spark.pipeline import multimodal as M
+from database_syncer_spark.pipeline import similarity as S
+from database_syncer_spark.pipeline import text as T
+
+_STOP_SQL = "['" + "','".join(T.STOPWORDS) + "']"
+_SHINGLE_SQL = (
+    "list_distinct(list_transform("
+    "generate_series(1, greatest(len(string_split(text,' '))-2, 1)),"
+    " i -> array_to_string(string_split(text,' ')[i:i+2], ' ')))"
+)
+
+
+# --- dedup -------------------------------------------------------------------
+
+def dedup_exact(spark, sf_dir):
+    return D.exact_dedup(load_table(spark, sf_dir, "documents"))
+
+
+def dedup_minhash_lsh(spark, sf_dir):
+    return D.minhash_lsh_dedup(load_table(spark, sf_dir, "documents"))
+
+
+def dedup_simhash(spark, sf_dir):
+    return D.simhash_dedup(load_table(spark, sf_dir, "documents"))
+
+
+def dedup_ngram_jaccard(spark, sf_dir):
+    return D.ngram_jaccard_pairs(load_table(spark, sf_dir, "documents"))
+
+
+def dedup_embedding_cosine(spark, sf_dir):
+    return D.embedding_near_dup(
+        load_table(spark, sf_dir, "embeddings"), threshold=0.5)
+
+
+# --- similarity ----------------------------------------------------------------
+
+def sim_topk_cosine(spark, sf_dir):
+    return S.brute_force_topk(load_table(spark, sf_dir, "embeddings"))
+
+
+def sim_lsh_ann(spark, sf_dir):
+    return S.lsh_ann_topk(load_table(spark, sf_dir, "embeddings"))
+
+
+# --- text analysis ---------------------------------------------------------------
+
+def text_tokens_tf(spark, sf_dir):
+    return T.tokens_tf(load_table(spark, sf_dir, "documents"))
+
+
+def text_lang_stats(spark, sf_dir):
+    return T.lang_stats(load_table(spark, sf_dir, "documents"))
+
+
+def text_quality_score(spark, sf_dir):
+    return T.quality_score(load_table(spark, sf_dir, "documents"))
+
+
+def text_token_count(spark, sf_dir):
+    return T.token_count_bpe(load_table(spark, sf_dir, "documents"))
+
+
+def text_fingerprint(spark, sf_dir):
+    return T.fingerprint(load_table(spark, sf_dir, "documents"))
+
+
+def text_langid(spark, sf_dir):
+    return T.langid(spark, load_table(spark, sf_dir, "documents"))
+
+
+# --- multimodal ------------------------------------------------------------------
+
+def multimodal_columns(spark, sf_dir):
+    return M.multimodal_join(
+        load_table(spark, sf_dir, "documents"),
+        load_table(spark, sf_dir, "embeddings"))
+
+
+def multimodal_decode(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return M.extract_features(M.attach_binary_payload(docs))
+
+
+# --- UDF / UDAF / UDTF (B10) ------------------------------------------------------
+
+def udf_tokenizer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-vectorized pandas UDF tokenizer (the dump tokenizer's B10
+    generalization, cf. sources/dump.py which uses mapInPandas)."""
+    @F.pandas_udf("int")
+    def n_tokens(s: pd.Series) -> pd.Series:
+        return s.str.split(" ").str.len().astype("int32")
+
+    @F.pandas_udf("string")
+    def first_token(s: pd.Series) -> pd.Series:
+        return s.str.split(" ").str[0]
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        n_tokens("text").alias("n_tokens"),
+        first_token("text").alias("first_token"),
+    )
+
+
+def udaf_pandas_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom grouped aggregation via applyInPandas (per-group pandas
+    frame in, one summary row out)."""
+    def summarize(pdf: pd.DataFrame) -> pd.DataFrame:
+        n = len(pdf)
+        return pd.DataFrame({
+            "lang": [pdf["lang"].iloc[0]],
+            "n_docs": [n],
+            "avg_chars": [float(int(pdf["n_chars"].sum()) / n)],
+            "max_chars": [int(pdf["n_chars"].max())],
+        })
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.groupBy("lang").applyInPandas(
+        summarize, "lang string, n_docs bigint, avg_chars double, max_chars bigint")
+
+
+class _TokenSplit:
+    """Python UDTF: one document row -> one row per token (B10
+    udtf_statement_split — same shape as exploding dump statements)."""
+
+    def eval(self, doc_id: int, text: str):
+        for i, tok in enumerate(text.split(" ")):
+            if tok:
+                yield doc_id, i, tok
+
+
+def udtf_statement_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("v_docs_udtf")
+    spark.udtf.register(
+        "dss_token_split",
+        F.udtf(_TokenSplit, returnType="doc_id bigint, pos int, token string"))
+    return spark.sql("""
+        SELECT s.doc_id, s.pos, s.token
+        FROM v_docs_udtf, LATERAL dss_token_split(doc_id, text) s
+    """)
+
+
+QUERIES = {
+    "dedup_exact": dedup_exact,
+    "dedup_minhash_lsh": dedup_minhash_lsh,      # rows-only (xxhash64 LSH family)
+    "dedup_simhash": dedup_simhash,              # rows-only (xxhash64 fingerprint)
+    "dedup_ngram_jaccard": dedup_ngram_jaccard,
+    "dedup_embedding_cosine": dedup_embedding_cosine,
+    "sim_topk_cosine": sim_topk_cosine,
+    "sim_lsh_ann": sim_lsh_ann,                  # rows-only (hyperplane buckets)
+    "text_tokens_tf": text_tokens_tf,
+    "text_lang_stats": text_lang_stats,
+    "text_quality_score": text_quality_score,
+    "text_token_count": text_token_count,
+    "text_fingerprint": text_fingerprint,
+    "text_langid": text_langid,                  # rows-only (learned profiles)
+    "multimodal_columns": multimodal_columns,
+    "multimodal_decode": multimodal_decode,
+    "udf_tokenizer": udf_tokenizer,
+    "udaf_pandas_grouped": udaf_pandas_grouped,
+    "udtf_statement_split": udtf_statement_split,
+}
+
+ORACLES = {
+    "dedup_exact": """
+SELECT sha256(text) AS digest, min(doc_id) AS keep_id, count(*) AS n_copies
+FROM documents GROUP BY sha256(text)
+""",
+    "dedup_ngram_jaccard": f"""
+WITH t AS (SELECT doc_id, {_SHINGLE_SQL} AS shingles FROM documents),
+sh AS (SELECT doc_id, len(shingles) AS n_sh, unnest(shingles) AS sh FROM t),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.n_sh AS na, b.n_sh AS nb,
+         count(*) AS c
+  FROM sh a JOIN sh b USING (sh)
+  WHERE a.doc_id < b.doc_id
+  GROUP BY 1, 2, 3, 4
+)
+SELECT doc_a, doc_b, round(CAST(c AS DOUBLE) / (na + nb - c), 6) AS jaccard
+FROM inter WHERE round(CAST(c AS DOUBLE) / (na + nb - c), 6) >= 0.2
+""",
+    "dedup_embedding_cosine": """
+WITH e AS (
+  SELECT vec_id, label AS block, embedding,
+         sqrt(list_aggregate(list_transform(embedding,
+              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')) AS nrm
+  FROM embeddings
+)
+SELECT * FROM (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         round(list_aggregate(list_transform(generate_series(1, len(a.embedding)),
+               i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)),
+               'sum') / (a.nrm * b.nrm), 6) AS cosine
+  FROM e a JOIN e b ON a.block = b.block AND a.vec_id < b.vec_id
+) WHERE cosine >= 0.5
+""",
+    "sim_topk_cosine": """
+WITH e AS (
+  SELECT vec_id, embedding,
+         sqrt(list_aggregate(list_transform(embedding,
+              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')) AS nrm
+  FROM embeddings
+), q AS (
+  SELECT vec_id AS query_id, embedding AS q_emb, nrm AS q_nrm
+  FROM e WHERE vec_id < 10
+), p AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+         round(list_aggregate(list_transform(generate_series(1, len(e.embedding)),
+               i -> CAST(q.q_emb[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)),
+               'sum') / (q.q_nrm * e.nrm), 6) AS cosine
+  FROM q CROSS JOIN e WHERE e.vec_id <> q.query_id
+)
+SELECT query_id, neighbor_id, cosine, CAST(rank AS INT) AS rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM p
+) WHERE rank <= 10
+""",
+    "text_tokens_tf": """
+SELECT token, count(*) AS tf FROM (
+  SELECT unnest(string_split(text, ' ')) AS token FROM documents
+) WHERE token <> '' GROUP BY token
+""",
+    "text_lang_stats": """
+SELECT lang, count(*) AS n_docs, avg(n_chars) AS avg_chars,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars
+FROM documents GROUP BY lang
+""",
+    "text_quality_score": f"""
+WITH t AS (
+  SELECT doc_id,
+         CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+         CAST(len(list_filter(string_split(text, ' '),
+              t -> list_contains({_STOP_SQL}, t))) AS DOUBLE) AS stop_hits,
+         CAST(length(replace(text, ' ', '')) AS DOUBLE) AS n_nonspace,
+         CAST(length(text) - length(regexp_replace(text, '[^a-z0-9 ]', '', 'g')) AS INT)
+           AS punct_count
+  FROM documents
+)
+SELECT doc_id, n_tokens,
+       round(n_nonspace / n_tokens, 6) AS avg_token_len,
+       round(stop_hits / n_tokens, 6) AS stopword_ratio,
+       punct_count,
+       round(least(1.0, CAST(n_tokens AS DOUBLE) / 100.0)
+             * (1.0 - stop_hits / n_tokens), 6) AS quality_score
+FROM t
+""",
+    "text_token_count": f"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '{T.TOKEN_PATTERN}')) AS INT) AS n_bpe_tokens,
+       CAST(len(string_split(text, ' ')) AS INT) AS n_ws_tokens,
+       round(CAST(length(text) AS DOUBLE)
+             / len(regexp_extract_all(text, '{T.TOKEN_PATTERN}')), 6) AS chars_per_token
+FROM documents
+""",
+    "text_fingerprint": """
+SELECT doc_id,
+       md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' '))
+         AS fingerprint
+FROM documents
+""",
+    "multimodal_columns": """
+SELECT d.doc_id, d.lang, e.label,
+       CAST(length(d.text) AS INT) AS text_len,
+       CAST(len(e.embedding) AS INT) AS dim,
+       round(sqrt(list_aggregate(list_transform(e.embedding,
+             x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')), 6) AS l2_norm
+FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+""",
+    "multimodal_decode": """
+SELECT doc_id,
+       CAST(strlen(text) AS INT) AS n_bytes,
+       md5(text) AS payload_md5,
+       lower(hex(substr(text, 1, 4))) AS header_hex
+FROM documents
+""",
+    "udf_tokenizer": """
+SELECT doc_id, CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+       string_split(text, ' ')[1] AS first_token
+FROM documents
+""",
+    "udaf_pandas_grouped": """
+SELECT lang, count(*) AS n_docs,
+       CAST(sum(n_chars) AS DOUBLE) / count(*) AS avg_chars,
+       CAST(max(n_chars) AS BIGINT) AS max_chars
+FROM documents GROUP BY lang
+""",
+    "udtf_statement_split": """
+SELECT doc_id, CAST(g - 1 AS INT) AS pos, parts[g] AS token
+FROM (SELECT doc_id, string_split(text, ' ') AS parts FROM documents) t,
+     LATERAL (SELECT unnest(generate_series(1, len(t.parts))) AS g) u
+WHERE parts[g] <> ''
+""",
+}

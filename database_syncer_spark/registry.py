@@ -18,6 +18,7 @@ _MODULES = [
     "database_syncer_spark.queries.functions",
     "database_syncer_spark.queries.dump",
     "database_syncer_spark.queries.streaming",
+    "database_syncer_spark.queries.pipeline",
 ]
 
 
