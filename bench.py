@@ -1,0 +1,83 @@
+#!/usr/bin/env python
+"""Per-round benchmark: headline queries at $SPARK_GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": total_sec, "unit": "sec",
+   "queries": {key: sec, ...}, "sf": 0.1}
+
+Each query is materialized through the built-in `noop` sink so the full
+plan executes on the executors (scan -> shuffle -> agg) without paying
+driver-side collect/serialization — the same discipline a cluster bench
+would use.  Timings are wall-clock per key, single run (the driver runs
+this per round; trend tracking happens across rounds, not within one).
+
+Headline set: one key per engine area from SURVEY.md §2 — CDC diff
+(the reference's soul), star join, TPC-H-Q1-shape agg, window, set op,
+dump ingest, streaming batch-shape, and the LLM-pipeline operators
+(exact + MinHash dedup, top-k cosine, text stats).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    "diff_cdc_fullouter",     # snapshot diff: full-outer join + classify
+    "join_multiway_star",     # lineitem ⋈ orders ⋈ customer ⋈ nation ⋈ region
+    "agg_multi_measures",     # TPC-H Q1 shape on lineitem
+    "agg_approx_distinct",    # HLL sketch
+    "win_rank_topn_per_group",
+    "set_except",
+    "scan_sql_dump",          # distributed dump ingest (text -> typed rows)
+    "stream_tumbling_agg",    # windowed agg, batch shape
+    "dedup_exact",
+    "dedup_minhash_lsh",      # shingle -> minhash -> band -> bucket join
+    "sim_topk_cosine",        # brute-force ANN baseline
+    "text_quality_score",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    try:
+        sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf"))
+    except ValueError:
+        sf = None
+
+    from database_syncer_spark.session import get_spark
+    from database_syncer_spark.registry import all_queries
+
+    spark = get_spark("bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    queries = all_queries()
+
+    # Warm the JVM + parquet footer caches on the smallest table so the
+    # first timed key doesn't absorb one-time session costs.
+    spark.read.parquet(os.path.join(sf_dir, "region.parquet")).count()
+
+    timings: dict[str, float] = {}
+    for key in HEADLINE:
+        fn = queries.get(key)
+        if fn is None:
+            continue
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[key] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(json.dumps({
+        "metric": "headline_queries_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }))
+
+
+if __name__ == "__main__":
+    main()
