@@ -53,6 +53,29 @@ def sink_sync_script(spark: SparkSession, sf_dir: str) -> DataFrame:
     return generate_sync_script(changes, "orders", ["o_orderkey"])
 
 
+def sink_cdc_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Changes DataFrame persisted as a CDC table (SURVEY §2 B1
+    sink_cdc_table): parquet partitioned by change_type — the layout a
+    downstream MERGE consumer partition-prunes on (e.g. apply DELETEs
+    first, ref ordering sync.py:318-395). Returns the read-back table so
+    the oracle verifies the full write+read round trip."""
+    import os
+    import tempfile
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    path = os.path.join(tempfile.gettempdir(), f"dss_cdc_{tag}_orders")
+    changes = diff_cdc_fullouter(spark, sf_dir)
+    changes.write.mode("overwrite").partitionBy("change_type").parquet(path)
+    back = spark.read.parquet(path)
+    # Partition values come back as a partition column; restore the
+    # original column set/order and timestamp type for oracle parity.
+    return back.select(
+        "o_orderkey", "change_type",
+        *[F.col(c).cast("timestamp_ntz") if c == "o_orderdate" else F.col(c)
+          for c in _NON_PK],
+    )
+
+
 def _backup_cte() -> str:
     return derive_backup_sql("orders", "o_orderkey", "o_totalprice", ORDERS_COLS)
 
@@ -84,12 +107,18 @@ QUERIES = {
     "diff_stats_by_type": diff_stats_by_type,
     "win_row_number_dedup": win_row_number_dedup,
     "sink_sync_script": sink_sync_script,  # rows-only (SQL text output)
+    "sink_cdc_table": sink_cdc_table,
 }
 
 ORACLES = {
     "diff_cdc_fullouter": _diff_sql(),
     "diff_stats_by_type": (
         f"SELECT change_type, count(*) AS n FROM ({_diff_sql()}) GROUP BY change_type"
+    ),
+    "sink_cdc_table": (
+        "SELECT o_orderkey, change_type, "
+        + ", ".join(_NON_PK)
+        + f" FROM ({_diff_sql()})"
     ),
     "win_row_number_dedup": """
 SELECT user_id, event_id, ts, event_type FROM (
