@@ -37,18 +37,18 @@ def exact_dedup(documents: DataFrame) -> DataFrame:
 
 # --- shingling ----------------------------------------------------------------
 
-def _shingles(col, k: int = 3) -> Column:
-    """Distinct word k-shingles as strings (built-in transform over token
-    positions; the reference's tokenizer-era equivalent would be a Python
-    loop — this stays in codegen)."""
-    return F.array_distinct(F.expr(
-        f"transform(sequence(1, greatest(size(split({col}, ' ')) - {k - 1}, 1)),"
-        f" i -> concat_ws(' ', slice(split({col}, ' '), CAST(i AS INT), {k})))"
-    ))
-
-
 def with_shingles(documents: DataFrame, k: int = 3) -> DataFrame:
-    return documents.select("doc_id", _shingles("text", k).alias("shingles"))
+    """Distinct word k-shingles as strings — all in codegen, no Python.
+
+    The token split is materialized as its own projection so the shingle
+    transform slices a ready array; inlining ``split`` into the lambda
+    would re-split the text once per shingle position (O(len²) per doc)."""
+    toks = documents.select("doc_id", F.split("text", " ").alias("__toks"))
+    shingles = F.array_distinct(F.expr(
+        f"transform(sequence(1, greatest(size(__toks) - {k - 1}, 1)),"
+        f" i -> concat_ws(' ', slice(__toks, CAST(i AS INT), {k})))"
+    ))
+    return toks.select("doc_id", shingles.alias("shingles"))
 
 
 # --- MinHash + LSH --------------------------------------------------------------
@@ -58,17 +58,22 @@ N_BANDS = 4  # 4 rows per band
 
 
 def minhash_signatures(shingled: DataFrame) -> DataFrame:
-    """K minhashes per doc: min over shingles of xxhash64(seed, shingle).
+    """K minhashes per doc: min over shingles of hash-family-i(shingle).
 
-    xxhash64 with a distinct literal first argument per hash function is K
-    independent hash families, all inside whole-stage codegen."""
+    Each shingle STRING is hashed once (the expensive variable-width
+    hash); the K families then re-hash that fixed-width bigint with a
+    distinct literal seed — K independent families at 1/K of the string
+    hashing, all inside whole-stage codegen."""
+    hashed = shingled.select(
+        "doc_id", "shingles",
+        F.transform("shingles", lambda s: F.xxhash64(s)).alias("sh_hash"))
     sigs = [
         F.array_min(
-            F.transform("shingles", lambda s, i=i: F.xxhash64(F.lit(i), s))
+            F.transform("sh_hash", lambda h, i=i: F.xxhash64(F.lit(i), h))
         ).alias(f"mh_{i}")
         for i in range(N_HASHES)
     ]
-    return shingled.select("doc_id", "shingles", *sigs)
+    return hashed.select("doc_id", "shingles", *sigs)
 
 
 def lsh_candidate_pairs(signed: DataFrame) -> DataFrame:
@@ -102,20 +107,47 @@ def lsh_candidate_pairs(signed: DataFrame) -> DataFrame:
 
 def minhash_lsh_dedup(documents: DataFrame, threshold: float = 0.5,
                       k: int = 3) -> DataFrame:
-    """Near-dup pairs: LSH candidates verified by exact Jaccard."""
-    shingled = with_shingles(documents, k)
-    candidates = lsh_candidate_pairs(minhash_signatures(shingled))
-    a = shingled.select(F.col("doc_id").alias("doc_a"),
-                        F.col("shingles").alias("sh_a"))
-    b = shingled.select(F.col("doc_id").alias("doc_b"),
-                        F.col("shingles").alias("sh_b"))
+    """Near-dup pairs: LSH candidates verified by exact Jaccard.
+
+    The shingle arrays ride along through the band explode, so ONE
+    self-join produces candidate pairs with both sides' shingles in
+    hand — no join back to the documents (the naive shape computes the
+    shingle expression three times and shuffles three joins). Both join
+    inputs are the identical exploded plan, so Spark's ReuseExchange
+    ships the banded arrays through a single shuffle; per-band array
+    duplication is B× (=4), bounded and scale-proportional, never N².
+    """
+    rows_per_band = N_HASHES // N_BANDS
+    signed = minhash_signatures(with_shingles(documents, k))
+    bands = F.array(*[
+        F.struct(
+            F.lit(b).alias("band_id"),
+            F.xxhash64(*[F.col(f"mh_{b * rows_per_band + r}")
+                         for r in range(rows_per_band)]).alias("band_hash"),
+        )
+        for b in range(N_BANDS)
+    ])
+    exploded = (
+        signed.select("doc_id", "shingles", F.explode(bands).alias("band"))
+        .select("doc_id", "shingles", "band.band_id", "band.band_hash")
+    )
+    a, b = exploded.alias("a"), exploded.alias("b")
+    pairs = (
+        a.join(b, ["band_id", "band_hash"])
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        # a pair colliding in several bands appears once per band; first()
+        # is safe — shingles are a function of doc_id
+        .groupBy(F.col("a.doc_id").alias("doc_a"),
+                 F.col("b.doc_id").alias("doc_b"))
+        .agg(F.first("a.shingles").alias("sh_a"),
+             F.first("b.shingles").alias("sh_b"))
+    )
     jac = (
         F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
         / F.size(F.array_union("sh_a", "sh_b"))
     )
     return (
-        candidates.join(a, "doc_a").join(b, "doc_b")
-        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+        pairs.select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
         .where(F.col("jaccard") >= threshold)
     )
 
