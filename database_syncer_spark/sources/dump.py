@@ -288,7 +288,10 @@ def read_dump_statements(spark: SparkSession, path: str) -> DataFrame:
     multi-GB dump splits across partitions without a statement ever
     straddling a boundary (the input format handles the carry-over).
     ``stmt_seq`` preserves file order for last-wins duplicate-PK
-    semantics (reference dict overwrite, sync.py:67).
+    semantics (reference dict overwrite, sync.py:67). It is the record's
+    BYTE OFFSET (the TextInputFormat key) — strictly increasing in file
+    order with no extra pass, where ``zipWithIndex`` would spend a whole
+    prior job counting partition sizes.
     """
     rdd = (
         spark.sparkContext.newAPIHadoopFile(
@@ -298,20 +301,22 @@ def read_dump_statements(spark: SparkSession, path: str) -> DataFrame:
             "org.apache.hadoop.io.Text",
             conf={"textinputformat.record.delimiter": ";\n"},
         )
-        .map(lambda kv: kv[1].strip())
-        .filter(lambda s: bool(s) and not s.startswith("--"))
+        .map(lambda kv: (kv[1].strip(), kv[0]))
+        .filter(lambda t: bool(t[0]) and not t[0].startswith("--"))
     )
-    return spark.createDataFrame(
-        rdd.zipWithIndex().map(lambda t: (t[0], t[1])), "stmt: string, stmt_seq: long"
-    )
+    return spark.createDataFrame(rdd, "stmt: string, stmt_seq: long")
 
 
 def _parse_insert_batches(schemas: dict[str, TableSchema]):
     """mapInPandas worker: statements -> (table, vals, seq) rows.
 
-    ``seq`` is a global ingest-order key (statement order in the file ×
-    1e6 + row position inside the statement) so duplicate PKs can resolve
-    last-wins exactly like the reference's dict overwrite (sync.py:67).
+    ``seq`` is an ingest-order key (statement byte offset × 1e6 + row
+    position inside the statement) so duplicate PKs can resolve last-wins
+    exactly like the reference's dict overwrite (sync.py:67). Bounds: a
+    single dump file up to ~9.2 TB and ≤1e6 rows per INSERT statement
+    (mysqldump packet limits keep real statements far below). Offsets
+    restart per file, so last-wins across a multi-file glob is undefined —
+    same as the reference, which reads exactly one file per side.
     """
     import pandas as pd
 

@@ -182,3 +182,54 @@ def test_get_dump_schemas(spark, tmp_path):
     path = _write(tmp_path, "s.sql", USERS_DDL)
     schemas = get_dump_schemas(spark, path)
     assert schemas["users"].pk_cols == ["id"]
+
+
+def test_multi_mb_dump_splits_across_partitions(spark, tmp_path):
+    """Scale shape (SURVEY §7.5 risk 1): a multi-MB dump forced across many
+    input splits must reassemble every statement intact, and last-wins on a
+    duplicate PK must follow FILE order even when the duplicate lands in a
+    different partition than the original (byte-offset seq ordering)."""
+    n_stmts, rows_per = 1200, 50
+    total = n_stmts * rows_per
+    lines = [
+        "CREATE TABLE `big` (",
+        "  `id` bigint NOT NULL,",
+        "  `val` varchar(100) DEFAULT NULL,",
+        "  PRIMARY KEY (`id`)",
+        ") ENGINE=InnoDB;",
+    ]
+    rid = 0
+    for _ in range(n_stmts):
+        vals = []
+        for _ in range(rows_per):
+            # parens + comma inside the string: the reference's regex
+            # truncates these (sync.py:112); we must not
+            vals.append(f"({rid}, 'name (admin, x{rid})')")
+            rid += 1
+        lines.append("INSERT INTO `big` VALUES " + ",".join(vals) + ";")
+    # duplicate of id=0 at the very end of the file -> must win
+    lines.append("INSERT INTO `big` VALUES (0, 'winner');")
+    path = str(tmp_path / "big.sql")
+    with open(path, "w") as fh:
+        fh.write("\n".join(lines) + "\n")
+    import os
+    assert os.path.getsize(path) > 1_500_000  # genuinely multi-MB
+
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    old = hconf.get("mapreduce.input.fileinputformat.split.maxsize")
+    hconf.set("mapreduce.input.fileinputformat.split.maxsize", "262144")
+    try:
+        from database_syncer_spark.sources.dump import read_dump_statements
+        stmts = read_dump_statements(spark, path)
+        assert stmts.rdd.getNumPartitions() > 4  # split actually happened
+        big = read_sql_dump(spark, path)["big"]
+        assert big.count() == total  # every row parsed, dup collapsed
+        assert big.where("id = 0").collect()[0].val == "winner"
+        # spot-check a paren-in-string row survived whole
+        assert (big.where(f"id = {total - 1}").collect()[0].val
+                == f"name (admin, x{total - 1})")
+    finally:
+        if old is None:
+            hconf.unset("mapreduce.input.fileinputformat.split.maxsize")
+        else:
+            hconf.set("mapreduce.input.fileinputformat.split.maxsize", old)
