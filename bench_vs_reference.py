@@ -1,0 +1,98 @@
+#!/usr/bin/env python
+"""Head-to-head: reference sync.py vs this engine on the same dump pair.
+
+Renders a prod/backup mysqldump pair from the orders fixture (backup =
+derived snapshot with planted inserts/updates/deletes), then times the
+FULL pipeline on each side — parse both dumps, diff, generate the sync
+script, write it to disk:
+
+- reference: ``python /root/reference/sync.py prod.sql backup.sql out.sql``
+  (single process, in-memory dicts)
+- this engine: ``sources.dump.sync_dumps`` + ``assemble_script`` on
+  local[N] Spark
+
+Prints one JSON line. Usage:
+    python bench_vs_reference.py [--sf-dir /root/testdata/sf0.1]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+REFERENCE = "/root/reference/sync.py"
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf-dir", default=os.environ.get(
+        "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
+    ap.add_argument("--scale", type=int, default=1,
+                    help="replicate orders N x with shifted keys")
+    args = ap.parse_args()
+
+    from pyspark.sql import functions as F
+    from database_syncer_spark.session import get_spark
+    from database_syncer_spark.catalog import load_table
+    from database_syncer_spark.core.snapshots import derive_backup
+    from database_syncer_spark.sources.dump import sync_dumps, write_sql_dump
+    from database_syncer_spark.core.script import write_script
+
+    spark = get_spark("bench_vs_reference")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    work = tempfile.mkdtemp(prefix="dss_refbench_")
+    prod_path = os.path.join(work, "prod.sql")
+    backup_path = os.path.join(work, "backup.sql")
+
+    orders = load_table(spark, args.sf_dir, "orders")
+    if args.scale > 1:
+        base = orders
+        for i in range(1, args.scale):
+            orders = orders.unionByName(base.withColumn(
+                "o_orderkey", F.col("o_orderkey") + F.lit(i * 1_000_000_000)))
+    n_rows = orders.count()
+    write_sql_dump(orders, "orders", ["o_orderkey"], prod_path)
+    write_sql_dump(derive_backup(orders, "o_orderkey", "o_totalprice"),
+                   "orders", ["o_orderkey"], backup_path)
+
+    # --- reference, single node ------------------------------------------
+    t0 = time.perf_counter()
+    ref = subprocess.run(
+        [sys.executable, REFERENCE, prod_path, backup_path,
+         os.path.join(work, "ref_out.sql")],
+        capture_output=True, text=True, cwd=work)
+    ref_sec = round(time.perf_counter() - t0, 3)
+    if ref.returncode != 0:
+        print(json.dumps({"error": "reference failed",
+                          "stderr": ref.stderr[-400:]}))
+        return
+
+    # --- this engine ------------------------------------------------------
+    t0 = time.perf_counter()
+    changes, catalog, scripts = sync_dumps(spark, prod_path, backup_path)
+    write_script(scripts["orders"], os.path.join(work, "spark_out.sql"))
+    n_changes = sum(df.count() for df in changes.values())
+    spark_sec = round(time.perf_counter() - t0, 3)
+
+    print(json.dumps({
+        "metric": "sync_pipeline_wall_vs_reference",
+        "unit": "sec",
+        "rows_per_side": n_rows,
+        "n_changes": n_changes,
+        "reference_sec": ref_sec,
+        "spark_sec": spark_sec,
+        "speedup": round(ref_sec / spark_sec, 2) if spark_sec else None,
+        "sf_dir": args.sf_dir,
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -104,6 +104,36 @@ def ddl_statements(catalog: dict[str, list[str]],
     return out
 
 
+def write_script(statements: DataFrame, path: str,
+                 header: str = "-- sync script",
+                 ddl: list[str] | None = None) -> None:
+    """Write an ordered statement DataFrame to ONE script file, scalably.
+
+    The upstream ``orderBy`` range-partitions, so part files in filename
+    order ARE global statement order; executors write the text parts in
+    parallel and the driver only streams the parts together
+    (O(1) memory) — never collecting the script like ``assemble_script``.
+    """
+    import glob as _glob
+    import os
+    import shutil
+    import tempfile
+
+    parts_dir = tempfile.mkdtemp(prefix="dss_script_parts_")
+    try:
+        (statements.select("statement")
+         .write.mode("overwrite").text(parts_dir))
+        with open(path, "w", encoding="utf-8") as out_fh:
+            out_fh.write(header + "\n")
+            for line in ddl or []:
+                out_fh.write(line + "\n")
+            for part in sorted(_glob.glob(os.path.join(parts_dir, "part-*"))):
+                with open(part, "r", encoding="utf-8") as in_fh:
+                    shutil.copyfileobj(in_fh, out_fh)
+    finally:
+        shutil.rmtree(parts_dir, ignore_errors=True)
+
+
 def assemble_script(statements: DataFrame, header: str = "-- sync script",
                     ddl: list[str] | None = None) -> str:
     """Collect an ordered statement DataFrame into one script string.

@@ -24,6 +24,7 @@ limitation on ``);``).
 
 from __future__ import annotations
 
+import os
 import re
 from dataclasses import dataclass, field
 
@@ -293,13 +294,29 @@ def read_dump_statements(spark: SparkSession, path: str) -> DataFrame:
     order with no extra pass, where ``zipWithIndex`` would spend a whole
     prior job counting partition sizes.
     """
+    conf = {"textinputformat.record.delimiter": ";\n"}
+    _SPLIT_KEY = "mapreduce.input.fileinputformat.split.maxsize"
+    preset = spark.sparkContext._jsc.hadoopConfiguration().get(_SPLIT_KEY)
+    if preset is None:
+        try:
+            # Size splits so the downstream Python tokenizer gets full
+            # parallelism: the Hadoop default (128 MB) would hand a 500 MB
+            # dump to only 4 workers. Floor 4 MB keeps tiny files in one
+            # task; an operator-set value in the Hadoop conf wins.
+            size = os.path.getsize(path)
+            par = spark.sparkContext.defaultParallelism
+            split = min(128 * 1024 * 1024,
+                        max(4 * 1024 * 1024, size // (2 * par)))
+            conf[_SPLIT_KEY] = str(split)
+        except OSError:
+            pass  # non-local path (hdfs/s3): defer to cluster defaults
     rdd = (
         spark.sparkContext.newAPIHadoopFile(
             path,
             "org.apache.hadoop.mapreduce.lib.input.TextInputFormat",
             "org.apache.hadoop.io.LongWritable",
             "org.apache.hadoop.io.Text",
-            conf={"textinputformat.record.delimiter": ";\n"},
+            conf=conf,
         )
         .map(lambda kv: (kv[1].strip(), kv[0]))
         .filter(lambda t: bool(t[0]) and not t[0].startswith("--"))
@@ -422,39 +439,68 @@ _SPARK_TO_MYSQL = {
 
 def write_sql_dump(df: DataFrame, table: str, pk_cols: list[str], path: str,
                    rows_per_insert: int = 100) -> None:
-    """Render a (small) DataFrame as a mysqldump-style SQL file.
+    """Render a DataFrame as a mysqldump-style SQL file — distributed.
 
-    Statement text is produced by the same JVM-side literal rendering as
-    the sync-script sink; only the final file assembly is driver-side
-    (this writer exists for round-trip tests and fixture generation, not
-    the 100-TB path — that's parquet/CDC)."""
+    Value tuples are rendered by the same JVM-side literal expressions as
+    the sync-script sink; rows are batched into multi-row INSERT
+    statements inside ``mapInPandas`` (per partition, no shuffle), written
+    as distributed text, then the part files are streamed into the final
+    single file with O(1) driver memory. Statement order across
+    partitions is arbitrary — fine for a snapshot dump, whose rows are
+    PK-unique by construction."""
+    import glob as _glob
+    import shutil
+    import tempfile
+
     from database_syncer_spark.core.script import sql_literal
 
     dtypes = {f.name: f.dataType for f in df.schema.fields}
     lits = [sql_literal(F.col(c), dtypes[c]) for c in df.columns]
-    rows = (
-        df.select(F.concat_ws(", ", *lits).alias("r"))
-        .collect()
-    )
+    rendered = df.select(F.concat_ws(", ", *lits).alias("r"))
+
+    def to_statements(batches):
+        import pandas as pd
+
+        buf: list[str] = []
+        for pdf in batches:
+            out: list[str] = []
+            for r in pdf["r"]:
+                buf.append(f"({r})")
+                if len(buf) == rows_per_insert:
+                    out.append(
+                        f"INSERT INTO `{table}` VALUES\n" + ",\n".join(buf) + ";")
+                    buf = []
+            if out:
+                yield pd.DataFrame({"s": out})
+        if buf:
+            yield pd.DataFrame(
+                {"s": [f"INSERT INTO `{table}` VALUES\n" + ",\n".join(buf) + ";"]})
+
     col_defs = []
     for f in df.schema.fields:
         mysql_t = _SPARK_TO_MYSQL.get(f.dataType.simpleString().split("(")[0], "varchar(255)")
         col_defs.append(f"  `{f.name}` {mysql_t} {'NOT NULL' if f.name in pk_cols else 'DEFAULT NULL'}")
     pk_def = ", ".join(f"`{c}`" for c in pk_cols)
-    lines = [
+    header = "\n".join([
         f"DROP TABLE IF EXISTS `{table}`;",
         f"CREATE TABLE `{table}` (",
         ",\n".join(col_defs) + ",",
         f"  PRIMARY KEY ({pk_def})",
         ") ENGINE=InnoDB DEFAULT CHARSET=utf8mb4;",
         "",
-    ]
-    for i in range(0, len(rows), rows_per_insert):
-        chunk = rows[i:i + rows_per_insert]
-        values = ",\n".join(f"({r.r})" for r in chunk)
-        lines.append(f"INSERT INTO `{table}` VALUES\n{values};")
-    with open(path, "w", encoding="utf-8") as fh:
-        fh.write("\n".join(lines) + "\n")
+    ])
+
+    parts_dir = tempfile.mkdtemp(prefix="dss_dump_parts_")
+    try:
+        (rendered.mapInPandas(to_statements, "s string")
+         .write.mode("overwrite").text(parts_dir))
+        with open(path, "w", encoding="utf-8") as out_fh:
+            out_fh.write(header + "\n")
+            for part in sorted(_glob.glob(os.path.join(parts_dir, "part-*"))):
+                with open(part, "r", encoding="utf-8") as in_fh:
+                    shutil.copyfileobj(in_fh, out_fh)
+    finally:
+        shutil.rmtree(parts_dir, ignore_errors=True)
 
 
 # --- end-to-end orchestration (reference compare_sql_files, sync.py:522) ----
@@ -462,7 +508,15 @@ def write_sql_dump(df: DataFrame, table: str, pk_cols: list[str], path: str,
 def sync_dumps(spark: SparkSession, prod_path: str, backup_path: str):
     """Diff two SQL dumps: the reference's whole pipeline
     (sync.py:522-625) on Spark. Returns (changes_per_table, catalog,
-    script_statements_per_table)."""
+    script_statements_per_table).
+
+    Parsed tables and the per-table changes are persisted
+    (MEMORY_AND_DISK): the dump parse is the expensive stage and every
+    returned DataFrame (changes, script) is typically consumed by
+    several actions — without persistence each action would re-tokenize
+    both dumps from scratch."""
+    from pyspark import StorageLevel
+
     from database_syncer_spark.core.diff import catalog_diff, snapshot_diff
     from database_syncer_spark.core.script import generate_sync_script
 
@@ -473,7 +527,9 @@ def sync_dumps(spark: SparkSession, prod_path: str, backup_path: str):
     changes, scripts = {}, {}
     for name in catalog["common"]:
         pk = prod_schemas[name].pk_cols
-        ch = snapshot_diff(prod[name], backup[name], pk)
+        p = prod[name].persist(StorageLevel.MEMORY_AND_DISK)
+        b = backup[name].persist(StorageLevel.MEMORY_AND_DISK)
+        ch = snapshot_diff(p, b, pk).persist(StorageLevel.MEMORY_AND_DISK)
         changes[name] = ch
         scripts[name] = generate_sync_script(ch, name, pk)
     return changes, catalog, scripts
