@@ -41,9 +41,19 @@ def diff_stats_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def win_row_number_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Last-wins dedup by key — the reference's dict-overwrite (sync.py:67)
-    made explicit: keep each user's latest event."""
+    as the B5 window primitive: ``row_number() over (partition by pk order
+    by seq desc) = 1``. (The engine-internal ``dedup_last_wins`` uses the
+    faster ``max_by`` hash-agg shape; this key exists to cover the window
+    form, and both are tested equivalent.)"""
+    from pyspark.sql import Window as W
+
     events = load_table(spark, sf_dir, "events")
-    out = dedup_last_wins(events, ["user_id"], ["ts", "event_id"])
+    w = W.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc())
+    out = (
+        events.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+    )
     return out.select("user_id", "event_id", "ts", "event_type")
 
 

@@ -101,3 +101,18 @@ def test_last_wins_dedup(spark):
     )
     out = {(r.id, r.val) for r in dedup_last_wins(df, ["id"], ["seq"]).collect()}
     assert out == {(1, "new"), (2, "only")}
+
+
+def test_last_wins_dedup_matches_window_form(spark, sf_dir):
+    """Engine dedup (max_by hash-agg) ≡ the B5 row_number window shape."""
+    from database_syncer_spark.catalog import load_table
+    from database_syncer_spark.core.diff import dedup_last_wins
+    from database_syncer_spark.queries.diff import win_row_number_dedup
+    from pyspark.sql import functions as F
+
+    events = load_table(spark, sf_dir, "events")
+    agg_form = dedup_last_wins(events, ["user_id"], ["ts", "event_id"]) \
+        .select("user_id", "event_id", "ts", "event_type")
+    win_form = win_row_number_dedup(spark, sf_dir)
+    assert agg_form.exceptAll(win_form).count() == 0
+    assert win_form.exceptAll(agg_form).count() == 0
