@@ -19,5 +19,34 @@ partition-count discipline) even though tests run on local mode.
 from database_syncer_spark.session import get_spark
 from database_syncer_spark.catalog import load_tables, TABLE_NAMES
 
-__all__ = ["get_spark", "load_tables", "TABLE_NAMES"]
+
+def __getattr__(name: str):
+    """Lazy re-exports of the engine's public surface (keeps ``import
+    database_syncer_spark`` light — no Spark jobs at import time)."""
+    lazy = {
+        "snapshot_diff": "database_syncer_spark.core.diff",
+        "apply_changes": "database_syncer_spark.core.diff",
+        "dedup_last_wins": "database_syncer_spark.core.diff",
+        "diff_stats": "database_syncer_spark.core.diff",
+        "catalog_diff": "database_syncer_spark.core.diff",
+        "generate_sync_script": "database_syncer_spark.core.script",
+        "write_script": "database_syncer_spark.core.script",
+        "read_sql_dump": "database_syncer_spark.sources.dump",
+        "write_sql_dump": "database_syncer_spark.sources.dump",
+        "sync_dumps": "database_syncer_spark.sources.dump",
+        "compare_sql_files": "database_syncer_spark.sources.dump",
+    }
+    if name in lazy:
+        import importlib
+
+        return getattr(importlib.import_module(lazy[name]), name)
+    raise AttributeError(f"module {__name__!r} has no attribute {name!r}")
+
+
+__all__ = [
+    "get_spark", "load_tables", "TABLE_NAMES",
+    "snapshot_diff", "apply_changes", "dedup_last_wins", "diff_stats",
+    "catalog_diff", "generate_sync_script", "write_script",
+    "read_sql_dump", "write_sql_dump", "sync_dumps", "compare_sql_files",
+]
 __version__ = "0.1.0"

@@ -180,10 +180,69 @@ def parse_create_table(stmt: str) -> TableSchema | None:
 
 # --- value tokenizer --------------------------------------------------------
 
+#: One parenthesized row whose body is plain chars or COMPLETE quoted
+#: strings (with \x and '' escapes) — quote-aware at C regex speed.
+_FAST_ROW_RE = re.compile(
+    r"\((?P<body>(?:[^()'\"]|'(?:[^'\\]|\\.|'')*'|\"(?:[^\"\\]|\\.|\"\")*\")*)\)"
+)
+#: One value then its separator: wholly-quoted string, or a bare literal
+#: containing no quote chars. Anything else fails -> scan fallback.
+_FAST_VAL_RE = re.compile(
+    r"\s*('(?:[^'\\]|\\.|'')*'|\"(?:[^\"\\]|\\.|\"\")*\"|[^,'\"]*?)\s*(,|$)"
+)
+_SEP_CHARS = " \t\r\n,;"
+
+
+def _tokenize_fast(s: str) -> list[list[str | None]] | None:
+    """Regex fast path for well-formed VALUES clauses (the overwhelmingly
+    common case: every value either wholly quoted or quote-free). Returns
+    None — caller falls back to the char scanner — whenever any text
+    outside row parens, or any value shape, isn't strictly recognized, so
+    the fast path can never silently disagree with the scanner."""
+    rows: list[list[str | None]] = []
+    pos = 0
+    for m in _FAST_ROW_RE.finditer(s):
+        if s[pos:m.start()].strip(_SEP_CHARS):
+            return None  # unrecognized text between rows
+        pos = m.end()
+        body = m.group("body")
+        vals: list[str | None] = []
+        vpos = 0
+        while True:
+            vm = _FAST_VAL_RE.match(body, vpos)
+            if vm is None:
+                return None
+            raw = vm.group(1)
+            if raw.startswith(("'", '"')):
+                vals.append(_unquote(raw))
+            elif raw.upper() == "NULL":
+                vals.append(None)
+            else:
+                vals.append(raw)
+            vpos = vm.end()
+            if vm.group(2) != ",":
+                break
+        rows.append(vals)
+    if s[pos:].strip(_SEP_CHARS):
+        return None  # unconsumed tail (e.g. a row the regex couldn't take)
+    return rows
+
+
 def tokenize_insert_rows(values_part: str) -> list[list[str | None]]:
     """Split a multi-row VALUES clause into rows of raw SQL literals.
 
-    Quote-aware char scan: handles ``''`` escapes (reference handles these,
+    Fast path first (`_tokenize_fast`, C-speed regex), char scan as the
+    always-correct fallback. Both are property-tested equivalent
+    (tests/test_tokenizer_property.py).
+    """
+    rows = _tokenize_fast(values_part)
+    if rows is not None:
+        return rows
+    return _tokenize_scan(values_part)
+
+
+def _tokenize_scan(values_part: str) -> list[list[str | None]]:
+    """Quote-aware char scan: handles ``''`` escapes (reference handles these,
     sync.py:144-151), backslash escapes, and — unlike the reference's
     ``\\(([^)]+)\\)`` regex (sync.py:112) — parens/commas inside quoted
     strings. ``NULL`` literals come back as None; quoted strings are
@@ -504,6 +563,66 @@ def write_sql_dump(df: DataFrame, table: str, pk_cols: list[str], path: str,
 
 
 # --- end-to-end orchestration (reference compare_sql_files, sync.py:522) ----
+
+def compare_sql_files(spark: SparkSession, production_file: str,
+                      backup_file: str,
+                      output_file: str = "database_sync_crud.sql",
+                      verbose: bool = True) -> dict | None:
+    """The reference's library entry point (sync.py:522-625), Spark-first.
+
+    Reads both dumps, diffs every common table, prints the CRUD summary,
+    and writes ONE ordered sync script (DROP -> CREATE -> DELETE ->
+    UPDATE -> INSERT, reference section order sync.py:318-395) that
+    transforms the backup state into production. Returns a dict with the
+    per-table changes DataFrames, catalog diff, and stats rows — the
+    typed equivalent of the reference's ``differences`` dict
+    (sync.py:236-243) — or None if an input file is missing
+    (sync.py:549-555)."""
+    for f, label in ((production_file, "Production"), (backup_file, "Backup")):
+        if not os.path.exists(f):
+            if verbose:
+                print(f"{label} file not found: {f}")
+            return None
+
+    changes, catalog, scripts = sync_dumps(spark, production_file, backup_file)
+    prod_schemas = get_dump_schemas(spark, production_file)
+
+    from database_syncer_spark.core.script import ddl_statements, write_script
+
+    ddl = ddl_statements(
+        catalog, {t: s.create_stmt + ";" for t, s in prod_schemas.items()})
+    combined = None
+    for name in catalog["common"]:
+        part = scripts[name].withColumn("__tbl", F.lit(name))
+        combined = part if combined is None else combined.unionByName(part)
+    stats: dict[str, dict[str, int]] = {}
+    for name, ch in changes.items():
+        from database_syncer_spark.core.diff import diff_stats
+
+        stats[name] = {r[0]: r[1] for r in diff_stats(ch).collect()}
+    if combined is not None:
+        # statement text as the final sort key: deterministic output even
+        # though per-table PK rank was projected away upstream
+        write_script(
+            combined.orderBy("section", "__tbl", "statement"),
+            output_file,
+            header="-- sync script: apply to backup to reach production state",
+            ddl=ddl,
+        )
+    elif ddl:
+        with open(output_file, "w", encoding="utf-8") as fh:
+            fh.write("\n".join(["-- sync script"] + ddl) + "\n")
+
+    if verbose:
+        print(f"Tables to create: {len(catalog['create'])}, "
+              f"drop: {len(catalog['drop'])}")
+        for name in sorted(stats):
+            s = stats[name]
+            print(f"  {name}: +{s.get('INSERT', 0)} "
+                  f"~{s.get('UPDATE', 0)} -{s.get('DELETE', 0)}")
+        print(f"Sync script written: {output_file}")
+    return {"changes": changes, "catalog": catalog, "table_stats": stats}
+
 
 def sync_dumps(spark: SparkSession, prod_path: str, backup_path: str):
     """Diff two SQL dumps: the reference's whole pipeline

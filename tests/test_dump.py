@@ -233,3 +233,45 @@ def test_multi_mb_dump_splits_across_partitions(spark, tmp_path):
             hconf.unset("mapreduce.input.fileinputformat.split.maxsize")
         else:
             hconf.set("mapreduce.input.fileinputformat.split.maxsize", old)
+
+
+def test_compare_sql_files_end_to_end(spark, tmp_path, capsys):
+    """EP2 parity (reference compare_sql_files, sync.py:522): two dumps in,
+    summary printed, one ordered multi-section script out."""
+    from database_syncer_spark import compare_sql_files
+
+    prod = _write(tmp_path, "prod.sql", USERS_DDL + textwrap.dedent("""\
+        CREATE TABLE `gone` (
+          `id` int(11) NOT NULL,
+          PRIMARY KEY (`id`)
+        ) ENGINE=InnoDB;
+        INSERT INTO `users` VALUES (1, 'alice', 10.00), (2, 'bob', 20.00),
+        (4, 'dana', 40.00);
+    """))
+    backup = _write(tmp_path, "backup.sql", USERS_DDL + textwrap.dedent("""\
+        INSERT INTO `users` VALUES (1, 'alice', 10.00), (2, 'bobby', 2.00),
+        (3, 'carol', 30.00);
+    """))
+    out = str(tmp_path / "out.sql")
+    result = compare_sql_files(spark, prod, backup, out)
+    assert result is not None
+    assert result["catalog"]["create"] == ["gone"]
+    assert result["table_stats"]["users"] == {
+        "INSERT": 1, "UPDATE": 1, "DELETE": 1}
+    script = open(out).read()
+    assert "DROP TABLE IF EXISTS `gone`;" in script
+    assert "CREATE TABLE `gone`" in script
+    delete_pos = script.index("DELETE FROM `users` WHERE `id` = 3;")
+    update_pos = script.index("UPDATE `users` SET")
+    insert_pos = script.index("INSERT INTO `users` VALUES (4,")
+    assert delete_pos < update_pos < insert_pos  # reference section order
+    assert "'dana'" in script and "'bob'" in script
+    assert "+1 ~1 -1" in capsys.readouterr().out
+
+
+def test_compare_sql_files_missing_input(spark, tmp_path):
+    from database_syncer_spark import compare_sql_files
+
+    assert compare_sql_files(
+        spark, str(tmp_path / "nope.sql"), str(tmp_path / "also_nope.sql"),
+        str(tmp_path / "out.sql"), verbose=False) is None

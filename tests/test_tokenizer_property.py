@@ -64,3 +64,28 @@ def test_tokenize_ignores_surrounding_sql(rows):
     """Leading/trailing SQL noise outside parens must not change parsing."""
     clause = _render(rows)
     assert tokenize_insert_rows(clause + " ;") == rows
+
+
+@settings(max_examples=500, deadline=None)
+@given(_rows)
+def test_fast_path_equivalent_to_scanner(rows):
+    """The regex fast path, when it accepts an input, must agree exactly
+    with the char scanner; on rendered well-formed input it must accept."""
+    from database_syncer_spark.sources.dump import _tokenize_fast, _tokenize_scan
+
+    clause = _render(rows)
+    fast = _tokenize_fast(clause)
+    assert fast is not None, "fast path rejected well-formed input"
+    assert fast == _tokenize_scan(clause) == rows
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.text(alphabet=st.sampled_from(list("ab'\\(),;\" \t0NUL")), max_size=40))
+def test_fast_path_never_disagrees_on_arbitrary_text(s):
+    """On ARBITRARY garbage the fast path may bail (None) but must never
+    return something different from the scanner."""
+    from database_syncer_spark.sources.dump import _tokenize_fast, _tokenize_scan
+
+    fast = _tokenize_fast(s)
+    if fast is not None:
+        assert fast == _tokenize_scan(s)
