@@ -248,6 +248,65 @@ def ngram_jaccard_pairs(documents: DataFrame, threshold: float = 0.2,
     )
 
 
+# --- connected components over near-dup pairs -----------------------------------
+
+def connected_components(edges: DataFrame, src: str = "doc_a",
+                         dst: str = "doc_b", max_iter: int = 20) -> DataFrame:
+    """Cluster near-dup pairs into components: (doc_id, component) where
+    component = min doc_id reachable through any chain of pairs — the
+    step that turns pairwise dedup output into keep/drop decisions (keep
+    one doc per component).
+
+    Iterative min-label propagation: each round every node takes the min
+    of its own label and its neighbors' labels; converges in
+    O(cluster diameter) rounds (near-dup clusters are shallow — a few
+    rounds in practice, ``max_iter`` caps pathological chains). Each
+    round is one join + one partial-agg'd groupBy, all JVM-side; the
+    per-round result is persisted so round N+1 doesn't recompute rounds
+    1..N. At extreme scale the same loop with large-star/small-star
+    rewrites converges in O(log n) — the shape here is the standard one.
+    """
+    from pyspark import StorageLevel
+
+    sym = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .unionByName(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+    )
+    sym = sym.persist(StorageLevel.MEMORY_AND_DISK)
+    comp = (
+        sym.select(F.col("a").alias("id")).distinct()
+        .select("id", F.col("id").alias("component"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    for _ in range(max_iter):
+        nbr_min = (
+            sym.join(comp, sym.b == comp.id)
+            .groupBy(F.col("a").alias("id"))
+            .agg(F.min("component").alias("nbr_component"))
+        )
+        nxt = (
+            comp.join(nbr_min, "id", "left")
+            .select(
+                "id",
+                F.least(
+                    "component",
+                    F.coalesce("nbr_component", F.col("component")),
+                ).alias("component"),
+            )
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        changed = (
+            nxt.join(comp.withColumnRenamed("component", "old"), "id")
+            .where(F.col("component") != F.col("old"))
+            .count()
+        )
+        comp.unpersist()
+        comp = nxt
+        if changed == 0:
+            break
+    return comp.select(F.col("id").alias("doc_id"), "component")
+
+
 # --- embedding cosine near-dup ---------------------------------------------------
 
 def embedding_near_dup(embeddings: DataFrame, threshold: float = 0.9,

@@ -44,6 +44,14 @@ def dedup_ngram_jaccard(spark, sf_dir):
     return D.ngram_jaccard_pairs(load_table(spark, sf_dir, "documents"))
 
 
+def dedup_cluster_components(spark, sf_dir):
+    """Near-dup pairs -> connected components (the keep/drop clustering
+    step). Built on the EXACT n-gram Jaccard pairs so the recursive-CTE
+    oracle sees identical edges."""
+    docs = load_table(spark, sf_dir, "documents")
+    return D.connected_components(D.ngram_jaccard_pairs(docs))
+
+
 def dedup_embedding_cosine(spark, sf_dir):
     return D.embedding_near_dup(
         load_table(spark, sf_dir, "embeddings"), threshold=0.5)
@@ -162,6 +170,7 @@ QUERIES = {
     "dedup_minhash_lsh": dedup_minhash_lsh,      # rows-only (xxhash64 LSH family)
     "dedup_simhash": dedup_simhash,              # rows-only (xxhash64 fingerprint)
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
+    "dedup_cluster_components": dedup_cluster_components,
     "dedup_embedding_cosine": dedup_embedding_cosine,
     "sim_topk_cosine": sim_topk_cosine,
     "sim_lsh_ann": sim_lsh_ann,                  # rows-only (hyperplane buckets)
@@ -178,12 +187,7 @@ QUERIES = {
     "udtf_statement_split": udtf_statement_split,
 }
 
-ORACLES = {
-    "dedup_exact": """
-SELECT sha256(text) AS digest, min(doc_id) AS keep_id, count(*) AS n_copies
-FROM documents GROUP BY sha256(text)
-""",
-    "dedup_ngram_jaccard": f"""
+_NGRAM_SQL = f"""
 WITH t AS (SELECT doc_id, {_SHINGLE_SQL} AS shingles FROM documents),
 sh AS (SELECT doc_id, len(shingles) AS n_sh, unnest(shingles) AS sh FROM t),
 inter AS (
@@ -195,6 +199,28 @@ inter AS (
 )
 SELECT doc_a, doc_b, round(CAST(c AS DOUBLE) / (na + nb - c), 6) AS jaccard
 FROM inter WHERE round(CAST(c AS DOUBLE) / (na + nb - c), 6) >= 0.2
+"""
+
+ORACLES = {
+    "dedup_exact": """
+SELECT sha256(text) AS digest, min(doc_id) AS keep_id, count(*) AS n_copies
+FROM documents GROUP BY sha256(text)
+""",
+    "dedup_ngram_jaccard": _NGRAM_SQL,
+    "dedup_cluster_components": f"""
+WITH RECURSIVE pairs AS ({_NGRAM_SQL}),
+sym AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION
+  SELECT doc_b, doc_a FROM pairs
+),
+reach(src, dst) AS (
+  SELECT a, b FROM sym
+  UNION
+  SELECT r.src, s.b FROM reach r JOIN sym s ON r.dst = s.a
+)
+SELECT src AS doc_id, least(src, min(dst)) AS component
+FROM reach GROUP BY src
 """,
     "dedup_embedding_cosine": """
 WITH e AS (

@@ -133,3 +133,17 @@ def test_multimodal_decode_stub_gate():
 
     with pytest.raises(NotImplementedError):
         decode_media(b"\x89PNG")
+
+
+def test_connected_components_chain_and_islands(spark):
+    """Chains link transitively (a-b-c-d one component); islands stay
+    separate; component id = min doc_id in the cluster."""
+    from database_syncer_spark.pipeline.dedup import connected_components
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 7)],
+        "doc_a bigint, doc_b bigint")
+    got = {(r.doc_id, r.component)
+           for r in connected_components(edges).collect()}
+    assert got == {(1, 1), (2, 1), (3, 1), (4, 1),
+                   (10, 10), (11, 10), (7, 7), (20, 7)}
