@@ -59,6 +59,20 @@ def main() -> None:
     # Warm the JVM + parquet footer caches on the smallest table so the
     # first timed key doesn't absorb one-time session costs.
     spark.read.parquet(os.path.join(sf_dir, "region.parquet")).count()
+    # Warm the Python worker pool + Arrow serializer path the same way:
+    # UDF-backed keys should time steady-state execution, not the one-time
+    # fork of 32 interpreters (~5s measured on local[32]).
+    spark.range(0, 64, 1, 32).mapInPandas(lambda it: it, "id long").count()
+    # And the Hadoop text-input path used by the dump source: its first use
+    # loads the input-format classes (~2s measured) — a one-statement probe
+    # file pays that outside the timings.
+    import tempfile
+
+    from database_syncer_spark.sources.dump import read_dump_statements
+    probe = os.path.join(tempfile.gettempdir(), "dss_bench_warm.sql")
+    with open(probe, "w", encoding="utf-8") as fh:
+        fh.write("SELECT 1;\n")
+    read_dump_statements(spark, probe).count()
 
     timings: dict[str, float] = {}
     for key in HEADLINE:
