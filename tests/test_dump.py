@@ -149,7 +149,8 @@ def test_sync_dumps_end_to_end(spark, tmp_path):
     )
     p = _write(tmp_path, "prod.sql", prod)
     b = _write(tmp_path, "backup.sql", backup)
-    changes, catalog, scripts = sync_dumps(spark, p, b)
+    changes, catalog, scripts, schemas = sync_dumps(spark, p, b)
+    assert schemas["users"].pk_cols == ["id"]
     assert catalog["create"] == ["only_prod"]
     assert catalog["drop"] == ["only_backup"]
     by_type = {
@@ -215,9 +216,12 @@ def test_multi_mb_dump_splits_across_partitions(spark, tmp_path):
     import os
     assert os.path.getsize(path) > 1_500_000  # genuinely multi-MB
 
-    hconf = spark.sparkContext._jsc.hadoopConfiguration()
-    old = hconf.get("mapreduce.input.fileinputformat.split.maxsize")
-    hconf.set("mapreduce.input.fileinputformat.split.maxsize", "262144")
+    # Force small file-source splits (the text-source split formula is
+    # min(maxPartitionBytes, max(openCost, size/parallelism))).
+    olds = {k: spark.conf.get(k) for k in
+            ("spark.sql.files.maxPartitionBytes", "spark.sql.files.openCostInBytes")}
+    spark.conf.set("spark.sql.files.maxPartitionBytes", "262144")
+    spark.conf.set("spark.sql.files.openCostInBytes", "65536")
     try:
         from database_syncer_spark.sources.dump import read_dump_statements
         stmts = read_dump_statements(spark, path)
@@ -229,10 +233,8 @@ def test_multi_mb_dump_splits_across_partitions(spark, tmp_path):
         assert (big.where(f"id = {total - 1}").collect()[0].val
                 == f"name (admin, x{total - 1})")
     finally:
-        if old is None:
-            hconf.unset("mapreduce.input.fileinputformat.split.maxsize")
-        else:
-            hconf.set("mapreduce.input.fileinputformat.split.maxsize", old)
+        for k, v in olds.items():
+            spark.conf.set(k, v)
 
 
 def test_compare_sql_files_end_to_end(spark, tmp_path, capsys):
