@@ -277,3 +277,109 @@ def test_compare_sql_files_missing_input(spark, tmp_path):
     assert compare_sql_files(
         spark, str(tmp_path / "nope.sql"), str(tmp_path / "also_nope.sql"),
         str(tmp_path / "out.sql"), verbose=False) is None
+
+
+# --- JVM tokenizer parity ----------------------------------------------------
+
+def _adversarial_dump(seed: int, n_stmts: int = 60) -> tuple[str, int]:
+    """Render a 3-col dump of hostile values; returns (text, n_good_rows).
+
+    Mixes both SQL escape families ('' doubling and backslash escapes),
+    both quote chars, named escapes, NULL case variants, empty and padded
+    values, and occasional malformed statements that must route to the
+    Python scanner identically under either tokenizer.
+    """
+    import random
+
+    rng = random.Random(seed)
+    alphabet = "ab'\"\\(),;\n\t xyz0%_`=-"
+
+    def render(v: str | None) -> str:
+        if v is None:
+            return rng.choice(["NULL", "null", "Null"])
+        style = rng.randrange(3)
+        if style == 0 and v == v.strip():
+            try:
+                float(v)
+                return v
+            except ValueError:
+                pass
+        if rng.random() < 0.5:
+            # '' doubling family
+            q = rng.choice("'\"")
+            return q + v.replace("\\", "\\\\").replace(q, q + q) + q
+        # backslash family (mysqldump style)
+        q = rng.choice("'\"")
+        body = (v.replace("\\", "\\\\").replace(q, "\\" + q)
+                 .replace("\n", "\\n").replace("\t", "\\t"))
+        return q + body + q
+
+    stmts, n_rows = [], 0
+    for _ in range(n_stmts):
+        rows = []
+        for _ in range(rng.randrange(1, 4)):
+            row = [
+                "".join(rng.choice(alphabet) for _ in range(rng.randrange(8)))
+                if rng.random() > 0.15 else None
+                for _ in range(3)
+            ]
+            rows.append(row)
+        clause = ", ".join(
+            "(" + ",".join(render(v) for v in row) + ")" for row in rows)
+        if rng.random() < 0.1:
+            clause += " 'stray"  # malformed tail -> scanner fallback path
+        else:
+            n_rows += len(rows)
+        stmts.append(f"INSERT INTO adv VALUES {clause};")
+    ddl = ("CREATE TABLE adv (a text, b text, c text, "
+           "PRIMARY KEY (a));")
+    return ddl + "\n" + "\n".join(stmts) + "\n", n_rows
+
+
+@pytest.mark.parametrize("seed", [1, 2, 3])
+def test_jvm_tokenizer_matches_python_on_adversarial_dump(spark, tmp_path, seed):
+    """The all-JVM tokenizer (regexp row/value split + sentinel unescape +
+    scanner fallback routing) must agree exactly with the Python
+    tokenizer on hostile data — both escape families, both quote chars,
+    parens/commas/semicolons in strings, NULL variants, malformed
+    statements."""
+    text, _ = _adversarial_dump(seed)
+    path = _write(tmp_path, f"adv{seed}.sql", text)
+    out = {}
+    for tok in ("python", "jvm"):
+        tables = read_sql_dump(spark, path, typed=False, dedup_pk=False,
+                               tokenizer=tok)
+        out[tok] = sorted(
+            (tuple(r) for r in tables["adv"].collect()),
+            key=lambda t: tuple((v is None, v) for v in t))
+    assert out["jvm"] == out["python"]
+    assert len(out["jvm"]) > 50  # the generator produced real rows
+
+
+def test_jvm_tokenizer_named_escapes_and_sentinel(spark, tmp_path):
+    """Named escapes map like the scanner (\\n \\t \\r \\0); data containing
+    the private-use sentinel char routes to the scanner and round-trips."""
+    sent = "\ue000"
+    dump = (
+        "CREATE TABLE t (a text, b text, PRIMARY KEY (a));\n"
+        "INSERT INTO t VALUES ('k1', 'a\\nb\\tc\\rd\\0e\\zf');\n"
+        f"INSERT INTO t VALUES ('k2', 'has {sent} sentinel');\n"
+    )
+    path = _write(tmp_path, "sent.sql", dump)
+    rows = {r.a: r.b for r in
+            read_sql_dump(spark, path, typed=False, dedup_pk=False)["t"].collect()}
+    assert rows["k1"] == "a\nb\tc\rd\x00ezf"  # \z -> literal z
+    assert rows["k2"] == f"has {sent} sentinel"
+
+
+def test_python_tokenizer_all_rows_arity_filtered(spark, tmp_path):
+    """A partition whose INSERTs all fail the arity check must yield an
+    empty, correctly-typed batch (regression: empty float64 pandas
+    columns broke the Arrow cast to list<string>)."""
+    dump = (
+        "CREATE TABLE t (a text, b text, PRIMARY KEY (a));\n"
+        "INSERT INTO t VALUES ('only', 'two', 'but-three-values');\n"
+    )
+    path = _write(tmp_path, "empty.sql", dump)
+    for tok in ("python", "jvm"):
+        assert read_sql_dump(spark, path, tokenizer=tok)["t"].count() == 0
