@@ -38,7 +38,11 @@ def get_spark(app_name: str = "database_syncer_spark",
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.shuffle.spill.compress", "true")
         .config("spark.ui.enabled", "false")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # Local mode runs executors inside the driver JVM, so this IS the
+        # executor heap; 8g forced GC churn + shuffle spill from ~30M-row
+        # sync jobs (measured superlinear 15M->30M scaling). Leave room
+        # for 32 Python workers + page cache on a 128GiB box.
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
