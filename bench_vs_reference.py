@@ -36,6 +36,13 @@ def main() -> None:
         "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
     ap.add_argument("--scale", type=int, default=1,
                     help="replicate orders N x with shifted keys")
+    ap.add_argument("--work", default=None,
+                    help="reusable work dir: dumps already present there "
+                         "are reused instead of re-rendered")
+    ap.add_argument("--render-only", action="store_true",
+                    help="render the dump pair into --work and exit")
+    ap.add_argument("--skip-reference", action="store_true",
+                    help="time only the engine side")
     args = ap.parse_args()
 
     from pyspark.sql import functions as F
@@ -48,32 +55,47 @@ def main() -> None:
     spark = get_spark("bench_vs_reference")
     spark.sparkContext.setLogLevel("ERROR")
 
-    work = tempfile.mkdtemp(prefix="dss_refbench_")
+    work = args.work or tempfile.mkdtemp(prefix="dss_refbench_")
+    os.makedirs(work, exist_ok=True)
     prod_path = os.path.join(work, "prod.sql")
     backup_path = os.path.join(work, "backup.sql")
+    rows_path = os.path.join(work, "n_rows.txt")
 
-    orders = load_table(spark, args.sf_dir, "orders")
-    if args.scale > 1:
-        base = orders
-        for i in range(1, args.scale):
-            orders = orders.unionByName(base.withColumn(
-                "o_orderkey", F.col("o_orderkey") + F.lit(i * 1_000_000_000)))
-    n_rows = orders.count()
-    write_sql_dump(orders, "orders", ["o_orderkey"], prod_path)
-    write_sql_dump(derive_backup(orders, "o_orderkey", "o_totalprice"),
-                   "orders", ["o_orderkey"], backup_path)
+    if os.path.exists(prod_path) and os.path.exists(backup_path) and \
+            os.path.exists(rows_path):
+        with open(rows_path) as fh:
+            n_rows = int(fh.read().strip())
+    else:
+        orders = load_table(spark, args.sf_dir, "orders")
+        if args.scale > 1:
+            base = orders
+            for i in range(1, args.scale):
+                orders = orders.unionByName(base.withColumn(
+                    "o_orderkey",
+                    F.col("o_orderkey") + F.lit(i * 1_000_000_000)))
+        n_rows = orders.count()
+        write_sql_dump(orders, "orders", ["o_orderkey"], prod_path)
+        write_sql_dump(derive_backup(orders, "o_orderkey", "o_totalprice"),
+                       "orders", ["o_orderkey"], backup_path)
+        with open(rows_path, "w") as fh:
+            fh.write(str(n_rows))
+    if args.render_only:
+        print(json.dumps({"rendered": work, "rows_per_side": n_rows}))
+        return
 
     # --- reference, single node ------------------------------------------
-    t0 = time.perf_counter()
-    ref = subprocess.run(
-        [sys.executable, REFERENCE, prod_path, backup_path,
-         os.path.join(work, "ref_out.sql")],
-        capture_output=True, text=True, cwd=work)
-    ref_sec = round(time.perf_counter() - t0, 3)
-    if ref.returncode != 0:
-        print(json.dumps({"error": "reference failed",
-                          "stderr": ref.stderr[-400:]}))
-        return
+    ref_sec = None
+    if not args.skip_reference:
+        t0 = time.perf_counter()
+        ref = subprocess.run(
+            [sys.executable, REFERENCE, prod_path, backup_path,
+             os.path.join(work, "ref_out.sql")],
+            capture_output=True, text=True, cwd=work)
+        ref_sec = round(time.perf_counter() - t0, 3)
+        if ref.returncode != 0:
+            print(json.dumps({"error": "reference failed",
+                              "stderr": ref.stderr[-400:]}))
+            return
 
     # --- this engine ------------------------------------------------------
     # Session infrastructure is excluded from the timing on BOTH sides: the
@@ -95,7 +117,8 @@ def main() -> None:
         "n_changes": n_changes,
         "reference_sec": ref_sec,
         "spark_sec": spark_sec,
-        "speedup": round(ref_sec / spark_sec, 2) if spark_sec else None,
+        "speedup": (round(ref_sec / spark_sec, 2)
+                    if spark_sec and ref_sec is not None else None),
         "sf_dir": args.sf_dir,
     }))
 

@@ -629,7 +629,15 @@ def read_sql_dump_with_schemas(
             "table string, vals array<string>, seq_hi long, seq_lo long",
         )
     # One pass over the parsed rows serves every table; per-table filter +
-    # positional cast is pure Catalyst from here.
+    # positional cast is pure Catalyst from here. With several tables the
+    # per-table frames are independent consumers of the same parse
+    # lineage, so persist it once — otherwise each table's first action
+    # re-reads and re-tokenizes the whole dump (the reference parses the
+    # file once for all tables, sync.py:29-72; so do we).
+    if len(schemas) > 1:
+        from pyspark import StorageLevel
+
+        parsed = parsed.persist(StorageLevel.MEMORY_AND_DISK)
     out: dict[str, DataFrame] = {}
     for name, ts in schemas.items():
         rows = parsed.where(F.col("table") == name)
