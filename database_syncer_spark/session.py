@@ -6,8 +6,9 @@ is correct on a real cluster:
 - AQE on: runtime shuffle-partition coalescing, skew-join splitting, and
   dynamic join-strategy switching (sort-merge -> broadcast) replace any
   hand-tuning at 100x data.
-- shuffle.partitions sized to local cores; on a cluster AQE coalesces from
-  a higher initial number, so code never depends on the exact value.
+- shuffle.partitions defaults to local cores; data-heavy entry points
+  raise it to match their input volume and AQE coalesces down per query,
+  so code never depends on the exact value.
 - Session timezone pinned to UTC so timestamp semantics match the DuckDB
   oracle (DuckDB timestamps are UTC-naive).
 - Arrow enabled: every pandas_udf / applyInPandas / mapInPandas transfer is
@@ -26,6 +27,11 @@ def get_spark(app_name: str = "database_syncer_spark",
     """Build (or reuse) the SparkSession used by the engine and tests."""
     cpus = os.environ.get("SPARK_GRAFT_CPUS") or os.cpu_count() or 4
     if shuffle_partitions is None:
+        # Core-count default suits the small/medium queries; the big-data
+        # paths (sync_dumps) raise it to match their input volume — AQE
+        # can merge small shuffle partitions but never split beyond this
+        # number, so a too-low value silently spills wide hash
+        # aggregations (see _size_shuffle_partitions in sources/dump.py).
         shuffle_partitions = int(os.environ.get("SPARK_GRAFT_SHUFFLE", cpus))
     builder = (
         SparkSession.builder.master(f"local[{cpus}]")
