@@ -30,7 +30,10 @@ SECTION_RANK = {DELETE: 2, UPDATE: 3, INSERT: 4}  # DROP=0, CREATE=1 are DDL
 def sql_literal(col: Column, dtype: T.DataType) -> Column:
     """Render a typed column as a SQL literal string column (JVM-side)."""
     if isinstance(dtype, T.StringType):
-        lit = F.concat(F.lit("'"), F.regexp_replace(col, "'", "''"), F.lit("'"))
+        # F.replace is a literal substring swap (no Java regex compile /
+        # match per value — measurably cheaper than regexp_replace on
+        # millions of rendered rows).
+        lit = F.concat(F.lit("'"), F.replace(col, F.lit("'"), F.lit("''")), F.lit("'"))
     elif isinstance(dtype, (T.TimestampType, T.TimestampNTZType, T.DateType)):
         lit = F.concat(F.lit("'"), F.date_format(col, "yyyy-MM-dd HH:mm:ss.SSSSSS"), F.lit("'"))
     elif isinstance(dtype, T.BooleanType):

@@ -116,3 +116,32 @@ def test_last_wins_dedup_matches_window_form(spark, sf_dir):
     win_form = win_row_number_dedup(spark, sf_dir)
     assert agg_form.exceptAll(win_form).count() == 0
     assert win_form.exceptAll(agg_form).count() == 0
+
+
+def test_fused_diff_matches_unfused(spark):
+    """snapshot_diff_fused ≡ dedup_last_wins-per-side + snapshot_diff,
+    including duplicate-PK last-wins resolution and NULL value columns."""
+    from database_syncer_spark.core.diff import (
+        dedup_last_wins, snapshot_diff, snapshot_diff_fused)
+
+    prod = spark.createDataFrame(
+        [(1, 0, "a"), (2, 0, "stale"), (2, 1, "b"), (3, 0, None),
+         (4, 0, "same"), (5, 0, "ins")],
+        "id int, __seq int, val string",
+    )
+    backup = spark.createDataFrame(
+        [(1, 0, "a-old"), (2, 0, "b"), (3, 0, None),
+         (4, 0, "same"), (6, 0, "del")],
+        "id int, __seq int, val string",
+    )
+    fused = snapshot_diff_fused(prod, backup, ["id"], order_cols=["__seq"])
+    base = snapshot_diff(
+        dedup_last_wins(prod, ["id"], ["__seq"]).drop("__seq"),
+        dedup_last_wins(backup, ["id"], ["__seq"]).drop("__seq"),
+        ["id"])
+    assert fused.columns == base.columns
+    assert sorted(map(tuple, fused.collect())) == \
+        sorted(map(tuple, base.collect()))
+    # NULL == NULL is unchanged (id=3), identical rows drop out (id=4)
+    got = {(r.id, r.change_type) for r in fused.collect()}
+    assert got == {(1, "UPDATE"), (5, "INSERT"), (6, "DELETE")}
