@@ -12,6 +12,15 @@ Two paths:
   bucket in ANY of T tables, exact re-rank of candidates only. At 100 TB
   the bucket id is also the partitioning key, so a query touches one
   partition per table instead of the full corpus.
+- ivf_ann_topk: inverted-file (IVF) partitioning. Deterministic seed
+  centroids + one Lloyd refinement (all JVM-side: assignment is an argmax
+  over C dot-product expressions, the per-cell mean is one groupBy with
+  per-dimension F.sum — no explode, no Python). Queries probe their
+  n_probe nearest cells; candidates = corpus rows in those cells; exact
+  re-rank. At 100 TB the cell id is the storage partitioning key
+  (write .partitionBy("cell")), so a probe reads n_probe/n_cells of the
+  corpus instead of all of it. Centroid state is C×dim floats — driver-
+  side model state, broadcast to executors (same shape as MLlib KMeans).
 """
 
 from __future__ import annotations
@@ -110,6 +119,97 @@ def lsh_ann_topk(embeddings: DataFrame, n_queries: int = 10, k: int = 10,
         .select("query_id", "q_emb", "q_nrm", "vec_id", "embedding", "nrm")
         .dropDuplicates(["query_id", "vec_id"])
     )
+    cos = F.round(_dot("q_emb", "embedding") / (F.col("q_nrm") * F.col("nrm")), 6)
+    w = W.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        cand.select("query_id", F.col("vec_id").alias("neighbor_id"),
+                    cos.alias("cosine"))
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )
+
+
+def _nearest_cells_expr(centroids: list[list[float]], n_probe: int):
+    """(cell_of_row, top-n_probe cells) from C dot products against unit
+    centroids — a single codegen'd expression, no UDF.
+
+    Cosine argmax == dot-product argmax because the centroids are
+    L2-normalized at build time (the row's own norm is a positive
+    constant across cells)."""
+    dots = F.array(*[
+        _dot(F.col("embedding"), F.array(*[F.lit(v) for v in c]))
+        for c in centroids
+    ])
+    # sort_array of (dot, cell) structs descending == probe order
+    ranked = F.sort_array(
+        F.transform(dots, lambda d, i: F.struct(d.alias("dot"), i.alias("cell"))),
+        asc=False)
+    top = F.slice(ranked, 1, n_probe)
+    return (
+        F.element_at(top, 1)["cell"].alias("cell"),
+        F.transform(top, lambda s: s["cell"]).alias("probe_cells"),
+    )
+
+
+def _normalize(vec: list[float]) -> list[float]:
+    import math
+    n = math.sqrt(sum(v * v for v in vec)) or 1.0
+    return [v / n for v in vec]
+
+
+def train_ivf_centroids(embeddings: DataFrame, n_cells: int = 16,
+                        dim: int = 64, lloyd_iters: int = 1) -> list[list[float]]:
+    """Deterministic IVF centroids: seeds = the n_cells corpus vectors with
+    the smallest xxhash64(vec_id) (a uniform, order-independent sample),
+    then ``lloyd_iters`` refinement passes. Each pass is one shuffle:
+    groupBy(cell) with per-dimension F.sum — 2×C×dim doubles cross the
+    wire, independent of corpus size. Centroid state (C×dim floats) lives
+    on the driver like any broadcast model."""
+    seeds = (embeddings
+             .orderBy(F.xxhash64("vec_id"), "vec_id")
+             .limit(n_cells)
+             .select("embedding")
+             .collect())
+    centroids = [_normalize([float(v) for v in r.embedding]) for r in seeds]
+    for _ in range(lloyd_iters):
+        cell, _probe = _nearest_cells_expr(centroids, 1)
+        sums = (embeddings
+                .select(cell, "embedding")
+                .groupBy("cell")
+                .agg(F.count("*").alias("n"),
+                     *[F.sum(F.col("embedding")[i].cast("double")).alias(f"s{i}")
+                       for i in range(dim)])
+                .collect())
+        new = list(centroids)
+        for r in sums:
+            new[r.cell] = _normalize([r[f"s{i}"] / r.n for i in range(dim)])
+        centroids = new
+    return centroids
+
+
+def ivf_ann_topk(embeddings: DataFrame, n_queries: int = 10, k: int = 10,
+                 n_cells: int = 16, n_probe: int = 4,
+                 dim: int = 64) -> DataFrame:
+    """Approximate top-k via IVF cells: assign corpus rows to their nearest
+    centroid, probe each query's n_probe nearest cells, exact re-rank of
+    the candidates. Same output schema as brute_force_topk.
+
+    Scale path: persist the corpus partitioned by cell
+    (df.write.partitionBy("cell")) so a probe prunes to n_probe/n_cells of
+    the data at the parquet-scan level; the candidate join below then
+    shuffles only candidates, never the corpus."""
+    centroids = train_ivf_centroids(embeddings, n_cells=n_cells, dim=dim)
+    cell, probe_cells = _nearest_cells_expr(centroids, n_probe)
+    e = embeddings.select(
+        "vec_id", "embedding", _norm(F.col("embedding")).alias("nrm"), cell)
+    q = (embeddings.where(F.col("vec_id") < n_queries)
+         .select(F.col("vec_id").alias("query_id"),
+                 F.col("embedding").alias("q_emb"),
+                 _norm(F.col("embedding")).alias("q_nrm"),
+                 F.explode(probe_cells).alias("cell")))
+    cand = (F.broadcast(q).join(e, "cell")
+            .where(F.col("vec_id") != F.col("query_id")))
     cos = F.round(_dot("q_emb", "embedding") / (F.col("q_nrm") * F.col("nrm")), 6)
     w = W.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id"))

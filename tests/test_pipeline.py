@@ -107,6 +107,51 @@ def test_lsh_ann_recall(spark, sf_dir):
             assert abs(r.cosine - exact_cos[(r.query_id, r.neighbor_id)]) < 1e-9
 
 
+def test_ivf_ann_recall(spark, sf_dir):
+    from database_syncer_spark.pipeline.similarity import ivf_ann_topk
+
+    corpus = load_table(spark, sf_dir, "embeddings")
+    exact = brute_force_topk(corpus)
+    approx = ivf_ann_topk(corpus)
+    rows = approx.collect()
+    # schema parity with the exact path
+    assert approx.columns == ["query_id", "neighbor_id", "cosine", "rank"]
+    # each query returns at most k candidates, each from a probed cell
+    per_q = {}
+    for r in rows:
+        per_q.setdefault(r.query_id, []).append(r)
+    assert all(len(v) <= 10 for v in per_q.values())
+    true_sets = {}
+    for r in exact.collect():
+        true_sets.setdefault(r.query_id, set()).add(r.neighbor_id)
+    got_sets = {}
+    for r in rows:
+        got_sets.setdefault(r.query_id, set()).add(r.neighbor_id)
+    recalls = [
+        len(true_sets[q] & got_sets.get(q, set())) / len(true_sets[q])
+        for q in true_sets
+    ]
+    # probing 4/16 cells on random data: recall well above the 25% mass scanned
+    assert sum(recalls) / len(recalls) >= 0.3
+    # ANN cosines are exact for retrieved pairs (re-rank is exact)
+    exact_cos = {(r.query_id, r.neighbor_id): r.cosine for r in exact.collect()}
+    for r in rows:
+        if (r.query_id, r.neighbor_id) in exact_cos:
+            assert abs(r.cosine - exact_cos[(r.query_id, r.neighbor_id)]) < 1e-9
+
+
+def test_ivf_centroids_deterministic(spark, sf_dir):
+    from database_syncer_spark.pipeline.similarity import train_ivf_centroids
+
+    corpus = load_table(spark, sf_dir, "embeddings")
+    a = train_ivf_centroids(corpus, n_cells=8)
+    b = train_ivf_centroids(corpus, n_cells=8)
+    assert a == b
+    # unit-normalized centroids
+    for c in a:
+        assert abs(sum(v * v for v in c) - 1.0) < 1e-9
+
+
 def test_langid_on_separable_corpus(spark):
     """The fixture's lang labels are random w.r.t. text, so accuracy is
     tested on a corpus whose languages genuinely differ in character
