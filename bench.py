@@ -8,8 +8,14 @@ Prints ONE JSON line:
 Each query is materialized through the built-in `noop` sink so the full
 plan executes on the executors (scan -> shuffle -> agg) without paying
 driver-side collect/serialization — the same discipline a cluster bench
-would use.  Timings are wall-clock per key, single run (the driver runs
-this per round; trend tracking happens across rounds, not within one).
+would use.  Per key: one untimed warmup execution, then one timed
+execution.  The warmup absorbs the per-plan one-time costs that belong
+to the JVM, not the engine — whole-stage-codegen Janino compilation and
+C2 JIT of the generated methods (measured 2-3x inflation on first
+execution at sf0.1, where the data itself is ~17 MB) — so the timed run
+measures steady-state plan execution, which is what scales to a real
+cluster.  The JSON line carries "methodology" so cross-round trend
+tracking knows what the numbers mean.
 
 Headline set: one key per engine area from SURVEY.md §2 — CDC diff
 (the reference's soul), star join, TPC-H-Q1-shape agg, window, set op,
@@ -79,6 +85,7 @@ def main() -> None:
         fn = queries.get(key)
         if fn is None:
             continue
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()  # warmup
         t0 = time.perf_counter()
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         timings[key] = round(time.perf_counter() - t0, 3)
@@ -90,6 +97,7 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": sf,
+        "methodology": "noop-sink; per key: 1 warmup run, 1 timed run",
     }))
 
 
