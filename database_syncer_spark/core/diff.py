@@ -173,6 +173,71 @@ def snapshot_diff_fused(
     return agg.where(change.isNotNull()).select(*out_cols)
 
 
+def scd2_history(
+    prod: DataFrame,
+    backup: DataFrame,
+    pk_cols: list[str],
+    compare_cols: list[str] | None = None,
+    snapshot_ts: str = "2026-01-01 00:00:00",
+) -> DataFrame:
+    """Slowly-Changing-Dimension Type-2 projection of the snapshot diff.
+
+    The reference emits its diff as imperative SQL statements
+    (sync.py:304-437); a warehouse instead *appends* the same information
+    as versioned history rows. For every changed key this emits:
+
+    - UPDATE: the backup pre-image CLOSED (``valid_to = snapshot_ts``,
+      ``is_current = false``) and the production post-image OPENED
+      (``valid_from = snapshot_ts``, ``is_current = true``);
+    - INSERT: the post-image opened;
+    - DELETE: the pre-image closed.
+
+    One full-outer join on PK (same single shuffle as ``snapshot_diff``)
+    followed by an ``inline`` over a 0-2 element struct array — no second
+    pass, no window. ``snapshot_ts`` is a caller-supplied literal so the
+    output is deterministic and oracle-checkable. ``valid_from`` of a
+    pre-image row is NULL (its open date lives in the previous history
+    increment, not in this snapshot pair).
+    """
+    if compare_cols is None:
+        compare_cols = [c for c in prod.columns if c not in pk_cols]
+
+    p = prod.select(pk_cols + compare_cols).alias("p")
+    b = backup.select(pk_cols + compare_cols).alias("b")
+    on = [F.col(f"p.{c}").eqNullSafe(F.col(f"b.{c}")) for c in pk_cols]
+    joined = p.join(b, on, "full_outer")
+
+    in_prod = F.col(f"p.{pk_cols[0]}").isNotNull()
+    in_backup = F.col(f"b.{pk_cols[0]}").isNotNull()
+    changed = ~_ns_eq(compare_cols)
+    change = (
+        F.when(in_prod & ~in_backup, F.lit(INSERT))
+        .when(~in_prod & in_backup, F.lit(DELETE))
+        .when(changed, F.lit(UPDATE))
+    )
+    snap = F.lit(snapshot_ts).cast("timestamp_ntz")
+    null_ts = F.lit(None).cast("timestamp_ntz")
+
+    def image(side: str, is_current: bool):
+        return F.struct(
+            *[F.col(f"{side}.{c}").alias(c) for c in compare_cols],
+            F.lit(is_current).alias("is_current"),
+            (snap if is_current else null_ts).alias("valid_from"),
+            (null_ts if is_current else snap).alias("valid_to"),
+        )
+
+    versions = F.array_compact(F.array(
+        F.when(change.isin(UPDATE, DELETE), image("b", False)),
+        F.when(change.isin(UPDATE, INSERT), image("p", True)),
+    ))
+    pk_out = [F.coalesce(F.col(f"p.{c}"), F.col(f"b.{c}")).alias(c)
+              for c in pk_cols]
+    return (
+        joined.where(change.isNotNull())
+        .select(*pk_out, change.alias(CHANGE_TYPE), F.inline(versions))
+    )
+
+
 def dedup_last_wins(df: DataFrame, pk_cols: list[str],
                     order_cols: str | list[str]) -> DataFrame:
     """Keep one row per PK: the one greatest under ``order_cols``

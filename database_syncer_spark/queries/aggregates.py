@@ -111,6 +111,28 @@ def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """)
 
 
+def agg_time_bucket_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style continuous-aggregate rollup: hour- AND day-grain
+    time buckets per event_type in ONE pass via GROUPING SETS (one
+    shuffle; Catalyst expands the sets map-side). ``bucket_hour`` is NULL
+    on day-grain rows. The measure sums through decimal so the value is
+    independent of partition/merge order (doubles are not associative)."""
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("v_events_tb")
+    return spark.sql("""
+        WITH e AS (
+          SELECT date_trunc('DAY', ts) AS bucket_day,
+                 date_trunc('HOUR', ts) AS bucket_hour,
+                 event_type, CAST(value AS DECIMAL(18,4)) AS v
+          FROM v_events_tb
+        )
+        SELECT bucket_day, bucket_hour, event_type,
+               count(*) AS n_events, CAST(sum(v) AS DOUBLE) AS sum_value
+        FROM e
+        GROUP BY GROUPING SETS ((bucket_day, bucket_hour, event_type),
+                                (bucket_day, event_type))
+    """)
+
+
 def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pivot change-type-style stats into columns (ref stats dict shape,
     sync.py:294-300)."""
@@ -176,6 +198,7 @@ QUERIES = {
     "agg_rollup": agg_rollup,
     "agg_cube": agg_cube,
     "agg_grouping_sets": agg_grouping_sets,
+    "agg_time_bucket_rollup": agg_time_bucket_rollup,
     "agg_pivot": agg_pivot,
     "win_rank_topn_per_group": win_rank_topn_per_group,
     "win_running_sum": win_running_sum,
@@ -225,6 +248,19 @@ FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
     "agg_cube": """
 SELECT l_returnflag, l_linestatus, count(*) AS n, sum(l_quantity) AS sum_qty
 FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+""",
+    "agg_time_bucket_rollup": """
+WITH e AS (
+  SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket_day,
+         date_trunc('hour', ts) AS bucket_hour,
+         event_type, CAST(value AS DECIMAL(18,4)) AS v
+  FROM events
+)
+SELECT bucket_day, bucket_hour, event_type,
+       count(*) AS n_events, CAST(sum(v) AS DOUBLE) AS sum_value
+FROM e
+GROUP BY GROUPING SETS ((bucket_day, bucket_hour, event_type),
+                        (bucket_day, event_type))
 """,
     "agg_grouping_sets": """
 SELECT l_returnflag, l_linestatus, count(*) AS n

@@ -11,7 +11,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from database_syncer_spark.catalog import load_table
-from database_syncer_spark.core.diff import dedup_last_wins, diff_stats, snapshot_diff
+from database_syncer_spark.core.diff import (
+    dedup_last_wins, diff_stats, scd2_history, snapshot_diff)
 from database_syncer_spark.core.script import generate_sync_script
 from database_syncer_spark.core.snapshots import derive_backup, derive_backup_sql
 
@@ -55,6 +56,18 @@ def win_row_number_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("__rn") == 1)
     )
     return out.select("user_id", "event_id", "ts", "event_type")
+
+
+_SCD2_TS = "2026-01-01 00:00:00"
+
+
+def diff_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 history rows from the snapshot pair: the warehouse-append
+    consumption of the reference's diff (vs the imperative script of
+    sink_sync_script)."""
+    prod, backup = _snapshot_pair(spark, sf_dir)
+    return scd2_history(prod, backup, pk_cols=["o_orderkey"],
+                        snapshot_ts=_SCD2_TS)
 
 
 def sink_sync_script(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -112,9 +125,42 @@ WHERE b.o_orderkey IS NULL OR p.o_orderkey IS NULL OR NOT ({unchanged})
 """
 
 
+def _scd2_sql() -> str:
+    p_cols = ",\n         ".join(f"p.{c} AS p_{c}" for c in _NON_PK)
+    b_cols = ",\n         ".join(f"b.{c} AS b_{c}" for c in _NON_PK)
+    unchanged = " AND ".join(
+        f"p.{c} IS NOT DISTINCT FROM b.{c}" for c in _NON_PK
+    )
+    pre = ", ".join(f"b_{c} AS {c}" for c in _NON_PK)
+    post = ", ".join(f"p_{c} AS {c}" for c in _NON_PK)
+    ts = f"TIMESTAMP '{_SCD2_TS}'"
+    return f"""
+WITH backup AS ({_backup_cte()}),
+j AS (
+  SELECT p.o_orderkey AS p_pk, b.o_orderkey AS b_pk,
+         {p_cols},
+         {b_cols},
+         CASE WHEN b.o_orderkey IS NULL THEN 'INSERT'
+              WHEN p.o_orderkey IS NULL THEN 'DELETE'
+              WHEN NOT ({unchanged}) THEN 'UPDATE' END AS change_type
+  FROM orders p FULL OUTER JOIN backup b ON p.o_orderkey = b.o_orderkey
+)
+SELECT coalesce(p_pk, b_pk) AS o_orderkey, change_type, {pre},
+       FALSE AS is_current, CAST(NULL AS TIMESTAMP) AS valid_from,
+       {ts} AS valid_to
+FROM j WHERE change_type IN ('UPDATE', 'DELETE')
+UNION ALL
+SELECT coalesce(p_pk, b_pk) AS o_orderkey, change_type, {post},
+       TRUE AS is_current, {ts} AS valid_from,
+       CAST(NULL AS TIMESTAMP) AS valid_to
+FROM j WHERE change_type IN ('UPDATE', 'INSERT')
+"""
+
+
 QUERIES = {
     "diff_cdc_fullouter": diff_cdc_fullouter,
     "diff_stats_by_type": diff_stats_by_type,
+    "diff_scd2_history": diff_scd2_history,
     "win_row_number_dedup": win_row_number_dedup,
     "sink_sync_script": sink_sync_script,  # rows-only (SQL text output)
     "sink_cdc_table": sink_cdc_table,
@@ -122,6 +168,7 @@ QUERIES = {
 
 ORACLES = {
     "diff_cdc_fullouter": _diff_sql(),
+    "diff_scd2_history": _scd2_sql(),
     "diff_stats_by_type": (
         f"SELECT change_type, count(*) AS n FROM ({_diff_sql()}) GROUP BY change_type"
     ),

@@ -715,7 +715,8 @@ _SPARK_TO_MYSQL = {
 
 
 def write_sql_dump(df: DataFrame, table: str, pk_cols: list[str], path: str,
-                   rows_per_insert: int = 100) -> None:
+                   rows_per_insert: int = 100,
+                   complete_insert: bool = True) -> None:
     """Render a DataFrame as a mysqldump-style SQL file — distributed.
 
     Value tuples are rendered by the same JVM-side literal expressions as
@@ -724,7 +725,15 @@ def write_sql_dump(df: DataFrame, table: str, pk_cols: list[str], path: str,
     as distributed text, then the part files are streamed into the final
     single file with O(1) driver memory. Statement order across
     partitions is arbitrary — fine for a snapshot dump, whose rows are
-    PK-unique by construction."""
+    PK-unique by construction.
+
+    ``complete_insert`` (default) emits the column list on every INSERT
+    (mysqldump's ``--complete-insert``). The reference parser REQUIRES
+    the column list — its INSERT regex is
+    ``INSERT INTO `t` (cols) VALUES`` (sync.py:55) — and silently parses
+    ZERO records from column-list-free dumps (mysqldump's default form,
+    and ironically also the form the reference itself re-emits,
+    sync.py:69). Our ingest accepts both forms (_INSERT_RE)."""
     import glob as _glob
     import shutil
     import tempfile
@@ -734,6 +743,11 @@ def write_sql_dump(df: DataFrame, table: str, pk_cols: list[str], path: str,
     dtypes = {f.name: f.dataType for f in df.schema.fields}
     lits = [sql_literal(F.col(c), dtypes[c]) for c in df.columns]
     rendered = df.select(F.concat_ws(", ", *lits).alias("r"))
+    col_list = (
+        " (" + ", ".join(f"`{c}`" for c in df.columns) + ")"
+        if complete_insert else ""
+    )
+    head = f"INSERT INTO `{table}`{col_list} VALUES\n"
 
     def to_statements(batches):
         import pandas as pd
@@ -744,14 +758,12 @@ def write_sql_dump(df: DataFrame, table: str, pk_cols: list[str], path: str,
             for r in pdf["r"]:
                 buf.append(f"({r})")
                 if len(buf) == rows_per_insert:
-                    out.append(
-                        f"INSERT INTO `{table}` VALUES\n" + ",\n".join(buf) + ";")
+                    out.append(head + ",\n".join(buf) + ";")
                     buf = []
             if out:
                 yield pd.DataFrame({"s": out})
         if buf:
-            yield pd.DataFrame(
-                {"s": [f"INSERT INTO `{table}` VALUES\n" + ",\n".join(buf) + ";"]})
+            yield pd.DataFrame({"s": [head + ",\n".join(buf) + ";"]})
 
     col_defs = []
     for f in df.schema.fields:

@@ -145,3 +145,28 @@ def test_fused_diff_matches_unfused(spark):
     # NULL == NULL is unchanged (id=3), identical rows drop out (id=4)
     got = {(r.id, r.change_type) for r in fused.collect()}
     assert got == {(1, "UPDATE"), (5, "INSERT"), (6, "DELETE")}
+
+
+def test_scd2_history_semantics(spark):
+    """UPDATE -> closed pre-image + open post-image; INSERT -> open only;
+    DELETE -> closed only; unchanged rows emit nothing."""
+    from database_syncer_spark.core.diff import scd2_history
+
+    prod = spark.createDataFrame(
+        [(1, "new"), (2, "same"), (4, "ins")], "id int, val string")
+    backup = spark.createDataFrame(
+        [(1, "old"), (2, "same"), (3, "del")], "id int, val string")
+    hist = scd2_history(prod, backup, ["id"], snapshot_ts="2026-01-01 00:00:00")
+    rows = {(r.id, r.is_current): r for r in hist.collect()}
+    assert set(rows) == {(1, False), (1, True), (4, True), (3, False)}
+    # update: pre-image closed at the snapshot, post-image opened at it
+    assert rows[(1, False)].val == "old"
+    assert rows[(1, False)].valid_to is not None
+    assert rows[(1, False)].valid_from is None
+    assert rows[(1, True)].val == "new"
+    assert rows[(1, True)].valid_from is not None
+    assert rows[(1, True)].valid_to is None
+    # insert opens, delete closes
+    assert rows[(4, True)].change_type == "INSERT"
+    assert rows[(3, False)].change_type == "DELETE"
+    assert rows[(3, False)].val == "del"
