@@ -15,6 +15,18 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def _ltz_event_time(df: DataFrame, col: str = "ts") -> DataFrame:
+    """Coerce the event-time column to TIMESTAMP (LTZ) for watermarking.
+
+    Parquet fixtures may carry TIMESTAMP_NTZ, which EventTimeWatermark
+    rejects. The session timezone is pinned to UTC (session.py), so the
+    cast is wall-clock-identical."""
+    if isinstance(df.schema[col].dataType, T.TimestampNTZType):
+        df = df.withColumn(col, F.col(col).cast("timestamp"))
+    return df
 
 
 def tumbling_agg(events: DataFrame) -> DataFrame:
@@ -67,7 +79,7 @@ def watermarked_tumbling(events: DataFrame, watermark: str = "10 minutes") -> Da
     the oracle is the plain tumbling aggregation."""
     w = F.window("ts", "10 minutes")
     return (
-        events.withWatermark("ts", watermark)
+        _ltz_event_time(events).withWatermark("ts", watermark)
         .groupBy(w, "event_type")
         .agg(F.count("*").alias("n"))
         .select(F.col("window.start").alias("window_start"), "event_type", "n")
@@ -82,7 +94,7 @@ def stream_distinct(events: DataFrame, watermark: str | None = None) -> DataFram
     """
     df = events
     if watermark is not None:
-        df = df.withWatermark("ts", watermark)
+        df = _ltz_event_time(df).withWatermark("ts", watermark)
         return df.select("user_id", "event_type", "ts").dropDuplicatesWithinWatermark(
             ["user_id", "event_type"]).drop("ts")
     return df.select("user_id", "event_type").dropDuplicates()
