@@ -8,14 +8,16 @@ Prints ONE JSON line:
 Each query is materialized through the built-in `noop` sink so the full
 plan executes on the executors (scan -> shuffle -> agg) without paying
 driver-side collect/serialization — the same discipline a cluster bench
-would use.  Per key: one untimed warmup execution, then one timed
-execution.  The warmup absorbs the per-plan one-time costs that belong
-to the JVM, not the engine — whole-stage-codegen Janino compilation and
-C2 JIT of the generated methods (measured 2-3x inflation on first
-execution at sf0.1, where the data itself is ~17 MB) — so the timed run
-measures steady-state plan execution, which is what scales to a real
-cluster.  The JSON line carries "methodology" so cross-round trend
-tracking knows what the numbers mean.
+would use.  Per key: two untimed warmup executions, then the MEDIAN of
+three timed executions.  The warmups absorb the per-plan one-time costs
+that belong to the JVM, not the engine — whole-stage-codegen Janino
+compilation and C2 JIT of the generated methods (measured on the CDC
+diff at sf0.1: 6.2s first execution, 1.4s second, ~0.8s steady state —
+one warmup still over-reports by ~1.6x) — and the median rejects
+page-cache-cold first touches and GC outliers, so the reported number
+is steady-state plan execution, which is what scales to a real cluster.
+The JSON line carries "methodology" so cross-round trend tracking knows
+what the numbers mean.
 
 Headline set: one key per engine area from SURVEY.md §2 — CDC diff
 (the reference's soul), star join, TPC-H-Q1-shape agg, window, set op,
@@ -85,10 +87,14 @@ def main() -> None:
         fn = queries.get(key)
         if fn is None:
             continue
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()  # warmup
-        t0 = time.perf_counter()
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[key] = round(time.perf_counter() - t0, 3)
+
+        def run() -> float:
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            return time.perf_counter() - t0
+
+        run(); run()  # warmups: codegen/JIT + page cache
+        timings[key] = round(sorted(run() for _ in range(3))[1], 3)
 
     total = round(sum(timings.values()), 3)
     print(json.dumps({
@@ -97,7 +103,7 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": sf,
-        "methodology": "noop-sink; per key: 1 warmup run, 1 timed run",
+        "methodology": "noop-sink; per key: 2 warmup runs, median of 3 timed runs",
     }))
 
 

@@ -310,22 +310,18 @@ def connected_components(edges: DataFrame, src: str = "doc_a",
 # --- embedding cosine near-dup ---------------------------------------------------
 
 def embedding_near_dup(embeddings: DataFrame, threshold: float = 0.9,
-                       block_col: str = "label") -> DataFrame:
+                       block_col: str = "label", dim: int = 64) -> DataFrame:
     """Vector near-dup within blocking keys (label here; at 100 TB the
     block is an LSH bucket or IVF cell — see similarity.py). Cosine in
-    exact double arithmetic, built-in zip_with/aggregate."""
-    def norm(col):
-        return F.sqrt(F.aggregate(
-            col, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")))
+    exact double arithmetic, unrolled over dim so the whole pair scan
+    stays in whole-stage codegen (pipeline/vector.py)."""
+    from database_syncer_spark.pipeline import vector as V
 
     e = embeddings.select(
         "vec_id", F.col(block_col).alias("block"), "embedding",
-        norm(F.col("embedding")).alias("nrm"))
+        V.norm("embedding", dim).alias("nrm"))
     a, b = e.alias("a"), e.alias("b")
-    dot = F.aggregate(
-        F.zip_with("a.embedding", "b.embedding",
-                   lambda x, y: x.cast("double") * y.cast("double")),
-        F.lit(0.0), lambda acc, x: acc + x)
+    dot = V.dot("a.embedding", "b.embedding", dim)
     cos = dot / (F.col("a.nrm") * F.col("b.nrm"))
     return (
         a.join(b, "block")

@@ -69,9 +69,10 @@ def extract_features(with_payload: DataFrame) -> DataFrame:
 def multimodal_join(documents: DataFrame, embeddings: DataFrame) -> DataFrame:
     """Mixed text + vector + scalar table: documents ⋈ embeddings with
     array math on the vector column (all built-in exprs)."""
+    from database_syncer_spark.pipeline import vector as V
+
     emb = F.col("embedding")
-    l2sq = F.aggregate(
-        emb, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double"))
+    l2sq = V.norm_sq(emb, 64)
     return (
         documents.join(
             embeddings, documents.doc_id == embeddings.vec_id, "inner")

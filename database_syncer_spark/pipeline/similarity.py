@@ -4,9 +4,9 @@ sim_topk_cosine / sim_lsh_ann; PAPERS.md top-k similarity corpus).
 Two paths:
 
 - brute_force_topk: exact cosine top-k. The query set broadcasts; the
-  corpus streams through one codegen'd pass (zip_with dot product) and a
-  per-query top-k window. Correct at any scale but O(Q×N) — the baseline
-  and the verifier for the approximate path.
+  corpus streams through one codegen'd pass (unrolled dot product,
+  pipeline/vector.py) and a per-query top-k window. Correct at any scale
+  but O(Q×N) — the baseline and the verifier for the approximate path.
 - lsh_ann_topk: random-hyperplane LSH. Deterministic hyperplanes (hash-
   seeded, no RNG), bucket ids for corpus and queries, candidates = same
   bucket in ANY of T tables, exact re-rank of candidates only. At 100 TB
@@ -31,31 +31,24 @@ import struct
 from pyspark.sql import DataFrame, Window as W
 from pyspark.sql import functions as F
 
-
-def _dot(a, b):
-    return F.aggregate(
-        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
-        F.lit(0.0), lambda acc, x: acc + x)
-
-
-def _norm(col):
-    return F.sqrt(F.aggregate(
-        col, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")))
+from database_syncer_spark.pipeline import vector as V
 
 
 def brute_force_topk(embeddings: DataFrame, n_queries: int = 10,
-                     k: int = 10) -> DataFrame:
+                     k: int = 10, dim: int = 64) -> DataFrame:
     """Exact top-k cosine neighbors for the first ``n_queries`` vectors.
 
     Rank on round(cosine, 6) with vec_id tie-break so ordering is stable
-    across engines and shuffle orders."""
-    e = embeddings.select("vec_id", "embedding", _norm(F.col("embedding")).alias("nrm"))
+    across engines and shuffle orders. The dot/norm expressions are
+    unrolled over ``dim`` (pipeline/vector.py) so the whole scan stays in
+    one whole-stage-codegen span."""
+    e = embeddings.select("vec_id", "embedding", V.norm("embedding", dim).alias("nrm"))
     q = (e.where(F.col("vec_id") < n_queries)
          .select(F.col("vec_id").alias("query_id"),
                  F.col("embedding").alias("q_emb"),
                  F.col("nrm").alias("q_nrm")))
     pairs = F.broadcast(q).crossJoin(e).where(F.col("vec_id") != F.col("query_id"))
-    cos = F.round(_dot("q_emb", "embedding") / (F.col("q_nrm") * F.col("nrm")), 6)
+    cos = F.round(V.dot("q_emb", "embedding", dim) / (F.col("q_nrm") * F.col("nrm")), 6)
     w = W.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id"))
     return (
@@ -81,11 +74,11 @@ def _hyperplanes(n_planes: int, dim: int, table: int) -> list[list[float]]:
 
 
 def _bucket_expr(planes: list[list[float]]):
-    """Bucket id = sign bits of the plane projections."""
+    """Bucket id = sign bits of the plane projections (constant-folded,
+    codegen'd dot products — no array literals, no lambdas)."""
     bucket = F.lit(0)
     for p, row in enumerate(planes):
-        plane = F.array(*[F.lit(v) for v in row])
-        proj = _dot(F.col("embedding"), plane)
+        proj = V.dot_lit("embedding", row)
         bucket = bucket + F.when(proj > 0, F.lit(1 << p)).otherwise(F.lit(0))
     return bucket
 
@@ -98,7 +91,7 @@ def lsh_ann_topk(embeddings: DataFrame, n_queries: int = 10, k: int = 10,
     Returns the same schema as brute_force_topk (rank within retrieved
     candidates); tests measure recall against the exact path."""
     e = embeddings.select("vec_id", "embedding",
-                          _norm(F.col("embedding")).alias("nrm"))
+                          V.norm("embedding", dim).alias("nrm"))
     per_table = []
     for t in range(n_tables):
         bucket = _bucket_expr(_hyperplanes(n_planes, dim, t))
@@ -119,7 +112,7 @@ def lsh_ann_topk(embeddings: DataFrame, n_queries: int = 10, k: int = 10,
         .select("query_id", "q_emb", "q_nrm", "vec_id", "embedding", "nrm")
         .dropDuplicates(["query_id", "vec_id"])
     )
-    cos = F.round(_dot("q_emb", "embedding") / (F.col("q_nrm") * F.col("nrm")), 6)
+    cos = F.round(V.dot("q_emb", "embedding", dim) / (F.col("q_nrm") * F.col("nrm")), 6)
     w = W.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id"))
     return (
@@ -137,10 +130,7 @@ def _nearest_cells_expr(centroids: list[list[float]], n_probe: int):
     Cosine argmax == dot-product argmax because the centroids are
     L2-normalized at build time (the row's own norm is a positive
     constant across cells)."""
-    dots = F.array(*[
-        _dot(F.col("embedding"), F.array(*[F.lit(v) for v in c]))
-        for c in centroids
-    ])
+    dots = F.array(*[V.dot_lit("embedding", c) for c in centroids])
     # sort_array of (dot, cell) structs descending == probe order
     ranked = F.sort_array(
         F.transform(dots, lambda d, i: F.struct(d.alias("dot"), i.alias("cell"))),
@@ -202,15 +192,15 @@ def ivf_ann_topk(embeddings: DataFrame, n_queries: int = 10, k: int = 10,
     centroids = train_ivf_centroids(embeddings, n_cells=n_cells, dim=dim)
     cell, probe_cells = _nearest_cells_expr(centroids, n_probe)
     e = embeddings.select(
-        "vec_id", "embedding", _norm(F.col("embedding")).alias("nrm"), cell)
+        "vec_id", "embedding", V.norm("embedding", dim).alias("nrm"), cell)
     q = (embeddings.where(F.col("vec_id") < n_queries)
          .select(F.col("vec_id").alias("query_id"),
                  F.col("embedding").alias("q_emb"),
-                 _norm(F.col("embedding")).alias("q_nrm"),
+                 V.norm("embedding", dim).alias("q_nrm"),
                  F.explode(probe_cells).alias("cell")))
     cand = (F.broadcast(q).join(e, "cell")
             .where(F.col("vec_id") != F.col("query_id")))
-    cos = F.round(_dot("q_emb", "embedding") / (F.col("q_nrm") * F.col("nrm")), 6)
+    cos = F.round(V.dot("q_emb", "embedding", dim) / (F.col("q_nrm") * F.col("nrm")), 6)
     w = W.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id"))
     return (
