@@ -123,23 +123,47 @@ def lsh_ann_topk(embeddings: DataFrame, n_queries: int = 10, k: int = 10,
     )
 
 
-def _nearest_cells_expr(centroids: list[list[float]], n_probe: int):
-    """(cell_of_row, top-n_probe cells) from C dot products against unit
-    centroids — a single codegen'd expression, no UDF.
+def _with_probe_cells(df: DataFrame, centroids: list[list[float]],
+                      n_probe: int, emb_col: str = "embedding") -> DataFrame:
+    """Append ``probe_cells``: the n_probe nearest centroid ids per row,
+    nearest first, via an Arrow-batched numpy matmul (mapInPandas).
 
     Cosine argmax == dot-product argmax because the centroids are
     L2-normalized at build time (the row's own norm is a positive
-    constant across cells)."""
-    dots = F.array(*[V.dot_lit("embedding", c) for c in centroids])
-    # sort_array of (dot, cell) structs descending == probe order
-    ranked = F.sort_array(
-        F.transform(dots, lambda d, i: F.struct(d.alias("dot"), i.alias("cell"))),
-        asc=False)
-    top = F.slice(ranked, 1, n_probe)
-    return (
-        F.element_at(top, 1)["cell"].alias("cell"),
-        F.transform(top, lambda s: s["cell"]).alias("probe_cells"),
-    )
+    constant across cells).
+
+    Why Python here and not a codegen expression: C unrolled dot
+    products nested in one sort_array(array(struct...)) tree is a single
+    C×dim-term expression — at C=16, dim=64 the generated doConsume
+    method exceeds Janino's limits and compilation fails (measured), and
+    higher-order-function lambdas are interpreted per element. A batch
+    (B×dim)@(dim×C) BLAS matmul + argsort is the shape this computation
+    actually is; Arrow moves it in columnar batches, no shuffle, scales
+    as one map pass at any corpus size."""
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    cmat = np.asarray(centroids, dtype=np.float64).T  # dim × C
+    # NB: StructType.add mutates in place — never call it on df.schema.
+    out_schema = T.StructType(
+        list(df.schema.fields)
+        + [T.StructField("probe_cells", T.ArrayType(T.IntegerType()))])
+
+    def assign(batches):
+        for pdf in batches:
+            if len(pdf):
+                m = np.stack(pdf[emb_col].to_numpy()).astype(np.float64)
+                dots = m @ cmat                       # B × C
+                order = np.argsort(-dots, axis=1, kind="stable")[:, :n_probe]
+                pdf = pdf.assign(
+                    probe_cells=[row.astype("int32") for row in order])
+            else:
+                pdf = pdf.assign(probe_cells=pd.Series([], dtype=object))
+            yield pdf
+
+    return df.mapInPandas(assign, out_schema)
 
 
 def _normalize(vec: list[float]) -> list[float]:
@@ -163,9 +187,10 @@ def train_ivf_centroids(embeddings: DataFrame, n_cells: int = 16,
              .collect())
     centroids = [_normalize([float(v) for v in r.embedding]) for r in seeds]
     for _ in range(lloyd_iters):
-        cell, _probe = _nearest_cells_expr(centroids, 1)
-        sums = (embeddings
-                .select(cell, "embedding")
+        assigned = _with_probe_cells(
+            embeddings.select("embedding"), centroids, n_probe=1)
+        sums = (assigned
+                .select(F.col("probe_cells")[0].alias("cell"), "embedding")
                 .groupBy("cell")
                 .agg(F.count("*").alias("n"),
                      *[F.sum(F.col("embedding")[i].cast("double")).alias(f"s{i}")
@@ -190,14 +215,18 @@ def ivf_ann_topk(embeddings: DataFrame, n_queries: int = 10, k: int = 10,
     the data at the parquet-scan level; the candidate join below then
     shuffles only candidates, never the corpus."""
     centroids = train_ivf_centroids(embeddings, n_cells=n_cells, dim=dim)
-    cell, probe_cells = _nearest_cells_expr(centroids, n_probe)
-    e = embeddings.select(
-        "vec_id", "embedding", V.norm("embedding", dim).alias("nrm"), cell)
-    q = (embeddings.where(F.col("vec_id") < n_queries)
+    e = (_with_probe_cells(
+            embeddings.select("vec_id", "embedding"), centroids, n_probe=1)
+         .select("vec_id", "embedding",
+                 V.norm("embedding", dim).alias("nrm"),
+                 F.col("probe_cells")[0].alias("cell")))
+    q = (_with_probe_cells(
+            embeddings.select("vec_id", "embedding")
+            .where(F.col("vec_id") < n_queries), centroids, n_probe=n_probe)
          .select(F.col("vec_id").alias("query_id"),
                  F.col("embedding").alias("q_emb"),
                  V.norm("embedding", dim).alias("q_nrm"),
-                 F.explode(probe_cells).alias("cell")))
+                 F.explode("probe_cells").alias("cell")))
     cand = (F.broadcast(q).join(e, "cell")
             .where(F.col("vec_id") != F.col("query_id")))
     cos = F.round(V.dot("q_emb", "embedding", dim) / (F.col("q_nrm") * F.col("nrm")), 6)

@@ -1,0 +1,262 @@
+"""Extended relational surface: scale-path join rewrites, window-frame
+variants, argmax aggregates, and SQL-subquery forms (SURVEY.md §2 Part B
+breadth beyond the core inventory).
+
+Two keys here are explicit 100-TB *plan rewrites* with unchanged
+semantics, verified against the plain-shape oracle:
+
+- join_range_banded: a theta/range join re-expressed as an equi-join on
+  a banding key. The broadcast-nested-loop theta join (join_theta_range)
+  is O(|S|x|C|) probes; banding maps each probe-side row to the fixed
+  set of width-W buckets its window overlaps, so the join becomes a
+  shuffle equi-join on the bucket id + a residual range filter —
+  executable at any scale where an equi-join is.
+- join_skew_salted: the salting pattern for skewed keys. The fact side
+  appends salt = pk % N to the join key; the dim side explodes into N
+  replicas; the join key becomes (key, salt), splitting a hot key's rows
+  across N reducers. AQE's skew-join handles moderate skew on its own
+  (SCALE.md); salting is the portable form when a single key exceeds
+  what one reducer can hold.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from database_syncer_spark.catalog import load_table
+
+_BAND = 500.0          # banding width == the range half-window
+_RANGE = 500.0
+_N_SALT = 8
+
+
+# --- scale-path join rewrites -------------------------------------------
+
+def join_range_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join |c_acctbal - s_acctbal| <= 500 as a banded equi-join.
+
+    Each supplier explodes into the (2-3) width-500 buckets its
+    [s-500, s+500] window overlaps; each customer lands in exactly one
+    bucket, so a matching pair meets in exactly one bucket — no dedup
+    needed. Equi-join on the bucket id + residual BETWEEN filter, then
+    a left join back to suppliers restores the zero-match rows
+    (count 0). Identical result to join_theta_range's broadcast
+    nested-loop, by construction and by oracle."""
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_acctbal")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+
+    lo = F.floor((F.col("s_acctbal") - _RANGE) / _BAND).cast("long")
+    hi = F.floor((F.col("s_acctbal") + _RANGE) / _BAND).cast("long")
+    s_banded = s.withColumn("bucket", F.explode(F.sequence(lo, hi)))
+    c_banded = c.withColumn(
+        "bucket", F.floor(F.col("c_acctbal") / _BAND).cast("long"))
+
+    matches = (
+        s_banded.join(c_banded, "bucket")
+        .where(F.col("c_acctbal").between(
+            F.col("s_acctbal") - _RANGE, F.col("s_acctbal") + _RANGE))
+        .groupBy("s_suppkey")
+        .agg(F.count("*").alias("n_close_customers"))
+    )
+    return (
+        s.select("s_suppkey")
+        .join(matches, "s_suppkey", "left")
+        .select(
+            "s_suppkey",
+            F.coalesce("n_close_customers", F.lit(0)).alias("n_close_customers"),
+        )
+    )
+
+
+def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """orders ⋈ customer with an N-way salted key (semantics unchanged).
+
+    salt = o_orderkey % N on the fact side; the dim side explodes into N
+    replicas keyed (c_custkey, salt). Every fact row still meets its one
+    dim row, but a hot custkey's rows fan out over N reducers."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+
+    fact = o.withColumn("salt", (F.col("o_orderkey") % _N_SALT).cast("int"))
+    dim = c.withColumn(
+        "salt", F.explode(F.array(*[F.lit(i) for i in range(_N_SALT)])))
+    return (
+        fact.join(dim, (fact.o_custkey == dim.c_custkey)
+                  & (fact.salt == dim.salt))
+        .groupBy("c_nationkey")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double").alias("sum_price"),
+        )
+    )
+
+
+# --- window-frame variants ----------------------------------------------
+
+def win_ntile_cume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ntile / percent_rank / cume_dist with a unique tie-break so the
+    quartile assignment is engine-independent."""
+    c = load_table(spark, sf_dir, "customer")
+    w = W.partitionBy("c_nationkey").orderBy("c_acctbal", "c_custkey")
+    return c.select(
+        "c_custkey", "c_nationkey", "c_acctbal",
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    )
+
+
+def win_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-frame window (value-based, not row-based): per customer, the
+    decimal-exact sum of their orders priced within 1000 below the
+    current order's price."""
+    o = load_table(spark, sf_dir, "orders")
+    w = (W.partitionBy("o_custkey").orderBy("o_totalprice")
+         .rangeBetween(-1000, 0))
+    return o.select(
+        "o_orderkey", "o_custkey", "o_totalprice",
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).over(w)
+        .cast("double").alias("near_sum"),
+    )
+
+
+# --- argmax / ordered-list aggregates -----------------------------------
+
+def _order_encode(price_col: str, key_col: str) -> F.Column:
+    # Exact bigint encoding of (price, key) for tie-broken argmax that
+    # both engines order identically: prices carry 2 decimals, so
+    # round(p*100) is integral; keys stay below 1e9 at tested sfs.
+    return (F.round(F.col(price_col) * 100).cast("long")
+            * F.lit(1_000_000_000) + F.col(key_col))
+
+
+def agg_argmax_minby(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """max_by/min_by hash aggregation (the engine-internal last-wins
+    dedup shape, surfaced as a query key) with deterministic ties."""
+    o = load_table(spark, sf_dir, "orders")
+    ordk = _order_encode("o_totalprice", "o_orderkey")
+    return o.groupBy("o_orderpriority").agg(
+        F.max_by("o_orderkey", ordk).alias("top_order"),
+        F.min_by("o_orderkey", ordk).alias("bottom_order"),
+        F.count("*").alias("n"),
+    )
+
+
+def agg_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic list aggregation: collect_list is unordered under
+    shuffles, so sort_array + array_join pins the result (SURVEY §7.5
+    determinism hazard, made explicit)."""
+    o = load_table(spark, sf_dir, "orders").where(
+        F.col("o_totalprice") > 450000.0)
+    return o.groupBy("o_orderpriority").agg(
+        F.array_join(
+            F.sort_array(F.collect_list("o_orderkey")), ",").alias("big_orders"),
+        F.count("*").alias("n_big"),
+    )
+
+
+# --- SQL subquery forms --------------------------------------------------
+
+def subq_exists_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS through the SQL front end (Catalyst rewrites it
+    to the same semi join as join_left_semi — both front ends covered)."""
+    load_table(spark, sf_dir, "supplier").createOrReplaceTempView("v_sub_supplier")
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("v_sub_lineitem")
+    return spark.sql("""
+        SELECT s_suppkey, s_name
+        FROM v_sub_supplier s
+        WHERE EXISTS (
+            SELECT 1 FROM v_sub_lineitem l
+            WHERE l.l_suppkey = s.s_suppkey
+              AND l.l_quantity >= 49 AND l.l_shipdate >= TIMESTAMP '1997-06-01'
+        )
+    """)
+
+
+def subq_scalar_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar subquery in a predicate. The threshold derives from max()
+    (exact in both engines), not avg() (whose float summation order is
+    engine-dependent)."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("v_sub_orders")
+    return spark.sql("""
+        SELECT o_orderkey, o_custkey, o_totalprice
+        FROM v_sub_orders
+        WHERE o_totalprice > 0.5 * (SELECT max(o_totalprice) FROM v_sub_orders)
+    """)
+
+
+QUERIES = {
+    "join_range_banded": join_range_banded,
+    "join_skew_salted": join_skew_salted,
+    "win_ntile_cume": win_ntile_cume,
+    "win_range_frame": win_range_frame,
+    "agg_argmax_minby": agg_argmax_minby,
+    "agg_collect_sorted": agg_collect_sorted,
+    "subq_exists_sql": subq_exists_sql,
+    "subq_scalar_agg": subq_scalar_agg,
+}
+
+ORACLES = {
+    # Same oracle text as join_theta_range: the banded rewrite must be
+    # result-identical to the plain range join.
+    "join_range_banded": """
+SELECT s_suppkey, count(c_custkey) AS n_close_customers
+FROM supplier LEFT JOIN customer
+  ON c_acctbal BETWEEN s_acctbal - 500.0 AND s_acctbal + 500.0
+GROUP BY s_suppkey
+""",
+    "join_skew_salted": """
+SELECT c_nationkey, count(*) AS n_orders,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_nationkey
+""",
+    "win_ntile_cume": """
+SELECT c_custkey, c_nationkey, c_acctbal,
+       CAST(ntile(4) OVER w AS INT) AS quartile,
+       round(percent_rank() OVER w, 6) AS pct_rank,
+       round(cume_dist() OVER w, 6) AS cume
+FROM customer
+WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey)
+""",
+    "win_range_frame": """
+SELECT o_orderkey, o_custkey, o_totalprice,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+            PARTITION BY o_custkey ORDER BY o_totalprice
+            RANGE BETWEEN 1000 PRECEDING AND CURRENT ROW) AS DOUBLE) AS near_sum
+FROM orders
+""",
+    "agg_argmax_minby": """
+SELECT o_orderpriority,
+       arg_max(o_orderkey,
+               CAST(round(o_totalprice*100) AS BIGINT)*1000000000 + o_orderkey)
+         AS top_order,
+       arg_min(o_orderkey,
+               CAST(round(o_totalprice*100) AS BIGINT)*1000000000 + o_orderkey)
+         AS bottom_order,
+       count(*) AS n
+FROM orders GROUP BY o_orderpriority
+""",
+    "agg_collect_sorted": """
+SELECT o_orderpriority,
+       string_agg(o_orderkey, ',' ORDER BY o_orderkey) AS big_orders,
+       count(*) AS n_big
+FROM orders WHERE o_totalprice > 450000.0
+GROUP BY o_orderpriority
+""",
+    "subq_exists_sql": """
+SELECT s_suppkey, s_name FROM supplier s
+WHERE EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_suppkey = s.s_suppkey
+                AND l.l_quantity >= 49
+                AND l.l_shipdate >= TIMESTAMP '1997-06-01')
+""",
+    "subq_scalar_agg": """
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM orders
+WHERE o_totalprice > 0.5 * (SELECT max(o_totalprice) FROM orders)
+""",
+}

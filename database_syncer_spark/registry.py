@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 _MODULES = [
     "database_syncer_spark.queries.diff",
     "database_syncer_spark.queries.relational",
+    "database_syncer_spark.queries.extended",
     "database_syncer_spark.queries.aggregates",
     "database_syncer_spark.queries.functions",
     "database_syncer_spark.queries.dump",

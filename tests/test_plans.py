@@ -57,6 +57,56 @@ def test_diff_is_single_join_no_extra_exchanges(spark, sf_dir):
     assert len(re.findall(r"Exchange hashpartitioning", plan)) == 2
 
 
+def test_banded_range_join_is_equi_not_nested_loop(spark, sf_dir):
+    """The banded rewrite must actually buy the equi-join plan: no
+    BroadcastNestedLoopJoin / CartesianProduct anywhere."""
+    from database_syncer_spark.registry import all_queries
+
+    plan = _plan(all_queries()["join_range_banded"](spark, sf_dir))
+    assert "NestedLoop" not in plan and "Cartesian" not in plan
+    assert "Join" in plan
+
+
+def test_cosine_kernels_stay_in_codegen(spark, sf_dir):
+    """pipeline/vector.py exists because higher-order functions fall out
+    of whole-stage codegen; the similarity/dedup kernels must not
+    regress to lambda evaluation (measured ~4x slower at sf0.1)."""
+    from database_syncer_spark.registry import all_queries
+
+    qs = all_queries()
+    for key in ["sim_topk_cosine", "sim_lsh_ann", "dedup_embedding_cosine"]:
+        plan = _plan(qs[key](spark, sf_dir))
+        assert "lambdafunction" not in plan, f"{key} uses interpreted HOFs"
+    # IVF keeps exactly one benign lambda: mapping the n_probe ranked
+    # (dot, cell) structs to cell ids — a C-element array per row, not a
+    # per-dimension kernel. The dot products themselves must stay
+    # unrolled (no zip_with/aggregate over the embedding).
+    ivf = _plan(qs["sim_ivf_ann"](spark, sf_dir))
+    assert "zip_with" not in ivf and "aggregate(embedding" not in ivf
+
+
+def test_no_row_at_a_time_python_in_headline(spark, sf_dir):
+    """Headline keys may cross into Python only through Arrow-batched
+    evaluation (ArrowEvalPython / MapInPandas), never BatchEvalPython."""
+    import bench
+    from database_syncer_spark.registry import all_queries
+
+    qs = all_queries()
+    for key in bench.HEADLINE:
+        plan = _plan(qs[key](spark, sf_dir))
+        assert "BatchEvalPython" not in plan, f"{key} row-at-a-time Python"
+
+
+def test_topk_uses_window_group_limit(spark, sf_dir):
+    """Spark 3.5+ pushes rank<=k below the final sort (WindowGroupLimit);
+    the brute-force cosine top-k depends on it to avoid materializing
+    the full QxN pair set through the shuffle."""
+    from database_syncer_spark.registry import all_queries
+
+    plan = _plan(all_queries()["sim_topk_cosine"](spark, sf_dir))
+    assert "WindowGroupLimit" in plan
+
+
 def test_dedup_last_wins_is_hash_agg_not_sort(spark):
     from database_syncer_spark.core.diff import dedup_last_wins
 
