@@ -158,6 +158,36 @@ def agg_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- source formats (B1 breadth) ----------------------------------------
+
+def _roundtrip_dir(sf_dir: str, fmt: str) -> str:
+    import os
+    import tempfile
+
+    tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+    return os.path.join(tempfile.gettempdir(), f"dss_rt_{fmt}_{tag}")
+
+
+def scan_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV source: write the nation table as headered CSV, read it back
+    with an explicit schema (never inferSchema — a schema-inference pass
+    is a second full scan at 100 TB). Oracle is the base table: the
+    round trip must be lossless."""
+    n = load_table(spark, sf_dir, "nation")
+    path = _roundtrip_dir(sf_dir, "csv")
+    n.write.mode("overwrite").option("header", True).csv(path)
+    return spark.read.schema(n.schema).option("header", True).csv(path)
+
+
+def scan_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines source round trip on customer (strings, ints, doubles).
+    Explicit schema on read, same rationale as CSV."""
+    c = load_table(spark, sf_dir, "customer")
+    path = _roundtrip_dir(sf_dir, "jsonl")
+    c.write.mode("overwrite").json(path)
+    return spark.read.schema(c.schema).json(path)
+
+
 # --- SQL subquery forms --------------------------------------------------
 
 def subq_exists_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -197,6 +227,8 @@ QUERIES = {
     "agg_collect_sorted": agg_collect_sorted,
     "subq_exists_sql": subq_exists_sql,
     "subq_scalar_agg": subq_scalar_agg,
+    "scan_csv_roundtrip": scan_csv_roundtrip,
+    "scan_jsonl_roundtrip": scan_jsonl_roundtrip,
 }
 
 ORACLES = {
@@ -259,4 +291,6 @@ SELECT o_orderkey, o_custkey, o_totalprice
 FROM orders
 WHERE o_totalprice > 0.5 * (SELECT max(o_totalprice) FROM orders)
 """,
+    "scan_csv_roundtrip": "SELECT * FROM nation",
+    "scan_jsonl_roundtrip": "SELECT * FROM customer",
 }
