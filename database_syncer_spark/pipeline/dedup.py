@@ -57,23 +57,37 @@ N_HASHES = 16
 N_BANDS = 4  # 4 rows per band
 
 
-def minhash_signatures(shingled: DataFrame) -> DataFrame:
-    """K minhashes per doc: min over shingles of hash-family-i(shingle).
+def minhash_signatures(documents: DataFrame, k: int = 3) -> DataFrame:
+    """K minhashes per doc (plus the distinct shingle set for the exact
+    verify): min over shingles of hash-family-i(shingle).
 
-    Each shingle STRING is hashed once (the expensive variable-width
-    hash); the K families then re-hash that fixed-width bigint with a
-    distinct literal seed — K independent families at 1/K of the string
-    hashing, all inside whole-stage codegen."""
-    hashed = shingled.select(
-        "doc_id", "shingles",
-        F.transform("shingles", lambda s: F.xxhash64(s)).alias("sh_hash"))
-    sigs = [
-        F.array_min(
-            F.transform("sh_hash", lambda h, i=i: F.xxhash64(F.lit(i), h))
-        ).alias(f"mh_{i}")
-        for i in range(N_HASHES)
-    ]
-    return hashed.select("doc_id", "shingles", *sigs)
+    Shape: explode shingle positions -> slice/concat_ws -> one
+    xxhash64 per shingle STRING (the expensive variable-width hash); the
+    K families re-hash that fixed-width bigint with a distinct literal
+    seed inside K ``min`` aggregates of ONE groupBy(doc_id) — map-side
+    partial combine reduces each partition to K longs + the shingle set
+    before the shuffle. Every expression is whole-stage codegen.
+
+    (A previous form computed the families with ``transform(sh_hash,
+    lambda h, i=i: xxhash64(lit(i), h))`` — a TWO-argument lambda, so
+    Spark bound ``i`` to the array INDEX, shadowing the seed default:
+    all K families collapsed into one position-dependent hash and LSH
+    recall silently degraded. Caught by signature-equality A/B against
+    this explicit shape; tests now pin family independence.)"""
+    toks = documents.select("doc_id", F.split("text", " ").alias("__toks"))
+    pos = toks.select(
+        "doc_id", "__toks",
+        F.explode(F.sequence(
+            F.lit(1), F.greatest(F.size("__toks") - (k - 1), F.lit(1)))
+        ).alias("__i"))
+    sh = pos.select(
+        "doc_id",
+        F.concat_ws(" ", F.slice("__toks", F.col("__i"), k)).alias("shingle"))
+    h = sh.select("doc_id", "shingle", F.xxhash64("shingle").alias("h"))
+    aggs = [F.min(F.xxhash64(F.lit(i), F.col("h"))).alias(f"mh_{i}")
+            for i in range(N_HASHES)]
+    return h.groupBy("doc_id").agg(
+        F.collect_set("shingle").alias("shingles"), *aggs)
 
 
 def lsh_candidate_pairs(signed: DataFrame) -> DataFrame:
@@ -118,7 +132,7 @@ def minhash_lsh_dedup(documents: DataFrame, threshold: float = 0.5,
     duplication is B× (=4), bounded and scale-proportional, never N².
     """
     rows_per_band = N_HASHES // N_BANDS
-    signed = minhash_signatures(with_shingles(documents, k))
+    signed = minhash_signatures(documents, k)
     bands = F.array(*[
         F.struct(
             F.lit(b).alias("band_id"),

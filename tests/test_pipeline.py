@@ -67,6 +67,23 @@ def test_ngram_jaccard_exact_vs_python(spark, near_dup_corpus):
         assert abs(got[k] - expect[k]) < 1e-6
 
 
+def test_minhash_families_are_independent(spark, sf_dir):
+    """Regression: a 2-arg transform lambda once bound the family seed to
+    the array index, collapsing all K families into one. For real
+    multi-shingle docs the K minhashes must not all coincide."""
+    from database_syncer_spark.pipeline.dedup import N_HASHES, minhash_signatures
+
+    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 50)
+    sigs = minhash_signatures(docs).collect()
+    assert sigs
+    degenerate = sum(
+        1 for r in sigs
+        if len({r[f"mh_{i}"] for i in range(N_HASHES)}) == 1)
+    assert degenerate <= len(sigs) // 10, (
+        f"{degenerate}/{len(sigs)} docs have identical minhashes across "
+        f"all {N_HASHES} families")
+
+
 def test_minhash_recall_vs_exact(spark, near_dup_corpus):
     """LSH (16 hashes, 4 bands) must recover most true >=0.5 pairs."""
     exact = {(r.doc_a, r.doc_b)
