@@ -1,0 +1,36 @@
+"""Bucketed snapshot storage: the zero-shuffle layout for the diff.
+
+SCALE.md's core claim for the snapshot diff is that its one shuffle per
+side disappears entirely when both snapshots are stored bucketed by the
+primary key — the full-outer join then reads co-located buckets and
+merges in place. This module makes that layout a first-class helper, and
+tests/test_plans.py proves the plan (zero Exchange nodes).
+
+At 100 TB this is the steady-state deployment: each sync run writes its
+post-image bucketed by PK, so the NEXT run's diff is shuffle-free; only
+the first-ever snapshot pays a one-time clustering write. Bucket count
+is a storage property — pick it once per table from target bucket size
+(~128-512 MB), not per query.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def write_bucketed_snapshot(df: DataFrame, table: str, pk_cols: list[str],
+                            n_buckets: int) -> DataFrame:
+    """Persist a snapshot bucketed (and sorted) by PK as a managed
+    parquet table; returns the re-read table whose scan carries the
+    bucketing metadata Catalyst needs to elide the diff shuffle."""
+    spark = df.sparkSession
+    (df.write.mode("overwrite")
+       .bucketBy(n_buckets, *pk_cols)
+       .sortBy(*pk_cols)
+       .format("parquet")
+       .saveAsTable(table))
+    return spark.table(table)
+
+
+def drop_snapshot(spark: SparkSession, table: str) -> None:
+    spark.sql(f"DROP TABLE IF EXISTS {table}")

@@ -73,7 +73,12 @@ def snapshot_diff(
     if broadcast_backup:
         b = F.broadcast(b)
 
-    on = [F.col(f"p.{c}").eqNullSafe(F.col(f"b.{c}")) for c in pk_cols]
+    # Plain-equality join keys (not eqNullSafe): PKs are non-null by
+    # construction, SQL MERGE/diff semantics use `=` (so does the DuckDB
+    # oracle), and — decisive at scale — a null-safe key disqualifies the
+    # join from bucketed-table co-location (measured: eqNullSafe keys on
+    # bucketBy(pk) snapshots plan 2 exchanges, `=` keys plan ZERO).
+    on = [F.col(f"p.{c}") == F.col(f"b.{c}") for c in pk_cols]
     joined = p.join(b, on, "full_outer")
 
     # Presence flags: a PK column may legitimately be NULL only if the row
@@ -121,8 +126,9 @@ def snapshot_diff_fused(
     so each aggregate sees only its own side's rows. One shuffle of
     |prod|+|backup| rows, no sorts, map-side partial aggregation; the
     classification then runs on the aggregated pair exactly like
-    ``snapshot_diff``. Null group keys compare equal in ``groupBy``,
-    matching the join's ``eqNullSafe`` keys.
+    ``snapshot_diff``. (PKs are assumed non-null, as everywhere in the
+    diff; a null PK would group as a key here but never match in the
+    join form's ``=`` keys.)
 
     Output is identical to ``snapshot_diff`` (same columns, same
     semantics); measured ~15% faster end-to-end on the 15M-row/side dump
@@ -204,7 +210,7 @@ def scd2_history(
 
     p = prod.select(pk_cols + compare_cols).alias("p")
     b = backup.select(pk_cols + compare_cols).alias("b")
-    on = [F.col(f"p.{c}").eqNullSafe(F.col(f"b.{c}")) for c in pk_cols]
+    on = [F.col(f"p.{c}") == F.col(f"b.{c}") for c in pk_cols]  # see snapshot_diff
     joined = p.join(b, on, "full_outer")
 
     in_prod = F.col(f"p.{pk_cols[0]}").isNotNull()
