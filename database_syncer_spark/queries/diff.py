@@ -35,6 +35,61 @@ def diff_cdc_fullouter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return snapshot_diff(prod, backup, pk_cols=["o_orderkey"])
 
 
+_LI_COLS = ["l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"]
+
+
+def diff_composite_pk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC diff keyed on a COMPOSITE primary key (l_orderkey,
+    l_linenumber). The reference's PK extractor cannot match composite
+    keys and silently falls back to keying on column 0
+    (sync.py:89-104, verified in SURVEY §1.3) — here the full key is
+    just more join columns; rows sharing l_orderkey stay distinct."""
+    li = load_table(spark, sf_dir, "lineitem").select(*_LI_COLS)
+    ck = F.col("l_orderkey") + F.col("l_linenumber")
+    kept = li.where(ck % 20 != 0).withColumn(
+        "l_quantity",
+        F.when(ck % 10 == 3, F.col("l_quantity") + F.lit(1.0))
+        .otherwise(F.col("l_quantity")))
+    extra = li.where(ck % 25 == 0).withColumn(
+        "l_orderkey", F.col("l_orderkey") + F.lit(10_000_000))
+    backup = kept.unionByName(extra)
+    return snapshot_diff(li, backup, pk_cols=["l_orderkey", "l_linenumber"])
+
+
+def _composite_diff_sql() -> str:
+    non_pk = ["l_quantity", "l_extendedprice"]
+    post = ",\n  ".join(
+        f"CASE WHEN p.l_orderkey IS NULL THEN b.{c} ELSE p.{c} END AS {c}"
+        for c in non_pk)
+    unchanged = " AND ".join(
+        f"p.{c} IS NOT DISTINCT FROM b.{c}" for c in non_pk)
+    return f"""
+WITH li AS (SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+            FROM lineitem),
+backup AS (
+  SELECT l_orderkey, l_linenumber,
+         CASE WHEN (l_orderkey + l_linenumber) % 10 = 3
+              THEN l_quantity + 1.0 ELSE l_quantity END AS l_quantity,
+         l_extendedprice
+  FROM li WHERE (l_orderkey + l_linenumber) % 20 <> 0
+  UNION ALL
+  SELECT l_orderkey + 10000000, l_linenumber, l_quantity, l_extendedprice
+  FROM li WHERE (l_orderkey + l_linenumber) % 25 = 0
+)
+SELECT
+  coalesce(p.l_orderkey, b.l_orderkey) AS l_orderkey,
+  coalesce(p.l_linenumber, b.l_linenumber) AS l_linenumber,
+  CASE WHEN b.l_orderkey IS NULL THEN 'INSERT'
+       WHEN p.l_orderkey IS NULL THEN 'DELETE'
+       ELSE 'UPDATE' END AS change_type,
+  {post}
+FROM li p
+FULL OUTER JOIN backup b
+  ON p.l_orderkey = b.l_orderkey AND p.l_linenumber = b.l_linenumber
+WHERE b.l_orderkey IS NULL OR p.l_orderkey IS NULL OR NOT ({unchanged})
+"""
+
+
 def diff_stats_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-change-type operation counts (ref stats dict, sync.py:293-300)."""
     return diff_stats(diff_cdc_fullouter(spark, sf_dir))
@@ -159,6 +214,7 @@ FROM j WHERE change_type IN ('UPDATE', 'INSERT')
 
 QUERIES = {
     "diff_cdc_fullouter": diff_cdc_fullouter,
+    "diff_composite_pk": diff_composite_pk,
     "diff_stats_by_type": diff_stats_by_type,
     "diff_scd2_history": diff_scd2_history,
     "win_row_number_dedup": win_row_number_dedup,
@@ -168,6 +224,7 @@ QUERIES = {
 
 ORACLES = {
     "diff_cdc_fullouter": _diff_sql(),
+    "diff_composite_pk": _composite_diff_sql(),
     "diff_scd2_history": _scd2_sql(),
     "diff_stats_by_type": (
         f"SELECT change_type, count(*) AS n FROM ({_diff_sql()}) GROUP BY change_type"
