@@ -158,6 +158,26 @@ def agg_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def join_part_promo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape (promo revenue share): lineitem ⋈ part with a
+    conditional aggregate ratio. Decimal-exact sums; the final ratio is
+    one double division of two exact decimals, so it is deterministic
+    under any aggregation order."""
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1997-04-01"))
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,4)")
+    j = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    return j.agg(
+        F.round(
+            F.lit(100.0)
+            * F.sum(F.when(F.col("p_type").startswith("PROMO"), rev)
+                    .otherwise(F.lit(0).cast("decimal(18,4)"))).cast("double")
+            / F.sum(rev).cast("double"), 6).alias("promo_revenue_pct"),
+        F.count("*").alias("n_items"),
+    )
+
+
 # --- source formats (B1 breadth) ----------------------------------------
 
 def _roundtrip_dir(sf_dir: str, fmt: str) -> str:
@@ -229,6 +249,7 @@ QUERIES = {
     "subq_scalar_agg": subq_scalar_agg,
     "scan_csv_roundtrip": scan_csv_roundtrip,
     "scan_jsonl_roundtrip": scan_jsonl_roundtrip,
+    "join_part_promo": join_part_promo,
 }
 
 ORACLES = {
@@ -293,4 +314,15 @@ WHERE o_totalprice > 0.5 * (SELECT max(o_totalprice) FROM orders)
 """,
     "scan_csv_roundtrip": "SELECT * FROM nation",
     "scan_jsonl_roundtrip": "SELECT * FROM customer",
+    "join_part_promo": """
+SELECT round(100.0
+             * CAST(sum(CASE WHEN p_type LIKE 'PROMO%'
+                    THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))
+                    ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+             / CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE),
+             6) AS promo_revenue_pct,
+       count(*) AS n_items
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1997-04-01'
+""",
 }

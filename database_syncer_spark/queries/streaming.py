@@ -92,6 +92,51 @@ def stream_stateful_custom(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def stream_transform_with_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user profile via transformWithStateInPandas (Spark 4's typed
+    arbitrary-state API: ValueState + MapState), run as a real streaming
+    job. Every state fold is order-independent (count / distinct-set /
+    max), so the final per-user state equals the batch aggregate and the
+    key is fully oracle-checkable."""
+    from database_syncer_spark.streaming.runner import (
+        run_stream_to_memory, stage_as_stream_source)
+    from database_syncer_spark.streaming.stateful import (
+        tws_available, user_type_profile_tws)
+
+    events = load_table(spark, sf_dir, "events")
+    tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+    src = stage_as_stream_source(
+        events, os.path.join(tempfile.gettempdir(), f"dss_tws_src_{tag}"), 5)
+    staged = spark.read.parquet(src)
+
+    # transformWithState requires the RocksDB state store provider; the
+    # fallback path keeps the default provider.
+    conf_key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(conf_key, None)
+    if tws_available():
+        spark.conf.set(
+            conf_key,
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider")
+    try:
+        sink = run_stream_to_memory(
+            spark, src, staged.schema, user_type_profile_tws,
+            f"dss_tws_{tag}", output_mode="update",
+        )
+    finally:
+        if prev is None:
+            spark.conf.unset(conf_key)
+        else:
+            spark.conf.set(conf_key, prev)
+
+    w = W.partitionBy("user_id").orderBy(F.col("n_events").desc())
+    return (
+        sink.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .select("user_id", "n_events", "n_types", "max_value")
+    )
+
+
 def _bucket(col_sec: int, offset: str = "0") -> str:
     return (
         f"make_timestamp(CAST((floor(epoch(ts) / {col_sec}) - ({offset})) "
@@ -107,6 +152,7 @@ QUERIES = {
     "stream_dedup": stream_dedup,
     "stream_foreachbatch_merge": stream_foreachbatch_merge,
     "stream_stateful_custom": stream_stateful_custom,
+    "stream_transform_with_state": stream_transform_with_state,
 }
 
 ORACLES = {
@@ -153,6 +199,12 @@ FROM orders
 """,
     "stream_stateful_custom": """
 SELECT user_id, count(*) AS n_events, max(ts) AS last_ts
+FROM events GROUP BY user_id
+""",
+    "stream_transform_with_state": """
+SELECT user_id, count(*) AS n_events,
+       count(DISTINCT event_type) AS n_types,
+       max(value) AS max_value
 FROM events GROUP BY user_id
 """,
 }

@@ -61,3 +61,123 @@ def running_user_profile(events: DataFrame) -> DataFrame:
             timeoutConf="NoTimeout",
         )
     )
+
+
+# --- transformWithStateInPandas (the successor API) ----------------------
+
+TWS_OUTPUT_SCHEMA = T.StructType([
+    T.StructField("user_id", T.LongType()),
+    T.StructField("n_events", T.LongType()),
+    T.StructField("n_types", T.LongType()),
+    T.StructField("max_value", T.DoubleType()),
+])
+
+
+def _lazy_type_counter():
+    """Build the StatefulProcessor subclass lazily (the base class import
+    touches streaming internals; keep module import light)."""
+    import pandas as pd
+
+    from pyspark.sql.streaming.stateful_processor import StatefulProcessor
+
+    class TypeCounter(StatefulProcessor):
+        """Per-user profile with TWO state primitives: a ValueState
+        (event count + running max value — both order-independent folds,
+        so results are deterministic under any replay chunking) and a
+        MapState keyed by event_type (per-type counts; n_types = key
+        cardinality). transformWithState is Spark 4's arbitrary-state
+        API — typed state handles instead of one opaque tuple."""
+
+        def init(self, handle):
+            self._totals = handle.getValueState(
+                "totals", "n_events bigint, max_value double")
+            self._per_type = handle.getMapState(
+                "per_type", "event_type string", "n bigint")
+
+        def handleInputRows(self, key, rows, timer_values):
+            n, mx = 0, None
+            if self._totals.exists():
+                n, mx = self._totals.get()
+            for pdf in rows:
+                n += len(pdf)
+                bmx = pdf["value"].max()
+                if pd.notna(bmx):
+                    mx = float(bmx) if mx is None else max(mx, float(bmx))
+                for etype, cnt in pdf.groupby("event_type").size().items():
+                    prev = (self._per_type.getValue((etype,))[0]
+                            if self._per_type.containsKey((etype,)) else 0)
+                    self._per_type.updateValue((etype,), (prev + int(cnt),))
+            self._totals.update((n, mx))
+            n_types = sum(1 for _ in self._per_type.keys())
+            yield pd.DataFrame({
+                "user_id": [key[0]], "n_events": [n],
+                "n_types": [n_types], "max_value": [mx],
+            })
+
+        def close(self):
+            pass
+
+    return TypeCounter()
+
+
+def tws_available() -> bool:
+    """transformWithState's Python worker speaks protobuf to the JVM;
+    without the google.protobuf package the worker crashes at startup.
+    (This container has no protobuf and installs are not allowed, so the
+    operator gates on it and falls back — SURVEY env rules.)"""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+        return True
+    except ImportError:
+        return False
+
+
+_FALLBACK_STATE = T.StructType([
+    T.StructField("n_events", T.LongType()),
+    T.StructField("max_value", T.DoubleType()),
+    T.StructField("types", T.ArrayType(T.StringType())),
+])
+
+
+def _update_type_profile(key, pdf_iter, state):
+    """applyInPandasWithState fold with the same semantics as the
+    transformWithState processor (count / running max / distinct types —
+    all order-independent, so both implementations agree exactly)."""
+    import pandas as pd
+
+    if state.exists:
+        n, mx, types = state.get
+        types = set(types)
+    else:
+        n, mx, types = 0, None, set()
+    for pdf in pdf_iter:
+        n += len(pdf)
+        bmx = pdf["value"].max()
+        if pd.notna(bmx):
+            mx = float(bmx) if mx is None else max(mx, float(bmx))
+        types.update(pdf["event_type"].dropna().unique().tolist())
+    state.update((n, mx, sorted(types)))
+    yield pd.DataFrame({
+        "user_id": [key[0]], "n_events": [n],
+        "n_types": [len(types)], "max_value": [mx],
+    })
+
+
+def user_type_profile_tws(events: DataFrame) -> DataFrame:
+    """Per-user type profile: transformWithStateInPandas where the
+    runtime supports it, applyInPandasWithState (same semantics,
+    verified by the shared oracle) where protobuf is unavailable."""
+    if tws_available():
+        return events.groupBy("user_id").transformWithStateInPandas(
+            statefulProcessor=_lazy_type_counter(),
+            outputStructType=TWS_OUTPUT_SCHEMA,
+            outputMode="Update",
+            timeMode="None",
+        )
+    return events.groupBy("user_id").applyInPandasWithState(
+        _update_type_profile,
+        outputStructType=TWS_OUTPUT_SCHEMA,
+        stateStructType=_FALLBACK_STATE,
+        outputMode="update",
+        timeoutConf="NoTimeout",
+    )
