@@ -158,6 +158,30 @@ def agg_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def agg_mode_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mode + equi-width histogram in one pass-shape: per order priority,
+    the most frequent order DATE (mode, explicit argmax with a
+    deterministic tie-break on the date itself — engine mode() builtins
+    have engine-specific tie rules) and the row count per 100k-wide
+    totalprice bucket pivoted to columns. Two chained aggregations —
+    the second groupBy reuses the first shuffle's partitioning."""
+    o = load_table(spark, sf_dir, "orders")
+    day = F.date_trunc("day", F.col("o_orderdate"))
+    per_day = (o.groupBy("o_orderpriority", day.alias("d"))
+               .agg(F.count("*").alias("n")))
+    # Exact bigint (count, date) encoding: DuckDB's arg_max rejects
+    # struct ordering keys, so both engines order by the same scalar.
+    ordk = (F.col("n") * F.lit(4_000_000_000)
+            + F.col("d").cast("long"))
+    mode = (per_day.groupBy("o_orderpriority")
+            .agg(F.max_by("d", ordk).alias("mode_date")))
+    bucket = F.floor(F.col("o_totalprice") / 100000).cast("int")
+    hist = (o.groupBy("o_orderpriority")
+            .agg(*[F.sum(F.when(bucket == b, 1).otherwise(0)).alias(f"b{b}")
+                   for b in range(6)]))
+    return mode.join(hist, "o_orderpriority")
+
+
 def join_part_promo(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q14 shape (promo revenue share): lineitem ⋈ part with a
     conditional aggregate ratio. Decimal-exact sums; the final ratio is
@@ -250,6 +274,7 @@ QUERIES = {
     "scan_csv_roundtrip": scan_csv_roundtrip,
     "scan_jsonl_roundtrip": scan_jsonl_roundtrip,
     "join_part_promo": join_part_promo,
+    "agg_mode_histogram": agg_mode_histogram,
 }
 
 ORACLES = {
@@ -314,6 +339,30 @@ WHERE o_totalprice > 0.5 * (SELECT max(o_totalprice) FROM orders)
 """,
     "scan_csv_roundtrip": "SELECT * FROM nation",
     "scan_jsonl_roundtrip": "SELECT * FROM customer",
+    "agg_mode_histogram": """
+WITH per_day AS (
+  SELECT o_orderpriority, date_trunc('day', o_orderdate) AS d, count(*) AS n
+  FROM orders GROUP BY 1, 2
+),
+m AS (
+  SELECT o_orderpriority,
+         CAST(arg_max(d, n * 4000000000 + CAST(epoch(d) AS BIGINT))
+              AS TIMESTAMP) AS mode_date
+  FROM per_day GROUP BY o_orderpriority
+),
+h AS (
+  SELECT o_orderpriority,
+         sum(CASE WHEN CAST(floor(o_totalprice / 100000) AS INT) = 0 THEN 1 ELSE 0 END) AS b0,
+         sum(CASE WHEN CAST(floor(o_totalprice / 100000) AS INT) = 1 THEN 1 ELSE 0 END) AS b1,
+         sum(CASE WHEN CAST(floor(o_totalprice / 100000) AS INT) = 2 THEN 1 ELSE 0 END) AS b2,
+         sum(CASE WHEN CAST(floor(o_totalprice / 100000) AS INT) = 3 THEN 1 ELSE 0 END) AS b3,
+         sum(CASE WHEN CAST(floor(o_totalprice / 100000) AS INT) = 4 THEN 1 ELSE 0 END) AS b4,
+         sum(CASE WHEN CAST(floor(o_totalprice / 100000) AS INT) = 5 THEN 1 ELSE 0 END) AS b5
+  FROM orders GROUP BY o_orderpriority
+)
+SELECT m.o_orderpriority, m.mode_date, h.b0, h.b1, h.b2, h.b3, h.b4, h.b5
+FROM m JOIN h USING (o_orderpriority)
+""",
     "join_part_promo": """
 SELECT round(100.0
              * CAST(sum(CASE WHEN p_type LIKE 'PROMO%'
