@@ -262,6 +262,19 @@ def subq_scalar_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """)
 
 
+def subq_correlated_min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CORRELATED scalar subquery (TPC-H Q2's shape): customers holding
+    exactly their nation's minimum account balance. Catalyst decorrelates
+    into an aggregate + join — no per-row re-execution."""
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("v_sub_customer")
+    return spark.sql("""
+        SELECT c_custkey, c_nationkey, c_acctbal
+        FROM v_sub_customer c
+        WHERE c_acctbal = (SELECT min(c2.c_acctbal) FROM v_sub_customer c2
+                           WHERE c2.c_nationkey = c.c_nationkey)
+    """)
+
+
 QUERIES = {
     "join_range_banded": join_range_banded,
     "join_skew_salted": join_skew_salted,
@@ -275,6 +288,7 @@ QUERIES = {
     "scan_jsonl_roundtrip": scan_jsonl_roundtrip,
     "join_part_promo": join_part_promo,
     "agg_mode_histogram": agg_mode_histogram,
+    "subq_correlated_min": subq_correlated_min,
 }
 
 ORACLES = {
@@ -339,6 +353,12 @@ WHERE o_totalprice > 0.5 * (SELECT max(o_totalprice) FROM orders)
 """,
     "scan_csv_roundtrip": "SELECT * FROM nation",
     "scan_jsonl_roundtrip": "SELECT * FROM customer",
+    "subq_correlated_min": """
+SELECT c_custkey, c_nationkey, c_acctbal
+FROM customer c
+WHERE c_acctbal = (SELECT min(c2.c_acctbal) FROM customer c2
+                   WHERE c2.c_nationkey = c.c_nationkey)
+""",
     "agg_mode_histogram": """
 WITH per_day AS (
   SELECT o_orderpriority, date_trunc('day', o_orderdate) AS d, count(*) AS n
