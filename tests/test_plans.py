@@ -136,6 +136,16 @@ def test_topk_uses_window_group_limit(spark, sf_dir):
     assert "WindowGroupLimit" in plan
 
 
+def test_bench_headline_keys_exist():
+    """bench.py's HEADLINE list must reference live registry keys — a
+    rename would silently drop the key from BENCH_r{N}.json."""
+    import bench
+    from database_syncer_spark.registry import all_queries
+
+    missing = [k for k in bench.HEADLINE if k not in all_queries()]
+    assert not missing, missing
+
+
 def test_dedup_last_wins_is_hash_agg_not_sort(spark):
     from database_syncer_spark.core.diff import dedup_last_wins
 
