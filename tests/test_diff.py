@@ -117,6 +117,34 @@ def test_sync_script_executes_and_syncs(spark, duck, sf_dir):
     assert extra == 0 and missing == 0, (extra, missing)
 
 
+def test_diff_against_empty_sides(spark, sf_dir):
+    """diff(X, ∅) = all INSERT; diff(∅, X) = all DELETE; diff(∅, ∅) = ∅."""
+    prod = load_table(spark, sf_dir, "orders")
+    empty = prod.where(F.lit(False))
+    n = prod.count()
+
+    ins = snapshot_diff(prod, empty, ["o_orderkey"])
+    assert ins.count() == n
+    assert ins.where(F.col("change_type") != INSERT).count() == 0
+
+    dels = snapshot_diff(empty, prod, ["o_orderkey"])
+    assert dels.count() == n
+    assert dels.where(F.col("change_type") != DELETE).count() == 0
+
+    assert snapshot_diff(empty, empty, ["o_orderkey"]).count() == 0
+
+
+def test_empty_changes_roundtrip(spark, sf_dir):
+    """An empty change set produces an empty script, and applying it is
+    the identity."""
+    prod = load_table(spark, sf_dir, "orders")
+    changes = snapshot_diff(prod, prod, ["o_orderkey"])
+    assert generate_sync_script(changes, "orders", ["o_orderkey"]).count() == 0
+    applied = apply_changes(prod, changes, ["o_orderkey"])
+    assert applied.exceptAll(prod).count() == 0
+    assert prod.exceptAll(applied).count() == 0
+
+
 def test_catalog_diff():
     cat = catalog_diff({"a": 1, "b": 2}, {"b": 2, "c": 3})
     assert cat["create"] == ["a"] and cat["drop"] == ["c"] and cat["common"] == ["b"]
