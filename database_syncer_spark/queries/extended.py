@@ -275,6 +275,44 @@ def subq_correlated_min(spark: SparkSession, sf_dir: str) -> DataFrame:
     """)
 
 
+def tpch_q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: order-priority counts for orders with at least one
+    qualifying lineitem (EXISTS → left-semi join; the fixture schema has
+    no commitdate, so 'qualifying' = quantity ≥ 45)."""
+    o = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= "1997-01-01") & (F.col("o_orderdate") < "1997-07-01"))
+    big = (load_table(spark, sf_dir, "lineitem")
+           .where(F.col("l_quantity") >= 45)
+           .select(F.col("l_orderkey").alias("o_orderkey")))
+    return (o.join(big, "o_orderkey", "left_semi")
+            .groupBy("o_orderpriority")
+            .agg(F.count("*").alias("order_count")))
+
+
+def tpch_q12_priority_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: high/low-priority conditional counts (CASE inside
+    SUM — map-side partial) per lineitem return flag."""
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1998-01-01"))
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (li.join(o, li.l_orderkey == o.o_orderkey)
+            .groupBy("l_returnflag")
+            .agg(F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+                 F.sum(F.when(high, 0).otherwise(1)).alias("low_line_count")))
+
+
+def tpch_q16_supplier_cnt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: distinct supplier count per (brand, size) —
+    countDistinct after a broadcast equi-join."""
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    li = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    return (li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+            .where(F.col("p_size").isin(1, 5, 9, 13))
+            .groupBy("p_brand", "p_size")
+            .agg(F.countDistinct("l_suppkey").alias("supplier_cnt")))
+
+
 QUERIES = {
     "join_range_banded": join_range_banded,
     "join_skew_salted": join_skew_salted,
@@ -289,6 +327,9 @@ QUERIES = {
     "join_part_promo": join_part_promo,
     "agg_mode_histogram": agg_mode_histogram,
     "subq_correlated_min": subq_correlated_min,
+    "tpch_q4_order_priority": tpch_q4_order_priority,
+    "tpch_q12_priority_classes": tpch_q12_priority_classes,
+    "tpch_q16_supplier_cnt": tpch_q16_supplier_cnt,
 }
 
 ORACLES = {
@@ -358,6 +399,32 @@ SELECT c_custkey, c_nationkey, c_acctbal
 FROM customer c
 WHERE c_acctbal = (SELECT min(c2.c_acctbal) FROM customer c2
                    WHERE c2.c_nationkey = c.c_nationkey)
+""",
+    "tpch_q4_order_priority": """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders o
+WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+  AND o_orderdate < TIMESTAMP '1997-07-01'
+  AND EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity >= 45)
+GROUP BY o_orderpriority
+""",
+    "tpch_q12_priority_classes": """
+SELECT l_returnflag,
+       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+           THEN 1 ELSE 0 END) AS high_line_count,
+       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+           THEN 0 ELSE 1 END) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l_shipdate < TIMESTAMP '1998-01-01'
+GROUP BY l_returnflag
+""",
+    "tpch_q16_supplier_cnt": """
+SELECT p_brand, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE p_size IN (1, 5, 9, 13)
+GROUP BY p_brand, p_size
 """,
     "agg_mode_histogram": """
 WITH per_day AS (
