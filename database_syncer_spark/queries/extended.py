@@ -191,7 +191,10 @@ def join_part_promo(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1997-04-01"))
     p = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
     rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,4)")
-    j = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    # No broadcast hint: part scales with SF (unlike nation/region), so
+    # join strategy is AQE's runtime call — broadcast at bench scale,
+    # shuffled-hash/sort-merge when part outgrows the threshold.
+    j = li.join(p, li.l_partkey == p.p_partkey)
     return j.agg(
         F.round(
             F.lit(100.0)
@@ -304,10 +307,11 @@ def tpch_q12_priority_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def tpch_q16_supplier_cnt(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q16 shape: distinct supplier count per (brand, size) —
-    countDistinct after a broadcast equi-join."""
+    countDistinct after an equi-join."""
     p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
     li = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
-    return (li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    # part scales with SF — no broadcast hint; AQE picks the strategy.
+    return (li.join(p, li.l_partkey == p.p_partkey)
             .where(F.col("p_size").isin(1, 5, 9, 13))
             .groupBy("p_brand", "p_size")
             .agg(F.countDistinct("l_suppkey").alias("supplier_cnt")))
