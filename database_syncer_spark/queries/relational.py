@@ -176,7 +176,10 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def join_multiway_star(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """5-way star join (fact lineitem + 4 dims), dims broadcast."""
+    """5-way star join (fact lineitem + 4 dims). Only the FIXED-size dims
+    (nation/region) carry broadcast hints; customer scales with SF, so
+    its strategy is AQE's runtime call — auto-broadcast at bench scale
+    (file-size estimate under the threshold), shuffled join beyond it."""
     li = load_table(spark, sf_dir, "lineitem")
     o = load_table(spark, sf_dir, "orders")
     c = load_table(spark, sf_dir, "customer")
@@ -186,7 +189,7 @@ def join_multiway_star(spark: SparkSession, sf_dir: str) -> DataFrame:
         "decimal(18,4)")
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy("r_name")
