@@ -278,6 +278,30 @@ def subq_correlated_min(spark: SparkSession, sf_dir: str) -> DataFrame:
     """)
 
 
+# --- training-data sampling ----------------------------------------------
+
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified sample: K=50 documents per language, deterministic
+    (rank by doc_id within stratum). The per-class cap every training-
+    data pipeline needs; WindowGroupLimit keeps it one bounded-state
+    pass per stratum at any corpus size."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = W.partitionBy("lang").orderBy("doc_id")
+    return (docs.withColumn("rk", F.row_number().over(w))
+            .where(F.col("rk") <= 50)
+            .select("doc_id", "lang", "n_chars", F.col("rk").cast("int").alias("rk")))
+
+
+def sample_hash_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~10% Bernoulli sample by key hash — reproducible
+    across runs/engines (unlike rand()-seeded TABLESAMPLE, whose RNG is
+    engine-specific). Knuth multiplicative hash on the key, threshold on
+    the residue; exact bigint arithmetic in both engines."""
+    docs = load_table(spark, sf_dir, "documents")
+    h = (F.col("doc_id") * F.lit(2654435761)) % F.lit(1000)
+    return docs.where(h < 100).select("doc_id", "lang", "n_chars")
+
+
 def tpch_q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q4 shape: order-priority counts for orders with at least one
     qualifying lineitem (EXISTS → left-semi join; the fixture schema has
@@ -331,6 +355,8 @@ QUERIES = {
     "join_part_promo": join_part_promo,
     "agg_mode_histogram": agg_mode_histogram,
     "subq_correlated_min": subq_correlated_min,
+    "sample_stratified": sample_stratified,
+    "sample_hash_threshold": sample_hash_threshold,
     "tpch_q4_order_priority": tpch_q4_order_priority,
     "tpch_q12_priority_classes": tpch_q12_priority_classes,
     "tpch_q16_supplier_cnt": tpch_q16_supplier_cnt,
@@ -403,6 +429,17 @@ SELECT c_custkey, c_nationkey, c_acctbal
 FROM customer c
 WHERE c_acctbal = (SELECT min(c2.c_acctbal) FROM customer c2
                    WHERE c2.c_nationkey = c.c_nationkey)
+""",
+    "sample_stratified": """
+SELECT doc_id, lang, n_chars, CAST(rk AS INT) AS rk FROM (
+  SELECT doc_id, lang, n_chars,
+         row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS rk
+  FROM documents
+) WHERE rk <= 50
+""",
+    "sample_hash_threshold": """
+SELECT doc_id, lang, n_chars FROM documents
+WHERE (doc_id * 2654435761) % 1000 < 100
 """,
     "tpch_q4_order_priority": """
 SELECT o_orderpriority, count(*) AS order_count
