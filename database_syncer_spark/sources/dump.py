@@ -428,10 +428,26 @@ def _parse_insert_batches(schemas: dict[str, TableSchema]):
                 table = m.group(1)
                 if table not in schemas:
                     continue
-                ncols = len(schemas[table].columns)
+                cols = schemas[table].column_names
+                # Honor an explicit column list: mysqldump emits table
+                # order, but hand-written INSERTs may reorder or omit
+                # columns (omitted -> NULL). The reference cannot parse
+                # these at all (sync.py:55 requires the complete list in
+                # table order); positional stays the fast path.
+                remap = None
+                n_expect = len(cols)
+                if m.group(2) and m.group(2).strip():
+                    listed = [c.strip().strip('`"') for c in m.group(2).split(",")]
+                    if listed != cols:
+                        pos = {c: i for i, c in enumerate(listed)}
+                        remap = [pos.get(c) for c in cols]
+                    n_expect = len(listed)
                 base = int(lo) * 1_000_000
                 for row_idx, row in enumerate(tokenize_insert_rows(m.group(3))):
-                    if len(row) == ncols:
+                    if len(row) == n_expect:
+                        if remap is not None:
+                            row = [row[i] if i is not None else None
+                                   for i in remap]
                         tables.append(table)
                         values.append(row)
                         his.append(int(hi))
@@ -536,17 +552,28 @@ def _parse_inserts_jvm(inserts: DataFrame, schemas: dict[str, TableSchema]):
     from pyspark import StorageLevel
 
     tbl = F.regexp_extract("stmt", _J_INSERT_RE, 1)
+    collist = F.regexp_extract("stmt", _J_INSERT_RE, 2)
     vp = F.regexp_extract("stmt", _J_INSERT_RE, 3)
     base = (
         inserts.select("stmt", "seq_hi", "seq_lo", tbl.alias("table"),
-                       vp.alias("vp"))
+                       collist.alias("collist"), vp.alias("vp"))
         .where(F.col("table").isin(list(schemas)))
     )
     residual_ok = (
         F.translate(F.regexp_replace("vp", _J_ROW_RE, ""), _J_SEPS, "") == ""
     )
+    # The JVM shape assigns values positionally, so it only applies when
+    # the column list is absent or exactly the schema (= table) order;
+    # reordered/partial lists route to the Python scanner, which remaps.
+    norm_cols = F.translate(F.col("collist"), "` \t\r\n\"", "")
+    expected = F.lit(None).cast("string")
+    for name, ts in schemas.items():
+        expected = F.when(F.col("table") == name,
+                          F.lit(",".join(ts.column_names))).otherwise(expected)
+    cols_ok = (norm_cols == "") | (norm_cols == expected)
     fast = (
         residual_ok
+        & cols_ok
         & F.forall(F.regexp_extract_all("vp", F.lit(_J_ROW_RE), 1),
                    lambda b: b.rlike(_J_BODY_OK_RE))
         & ~F.contains(F.col("vp"), F.lit(_SENT))

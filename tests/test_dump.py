@@ -123,6 +123,28 @@ def test_read_sql_dump_raw_mode(spark, tmp_path):
     assert r.v == "1.0"  # not coerced
 
 
+@pytest.mark.parametrize("tokenizer", ["python", "jvm"])
+def test_reordered_and_partial_column_lists(spark, tmp_path, tokenizer):
+    """An explicit column list is honored: reordered lists remap to table
+    order, omitted columns become NULL. (The reference cannot parse
+    either — sync.py:55 requires the complete list in table order; and
+    the JVM fast shape must route these to the Python scanner rather
+    than positionally mis-assign.)"""
+    dump = USERS_DDL + (
+        "INSERT INTO `users` (`name`,`id`,`bal`) VALUES ('alice',1,10.50);\n"
+        "INSERT INTO `users` (`id`,`bal`) VALUES (2,7.25);\n"
+        "INSERT INTO `users` (`id`,`name`,`bal`) VALUES (3,'carol',0);\n"
+        "INSERT INTO `users` VALUES (4,'dan',1.75);\n"
+    )
+    path = _write(tmp_path, "cols.sql", dump)
+    rows = {r.id: r for r in
+            read_sql_dump(spark, path, tokenizer=tokenizer)["users"].collect()}
+    assert rows[1].name == "alice" and float(rows[1].bal) == 10.50
+    assert rows[2].name is None and float(rows[2].bal) == 7.25
+    assert rows[3].name == "carol"
+    assert rows[4].name == "dan" and float(rows[4].bal) == 1.75
+
+
 def test_duplicate_pk_last_wins(spark, tmp_path):
     """Reference dict overwrite (sync.py:67): later INSERT wins."""
     dump = (
