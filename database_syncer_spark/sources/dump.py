@@ -387,9 +387,29 @@ def read_dump_statements(spark: SparkSession, path: str) -> DataFrame:
     multi-file glob would additionally need ``_metadata.file_path`` in
     the key.
     """
+    # CRLF dumps (Windows mysqldump/editors) end statements with ";\r\n",
+    # which a ";\n" lineSep never matches — the whole file would arrive
+    # as ONE statement. Sniff the head driver-side (KBs, not a scan) and
+    # pick the separator; btrim below strips the stray \r either way.
+    line_sep = ";\n"
+    head_path = path
+    if os.path.isdir(path):
+        inner = sorted(
+            f for f in os.listdir(path) if not f.startswith(("_", ".")))
+        head_path = os.path.join(path, inner[0]) if inner else path
+    try:
+        with open(head_path, "rb") as fh:
+            head = fh.read(65536)
+        # The two byte patterns are disjoint (";\r\n" has no ";\n"
+        # substring), so majority vote picks the dominant convention.
+        if head.count(b";\r\n") > head.count(b";\n"):
+            line_sep = ";\r\n"
+    except OSError:
+        pass
+
     stmt = F.btrim(F.col("value"), F.lit(" \t\r\n"))
     return (
-        spark.read.option("lineSep", ";\n").text(path)
+        spark.read.option("lineSep", line_sep).text(path)
         .select(
             stmt.alias("stmt"),
             F.col("_metadata.file_block_start").alias("seq_hi"),

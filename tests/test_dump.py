@@ -145,6 +145,18 @@ def test_reordered_and_partial_column_lists(spark, tmp_path, tokenizer):
     assert rows[4].name == "dan" and float(rows[4].bal) == 1.75
 
 
+def test_crlf_dump_parses(spark, tmp_path):
+    """Windows-style CRLF dumps: a ';\\n' lineSep never matches ';\\r\\n',
+    which would deliver the whole file as one statement; the reader
+    sniffs the head and splits on the dominant convention."""
+    dump = (USERS_DDL.replace("\n", "\r\n")
+            + "INSERT INTO `users` VALUES (1,'alice',10.50);\r\n"
+            + "INSERT INTO `users` VALUES (2,'bob',NULL);\r\n")
+    path = _write(tmp_path, "crlf.sql", dump)
+    rows = {r.id: r for r in read_sql_dump(spark, path)["users"].collect()}
+    assert rows[1].name == "alice" and rows[2].bal is None
+
+
 def test_duplicate_pk_last_wins(spark, tmp_path):
     """Reference dict overwrite (sync.py:67): later INSERT wins."""
     dump = (
