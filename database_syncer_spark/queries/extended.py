@@ -278,6 +278,40 @@ def subq_correlated_min(spark: SparkSession, sf_dir: str) -> DataFrame:
     """)
 
 
+def fn_struct_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested struct create/access: pack order fields into a struct,
+    project fields back out (Catalyst prunes the unused members — the
+    shape nested parquet schemas rely on at scale)."""
+    o = load_table(spark, sf_dir, "orders")
+    packed = o.select(
+        "o_orderkey",
+        F.struct(
+            F.col("o_orderstatus").alias("status"),
+            F.struct(F.col("o_totalprice").alias("amount"),
+                     F.col("o_orderpriority").alias("priority")).alias("detail"),
+        ).alias("info"),
+    )
+    return packed.select(
+        "o_orderkey",
+        F.col("info.status").alias("status"),
+        F.col("info.detail.amount").alias("amount"),
+        F.upper(F.col("info.detail.priority")).alias("priority_uc"),
+    )
+
+
+def reshape_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot / melt (wide -> long): lineitem's three money columns as
+    (measure, value) rows — the inverse of agg_pivot, built-in since
+    Spark 3.4 (expression-only, no shuffle)."""
+    li = load_table(spark, sf_dir, "lineitem").where(F.col("l_orderkey") % 10 == 0)
+    return li.unpivot(
+        ids=["l_orderkey", "l_linenumber"],
+        values=["l_extendedprice", "l_discount", "l_tax"],
+        variableColumnName="measure",
+        valueColumnName="val",
+    )
+
+
 # --- training-data sampling ----------------------------------------------
 
 def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -355,6 +389,8 @@ QUERIES = {
     "join_part_promo": join_part_promo,
     "agg_mode_histogram": agg_mode_histogram,
     "subq_correlated_min": subq_correlated_min,
+    "fn_struct_nested": fn_struct_nested,
+    "reshape_unpivot": reshape_unpivot,
     "sample_stratified": sample_stratified,
     "sample_hash_threshold": sample_hash_threshold,
     "tpch_q4_order_priority": tpch_q4_order_priority,
@@ -429,6 +465,17 @@ SELECT c_custkey, c_nationkey, c_acctbal
 FROM customer c
 WHERE c_acctbal = (SELECT min(c2.c_acctbal) FROM customer c2
                    WHERE c2.c_nationkey = c.c_nationkey)
+""",
+    "fn_struct_nested": """
+SELECT o_orderkey, o_orderstatus AS status, o_totalprice AS amount,
+       upper(o_orderpriority) AS priority_uc
+FROM orders
+""",
+    "reshape_unpivot": """
+SELECT l_orderkey, l_linenumber, measure, val
+FROM (SELECT l_orderkey, l_linenumber, l_extendedprice, l_discount, l_tax
+      FROM lineitem WHERE l_orderkey % 10 = 0)
+UNPIVOT (val FOR measure IN (l_extendedprice, l_discount, l_tax))
 """,
     "sample_stratified": """
 SELECT doc_id, lang, n_chars, CAST(rk AS INT) AS rk FROM (
