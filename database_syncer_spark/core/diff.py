@@ -61,6 +61,14 @@ def snapshot_diff(
     keeping the row with the greatest value of this column — the explicit
     Spark form of the reference's dict-overwrite semantics (sync.py:67,
     "last INSERT for a PK wins").
+
+    NULL-PK contract: primary keys are assumed NON-NULL (the SQL/MERGE
+    model; the join keys use plain ``=``). A row with a NULL PK never
+    matches the other side and surfaces as an INSERT+DELETE pair — unlike
+    ``snapshot_diff_fused``, whose groupBy treats NULL keys as equal and
+    would pair them. Callers with possibly-NULL PKs must filter or
+    sentinel them first; see the fused variant's docstring for the same
+    caveat from the other side.
     """
     if compare_cols is None:
         compare_cols = [c for c in prod.columns if c not in pk_cols]

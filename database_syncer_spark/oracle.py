@@ -92,6 +92,71 @@ class CompareResult:
         return "\n".join(lines)
 
 
+def _arrow_class(t) -> str:
+    """Coarse type class of an Arrow type, for width-compat checking."""
+    import pyarrow as pa
+    if pa.types.is_integer(t):
+        return "int"
+    if pa.types.is_floating(t):
+        return "float"
+    if pa.types.is_decimal(t):
+        return "decimal"
+    if pa.types.is_timestamp(t):
+        return "timestamp"
+    if pa.types.is_date(t):
+        return "date"
+    if pa.types.is_boolean(t):
+        return "bool"
+    if pa.types.is_string(t) or pa.types.is_large_string(t):
+        return "string"
+    if pa.types.is_list(t) or pa.types.is_large_list(t) or pa.types.is_fixed_size_list(t):
+        return "list"
+    if pa.types.is_binary(t) or pa.types.is_large_binary(t):
+        return "binary"
+    if pa.types.is_struct(t) or pa.types.is_map(t):
+        return "struct"
+    return str(t)
+
+
+_SPARK_CLASS = {
+    "bigint": "int", "int": "int", "smallint": "int", "tinyint": "int",
+    "double": "float", "float": "float", "string": "string",
+    "timestamp": "timestamp", "timestamp_ntz": "timestamp", "date": "date",
+    "boolean": "bool", "binary": "binary",
+}
+
+
+def _spark_class(dtype: str) -> str:
+    if dtype.startswith("decimal"):
+        return "decimal"
+    if dtype.startswith(("array", "map")):
+        return "list" if dtype.startswith("array") else "struct"
+    if dtype.startswith("struct"):
+        return "struct"
+    return _SPARK_CLASS.get(dtype, dtype)
+
+
+def type_mismatches(spark_df, con: duckdb.DuckDBPyConnection,
+                    oracle_sql: str) -> list[str]:
+    """Column-level type-CLASS differences between the Spark result and the
+    DuckDB oracle result (fetched as Arrow, which is how a pandas-based
+    value-hash sees the data). An uncast DuckDB ``sum(int)`` is HUGEINT →
+    Arrow decimal128(38,0) → pandas float/object — hash-differs from
+    Spark's int64 even when every value is equal. Caught the round-1
+    ``agg_mode_histogram`` / ``tpch_q12_priority_classes`` driver failures."""
+    tbl = con.execute(oracle_sql).arrow()
+    oclass = {f.name: _arrow_class(f.type) for f in tbl.schema}
+    out = []
+    for name, dtype in spark_df.dtypes:
+        if name in oclass:
+            sc = _spark_class(dtype)
+            if sc != oclass[name]:
+                out.append(
+                    f"type-class mismatch col={name}: spark={dtype}({sc}) "
+                    f"oracle_arrow={oclass[name]}")
+    return out
+
+
 def compare_query(key: str, spark_df, con: duckdb.DuckDBPyConnection,
                   oracle_sql: str, float_dp: int | None = None) -> CompareResult:
     srows = spark_df.collect()
@@ -108,6 +173,11 @@ def compare_query(key: str, spark_df, con: duckdb.DuckDBPyConnection,
     if sorted(scols) != sorted(ocols):
         res.ok = False
         res.mismatches.append("column-name sets differ")
+        return res
+    tmm = type_mismatches(spark_df, con, oracle_sql)
+    if tmm:
+        res.ok = False
+        res.mismatches.extend(tmm)
         return res
     if len(srows) != len(orows):
         res.ok = False

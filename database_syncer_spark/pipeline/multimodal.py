@@ -66,20 +66,39 @@ def extract_features(with_payload: DataFrame) -> DataFrame:
     )
 
 
-def multimodal_join(documents: DataFrame, embeddings: DataFrame) -> DataFrame:
+def probe_dim(embeddings: DataFrame, col: str = "embedding") -> int:
+    """Embedding dimensionality from one sampled row (one-row driver
+    read — model-state scale, not data scale). The unrolled vector
+    kernels need dim at plan time; probing beats hardcoding because a
+    wrong dim makes non-ANSI GetArrayItem return NULL silently."""
+    row = embeddings.select(F.size(col).alias("d")).first()
+    if row is None or row["d"] is None or row["d"] <= 0:
+        raise ValueError(f"cannot probe embedding dim from column {col!r}")
+    return int(row["d"])
+
+
+def multimodal_join(documents: DataFrame, embeddings: DataFrame,
+                    dim: int | None = None) -> DataFrame:
     """Mixed text + vector + scalar table: documents ⋈ embeddings with
-    array math on the vector column (all built-in exprs)."""
+    array math on the vector column (all built-in exprs). ``dim`` is
+    probed from the data when not given; a per-row ``assert_true`` guard
+    makes ragged embeddings fail loudly instead of yielding NULL norms."""
     from database_syncer_spark.pipeline import vector as V
 
+    if dim is None:
+        dim = probe_dim(embeddings)
     emb = F.col("embedding")
-    l2sq = V.norm_sq(emb, 64)
+    l2sq = V.norm_sq(emb, dim)
+    dim_ok = F.assert_true(
+        F.size(emb) == dim,
+        F.format_string("embedding dim != %d", F.lit(dim)))
     return (
         documents.join(
             embeddings, documents.doc_id == embeddings.vec_id, "inner")
         .select(
             "doc_id", "lang", "label",
             F.length("text").alias("text_len"),
-            F.size(emb).alias("dim"),
+            F.when(dim_ok.isNull(), F.size(emb)).alias("dim"),
             F.round(F.sqrt(l2sq), 6).alias("l2_norm"),
         )
     )

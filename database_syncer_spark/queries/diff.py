@@ -50,8 +50,11 @@ def diff_composite_pk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_quantity",
         F.when(ck % 10 == 3, F.col("l_quantity") + F.lit(1.0))
         .otherwise(F.col("l_quantity")))
+    # Extras are keyed on the NEGATED orderkey — collision-proof at any sf
+    # (fixture keys are positive), unlike an additive offset which real
+    # keys overtake at sf>=2 (~60M-row runs).
     extra = li.where(ck % 25 == 0).withColumn(
-        "l_orderkey", F.col("l_orderkey") + F.lit(10_000_000))
+        "l_orderkey", -F.col("l_orderkey"))
     backup = kept.unionByName(extra)
     return snapshot_diff(li, backup, pk_cols=["l_orderkey", "l_linenumber"])
 
@@ -73,7 +76,7 @@ backup AS (
          l_extendedprice
   FROM li WHERE (l_orderkey + l_linenumber) % 20 <> 0
   UNION ALL
-  SELECT l_orderkey + 10000000, l_linenumber, l_quantity, l_extendedprice
+  SELECT -l_orderkey, l_linenumber, l_quantity, l_extendedprice
   FROM li WHERE (l_orderkey + l_linenumber) % 25 = 0
 )
 SELECT

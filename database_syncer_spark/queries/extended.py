@@ -499,10 +499,10 @@ GROUP BY o_orderpriority
 """,
     "tpch_q12_priority_classes": """
 SELECT l_returnflag,
-       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-           THEN 1 ELSE 0 END) AS high_line_count,
-       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-           THEN 0 ELSE 1 END) AS low_line_count
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+           THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+           THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 WHERE l_shipdate >= TIMESTAMP '1997-01-01'
   AND l_shipdate < TIMESTAMP '1998-01-01'
@@ -527,12 +527,12 @@ m AS (
 ),
 h AS (
   SELECT o_orderpriority,
-         sum(CASE WHEN CAST(floor(o_totalprice / 100000) AS INT) = 0 THEN 1 ELSE 0 END) AS b0,
-         sum(CASE WHEN CAST(floor(o_totalprice / 100000) AS INT) = 1 THEN 1 ELSE 0 END) AS b1,
-         sum(CASE WHEN CAST(floor(o_totalprice / 100000) AS INT) = 2 THEN 1 ELSE 0 END) AS b2,
-         sum(CASE WHEN CAST(floor(o_totalprice / 100000) AS INT) = 3 THEN 1 ELSE 0 END) AS b3,
-         sum(CASE WHEN CAST(floor(o_totalprice / 100000) AS INT) = 4 THEN 1 ELSE 0 END) AS b4,
-         sum(CASE WHEN CAST(floor(o_totalprice / 100000) AS INT) = 5 THEN 1 ELSE 0 END) AS b5
+         CAST(sum(CASE WHEN CAST(floor(o_totalprice / 100000) AS INT) = 0 THEN 1 ELSE 0 END) AS BIGINT) AS b0,
+         CAST(sum(CASE WHEN CAST(floor(o_totalprice / 100000) AS INT) = 1 THEN 1 ELSE 0 END) AS BIGINT) AS b1,
+         CAST(sum(CASE WHEN CAST(floor(o_totalprice / 100000) AS INT) = 2 THEN 1 ELSE 0 END) AS BIGINT) AS b2,
+         CAST(sum(CASE WHEN CAST(floor(o_totalprice / 100000) AS INT) = 3 THEN 1 ELSE 0 END) AS BIGINT) AS b3,
+         CAST(sum(CASE WHEN CAST(floor(o_totalprice / 100000) AS INT) = 4 THEN 1 ELSE 0 END) AS BIGINT) AS b4,
+         CAST(sum(CASE WHEN CAST(floor(o_totalprice / 100000) AS INT) = 5 THEN 1 ELSE 0 END) AS BIGINT) AS b5
   FROM orders GROUP BY o_orderpriority
 )
 SELECT m.o_orderpriority, m.mode_date, h.b0, h.b1, h.b2, h.b3, h.b4, h.b5

@@ -457,10 +457,19 @@ def _parse_insert_batches(schemas: dict[str, TableSchema]):
                 remap = None
                 n_expect = len(cols)
                 if m.group(2) and m.group(2).strip():
-                    listed = [c.strip().strip('`"') for c in m.group(2).split(",")]
-                    if listed != cols:
+                    # MySQL identifiers are case-insensitive: match the
+                    # listed names to schema columns via .lower() on both
+                    # sides, and SKIP statements whose list doesn't fully
+                    # resolve (a typo'd name would otherwise silently
+                    # ingest NULLs into every column, PK included).
+                    listed = [c.strip().strip('`"').lower()
+                              for c in m.group(2).split(",")]
+                    cols_l = [c.lower() for c in cols]
+                    if any(c not in cols_l for c in listed):
+                        continue
+                    if listed != cols_l:
                         pos = {c: i for i, c in enumerate(listed)}
-                        remap = [pos.get(c) for c in cols]
+                        remap = [pos.get(c) for c in cols_l]
                     n_expect = len(listed)
                 base = int(lo) * 1_000_000
                 for row_idx, row in enumerate(tokenize_insert_rows(m.group(3))):

@@ -135,6 +135,8 @@ def test_reordered_and_partial_column_lists(spark, tmp_path, tokenizer):
         "INSERT INTO `users` (`id`,`bal`) VALUES (2,7.25);\n"
         "INSERT INTO `users` (`id`,`name`,`bal`) VALUES (3,'carol',0);\n"
         "INSERT INTO `users` VALUES (4,'dan',1.75);\n"
+        "INSERT INTO `users` (`ID`,`Name`,`BAL`) VALUES (5,'eve',2.50);\n"
+        "INSERT INTO `users` (`id`,`nmae`,`bal`) VALUES (6,'typo',9.99);\n"
     )
     path = _write(tmp_path, "cols.sql", dump)
     rows = {r.id: r for r in
@@ -143,6 +145,10 @@ def test_reordered_and_partial_column_lists(spark, tmp_path, tokenizer):
     assert rows[2].name is None and float(rows[2].bal) == 7.25
     assert rows[3].name == "carol"
     assert rows[4].name == "dan" and float(rows[4].bal) == 1.75
+    # MySQL identifiers are case-insensitive: a case-variant list resolves.
+    assert rows[5].name == "eve" and float(rows[5].bal) == 2.50
+    # A typo'd column list must be SKIPPED, not ingested as all-NULLs.
+    assert 6 not in rows
 
 
 def test_crlf_dump_parses(spark, tmp_path):
