@@ -199,31 +199,90 @@ def simhash_chunks(documents: DataFrame) -> DataFrame:
     return tok.groupBy("doc_id").agg(*chunk_cols)
 
 
-def simhash_dedup(documents: DataFrame, max_hamming: int = 3) -> DataFrame:
+# Block-permutation candidate tables (Manku/Jarvelin web-dedup scheme,
+# public WWW'07 construction): split the 64-bit fingerprint into
+# _SH_BLOCKS blocks; max_hamming bit errors corrupt at most max_hamming
+# blocks, so every pair within distance max_hamming agrees on SOME
+# (_SH_BLOCKS - max_hamming)-subset of blocks. Keying candidates on every
+# such subset keeps recall EXACT while widening the effective key from 16
+# bits (the old 4-chunk pigeonhole: 65,536 buckets → ~N²/2¹⁷ candidate
+# pairs, quadratic at web scale) to ~33 bits per table.
+_SH_BLOCKS = 6
+_SH_BLOCK_BOUNDS = [0, 11, 22, 33, 44, 54, 64]  # 6 blocks: 11×4 + 10×2 bits
+
+
+def _simhash_tables(max_hamming: int) -> list[tuple[int, ...]]:
+    from itertools import combinations
+    keep = _SH_BLOCKS - max_hamming
+    if keep < 1:
+        raise ValueError(f"max_hamming={max_hamming} needs > {_SH_BLOCKS - 1}")
+    return list(combinations(range(_SH_BLOCKS), keep))
+
+
+def simhash_dedup(documents: DataFrame, max_hamming: int = 3,
+                  bucket_cap: int = 10_000) -> DataFrame:
     """Near-dup pairs with SimHash hamming distance <= max_hamming.
 
-    With 4 chunks and hamming <= 3, at least one chunk is identical
-    (pigeonhole), so candidates come from 4 equi-joins on chunk value —
-    never a cross product. Verify = xor + bit_count, exact."""
+    Candidates: assemble the 64-bit fingerprint from the 4 chunk columns,
+    slice it into 6 blocks, and emit one (table_id, key) row per
+    C(6, 6-max_hamming) block-subset table — every pair within the
+    hamming budget shares a full key in at least one table (exact
+    recall), and each table key spans ~33 bits, so bucket population
+    scales as N/2³³ instead of N/2¹⁶. All tables ride ONE exploded
+    self-join (the LSH-banding shape — one shuffle, ReuseExchange).
+
+    ``bucket_cap`` drops candidate buckets larger than the cap before the
+    join — the worst-case quadratic guard for adversarial key skew (e.g.
+    boilerplate corpora whose fingerprints collapse to a handful of
+    values). A dropped bucket means its docs agree on one block triple;
+    near-identical docs also collide in other tables, so the practical
+    recall cost is confined to corpora that are one giant near-dup
+    cluster — where pair enumeration is the wrong output anyway
+    (tests/test_pipeline.py pins the o(N²) bound on a skewed corpus).
+    Verify = xor + bit_count, exact."""
     fps = simhash_chunks(documents)
-    pieces = []
+    # shiftleft|bitwiseOR, not multiply|add: chunk_3 << 48 can set bit 63,
+    # which overflows signed-long arithmetic but is fine bitwise.
+    fp = F.lit(0).cast("long")
     for c in range(4):
-        a = fps.alias("a")
-        b = fps.alias("b")
-        pieces.append(
-            a.join(b, F.col(f"a.chunk_{c}") == F.col(f"b.chunk_{c}"))
-            .where(F.col("a.doc_id") < F.col("b.doc_id"))
-            .select(
-                F.col("a.doc_id").alias("doc_a"),
-                F.col("b.doc_id").alias("doc_b"),
-                *[F.col(f"a.chunk_{i}").alias(f"ac{i}") for i in range(4)],
-                *[F.col(f"b.chunk_{i}").alias(f"bc{i}") for i in range(4)],
-            )
+        fp = fp.bitwiseOR(F.shiftleft(F.col(f"chunk_{c}").cast("long"), 16 * c))
+    fps = fps.withColumn("fp", fp)
+
+    def block(i: int):
+        lo, hi = _SH_BLOCK_BOUNDS[i], _SH_BLOCK_BOUNDS[i + 1]
+        return F.shiftrightunsigned("fp", lo).bitwiseAND(F.lit((1 << (hi - lo)) - 1))
+
+    tables = F.array(*[
+        F.struct(
+            F.lit(t).alias("table_id"),
+            F.xxhash64(F.lit(t), *[block(i) for i in combo]).alias("key"),
         )
-    cand = pieces[0]
-    for p in pieces[1:]:
-        cand = cand.unionByName(p)
-    cand = cand.distinct()
+        for t, combo in enumerate(_simhash_tables(max_hamming))
+    ])
+    keyed = (
+        fps.select("doc_id", *[f"chunk_{i}" for i in range(4)],
+                   F.explode(tables).alias("t"))
+        .select("doc_id", "t.table_id", "t.key",
+                *[f"chunk_{i}" for i in range(4)])
+    )
+    # Bucket-size guard: the count window partitions by the JOIN keys, so
+    # it shares the join's hash shuffle (one exchange, reused).
+    from pyspark.sql import Window as W
+    keyed = keyed.withColumn(
+        "__bucket_n", F.count("*").over(W.partitionBy("table_id", "key"))
+    ).where(F.col("__bucket_n") <= bucket_cap).drop("__bucket_n")
+    a, b = keyed.alias("a"), keyed.alias("b")
+    cand = (
+        a.join(b, ["table_id", "key"])
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            *[F.col(f"a.chunk_{i}").alias(f"ac{i}") for i in range(4)],
+            *[F.col(f"b.chunk_{i}").alias(f"bc{i}") for i in range(4)],
+        )
+        .distinct()
+    )
     hamming = sum(
         F.bit_count(F.col(f"ac{i}").bitwiseXOR(F.col(f"bc{i}")))
         for i in range(4)
@@ -237,15 +296,33 @@ def simhash_dedup(documents: DataFrame, max_hamming: int = 3) -> DataFrame:
 # --- exact n-gram Jaccard (inverted index) ------------------------------------
 
 def ngram_jaccard_pairs(documents: DataFrame, threshold: float = 0.2,
-                        k: int = 3) -> DataFrame:
+                        k: int = 3, df_cap: int = 10_000) -> DataFrame:
     """EXACT Jaccard over word k-shingles via an inverted-index self-join:
     |A∩B| = count of shared shingles; sizes come from the per-doc shingle
-    count, so no second pass over text. The shuffle is
-    sum(posting-list²) — bounded by shingle selectivity, not N²."""
+    count, so no second pass over text. The self-join costs
+    sum(posting-list²), so ONE boilerplate shingle shared by f·N docs
+    makes it quadratic (f=1% of 10¹⁰ docs → a 10¹⁶-pair bucket).
+
+    ``df_cap`` drops shingles whose document frequency exceeds the cap
+    before the join (the standard prefix-filter defence). Effect on
+    exactness: the |A∩B| count loses at most the s capped shingles a pair
+    shares, so the reported jaccard underestimates by at most
+    s/(|A∪B|) — for df_cap ≫ typical DF the result is exact (no fixture
+    shingle comes near the default cap), and a capped shingle is by
+    construction near-content-free boilerplate for similarity purposes.
+    The per-doc sizes ``n_sh`` keep counting ALL shingles, so capping
+    never inflates a score — errors are one-sided (recall, never
+    precision). The DF count partitions by the JOIN key, so it shares
+    the join's hash exchange (no extra shuffle)."""
+    from pyspark.sql import Window as W
+
     sh = with_shingles(documents, k).select(
         "doc_id", F.explode("shingles").alias("sh"),
         F.size("shingles").alias("n_sh"),
     )
+    sh = sh.withColumn(
+        "__df", F.count("*").over(W.partitionBy("sh"))
+    ).where(F.col("__df") <= df_cap).drop("__df")
     a, b = sh.alias("a"), sh.alias("b")
     inter = (
         a.join(b, "sh")

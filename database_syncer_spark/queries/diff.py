@@ -183,6 +183,49 @@ WHERE b.o_orderkey IS NULL OR p.o_orderkey IS NULL OR NOT ({unchanged})
 """
 
 
+_ORDERS_TYPES = {
+    "o_orderkey": "num", "o_custkey": "num", "o_orderstatus": "str",
+    "o_totalprice": "num", "o_orderdate": "ts", "o_orderpriority": "str",
+}
+
+
+def _duck_lit(col: str) -> str:
+    """DuckDB rendering of a column as a SQL literal — mirrors
+    core/script.py sql_literal exactly (quote-escape strings, 6-digit
+    microsecond timestamps, NULL for NULL)."""
+    kind = _ORDERS_TYPES[col]
+    if kind == "str":
+        inner = f"'''' || replace({col}, '''', '''''') || ''''"
+    elif kind == "ts":
+        inner = f"'''' || strftime({col}, '%Y-%m-%d %H:%M:%S.%f') || ''''"
+    else:
+        inner = f"CAST({col} AS VARCHAR)"
+    return f"coalesce({inner}, 'NULL')"
+
+
+def _script_sql() -> str:
+    """Oracle for sink_sync_script: rebuild the exact statement text the
+    Spark sink renders (core/script.py generate_sync_script; reference
+    formats sync.py:175-215, :388-395) from the diff CTE, per row."""
+    set_clause = " || ', ' || ".join(
+        f"'`{c}` = ' || {_duck_lit(c)}" for c in _NON_PK)
+    values_clause = " || ', ' || ".join(
+        _duck_lit(c) for c in ["o_orderkey", *_NON_PK])
+    where_clause = f"'`o_orderkey` = ' || {_duck_lit('o_orderkey')}"
+    return f"""
+WITH d AS ({_diff_sql()})
+SELECT CASE change_type WHEN 'DELETE' THEN 2 WHEN 'UPDATE' THEN 3
+       ELSE 4 END AS section,
+       CASE change_type
+         WHEN 'DELETE' THEN 'DELETE FROM `orders` WHERE ' || {where_clause} || ';'
+         WHEN 'UPDATE' THEN 'UPDATE `orders` SET ' || {set_clause}
+                            || ' WHERE ' || {where_clause} || ';'
+         ELSE 'INSERT INTO `orders` VALUES (' || {values_clause} || ');'
+       END AS statement
+FROM d
+"""
+
+
 def _scd2_sql() -> str:
     p_cols = ",\n         ".join(f"p.{c} AS p_{c}" for c in _NON_PK)
     b_cols = ",\n         ".join(f"b.{c} AS b_{c}" for c in _NON_PK)
@@ -221,11 +264,12 @@ QUERIES = {
     "diff_stats_by_type": diff_stats_by_type,
     "diff_scd2_history": diff_scd2_history,
     "win_row_number_dedup": win_row_number_dedup,
-    "sink_sync_script": sink_sync_script,  # rows-only (SQL text output)
+    "sink_sync_script": sink_sync_script,
     "sink_cdc_table": sink_cdc_table,
 }
 
 ORACLES = {
+    "sink_sync_script": _script_sql(),
     "diff_cdc_fullouter": _diff_sql(),
     "diff_composite_pk": _composite_diff_sql(),
     "diff_scd2_history": _scd2_sql(),

@@ -103,6 +103,80 @@ def test_simhash_consistency(spark, near_dup_corpus):
     assert all(0 <= h <= 3 for h in pairs.values())
 
 
+def test_simhash_pigeonhole_exact_recall(spark, near_dup_corpus):
+    """The block-permutation candidate scheme is EXACT for recall: every
+    pair within the hamming budget agrees on at least one full block
+    triple, so simhash_dedup's output must equal a brute-force hamming
+    scan over the fingerprints (no pigeonhole miss)."""
+    from database_syncer_spark.pipeline.dedup import simhash_chunks
+
+    fps = {r.doc_id: (r.chunk_0, r.chunk_1, r.chunk_2, r.chunk_3)
+           for r in simhash_chunks(near_dup_corpus).collect()}
+    ids = sorted(fps)
+    expect = {}
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            h = sum(bin(x ^ y).count("1") for x, y in zip(fps[a], fps[b]))
+            if h <= 3:
+                expect[(a, b)] = h
+    got = {(r.doc_a, r.doc_b): r.hamming
+           for r in simhash_dedup(near_dup_corpus, max_hamming=3).collect()}
+    assert got == expect
+
+
+def test_simhash_bucket_cap_bounds_candidates(spark):
+    """Adversarial skew: 300 identical docs collapse every candidate
+    bucket to one fingerprint. The bucket cap must drop the oversized
+    buckets (o(N²) candidate work) instead of emitting ~N²/2 pairs."""
+    n = 300
+    docs = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.lit("same boilerplate text repeated everywhere forever").alias("text"))
+    capped = simhash_dedup(docs, max_hamming=3, bucket_cap=50)
+    assert capped.count() == 0
+    # sanity: with the cap above N the quadratic pair set comes back
+    assert simhash_dedup(docs.where(F.col("doc_id") < 20),
+                         bucket_cap=1000).count() == 20 * 19 // 2
+
+
+def test_ngram_jaccard_df_cap_one_sided(spark, near_dup_corpus):
+    """A tiny DF cap may only LOWER jaccard scores (drop recall), never
+    raise them — capping removes intersection counts but keeps full
+    set sizes."""
+    full = {(r.doc_a, r.doc_b): r.jaccard
+            for r in ngram_jaccard_pairs(near_dup_corpus, threshold=0.2).collect()}
+    capped = {(r.doc_a, r.doc_b): r.jaccard
+              for r in ngram_jaccard_pairs(
+                  near_dup_corpus, threshold=0.2, df_cap=2).collect()}
+    assert set(capped) <= set(full)
+    for k, j in capped.items():
+        assert j <= full[k] + 1e-9
+
+
+def test_ngram_jaccard_df_cap_drops_boilerplate_bucket(spark):
+    """One shingle shared by every doc would make the inverted-index
+    self-join quadratic; with DF capping the shared-boilerplate pairs
+    disappear while genuinely-similar pairs survive."""
+    n = 200
+    base = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("common boiler plate "),  # one shared 3-shingle
+                 F.col("id").cast("string"), F.lit(" unique words here x"),
+                 F.col("id").cast("string")).alias("text"))
+    # two planted near-identical docs
+    twin = spark.createDataFrame(
+        [(9001, "common boiler plate 7 unique words here x7"),
+         (9002, "common boiler plate 7 unique words here x7")],
+        "doc_id long, text string")
+    docs = base.unionByName(twin)
+    pairs = ngram_jaccard_pairs(docs, threshold=0.5, df_cap=10).collect()
+    found = {(r.doc_a, r.doc_b) for r in pairs}
+    assert (7, 9001) in found or (9001, 9002) in found
+    # nothing pairs on the boilerplate shingle alone (df = 202 > cap)
+    assert all(a in (7, 9001, 9002) and b in (7, 9001, 9002)
+               for a, b in found)
+
+
 def test_lsh_ann_recall(spark, sf_dir):
     exact = brute_force_topk(load_table(spark, sf_dir, "embeddings"))
     approx = lsh_ann_topk(load_table(spark, sf_dir, "embeddings"))
