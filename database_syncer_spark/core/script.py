@@ -48,40 +48,46 @@ def _literal_map(df: DataFrame, cols: list[str]) -> dict[str, Column]:
     return {c: sql_literal(F.col(c), dtypes[c]) for c in cols}
 
 
-def generate_sync_script(changes: DataFrame, table: str, pk_cols: list[str]) -> DataFrame:
+def generate_sync_script(changes: DataFrame, table: str, pk_cols: list[str],
+                         ident_quote: str = "`") -> DataFrame:
     """changes CDC DataFrame -> ordered DataFrame of SQL statement strings.
 
     Returns columns ``(section int, statement string)`` ordered by
     (section, pk) — apply order DELETE -> UPDATE -> INSERT, matching the
     reference's script layout (sync.py:318-395).
+
+    ``ident_quote``: identifier quoting character — backtick (MySQL, the
+    reference's dialect) by default; pass ``'"'`` for an ANSI script that
+    executors like DuckDB/Postgres accept verbatim (core/executor.py).
     """
+    q = ident_quote
     value_cols = [c for c in changes.columns if c != CHANGE_TYPE]
     non_pk = [c for c in value_cols if c not in pk_cols]
     lits = _literal_map(changes, value_cols)
 
     set_clause = F.concat_ws(
-        ", ", *[F.concat(F.lit(f"`{c}` = "), lits[c]) for c in non_pk]
+        ", ", *[F.concat(F.lit(f"{q}{c}{q} = "), lits[c]) for c in non_pk]
     )
     where_clause = F.concat_ws(
-        " AND ", *[F.concat(F.lit(f"`{c}` = "), lits[c]) for c in pk_cols]
+        " AND ", *[F.concat(F.lit(f"{q}{c}{q} = "), lits[c]) for c in pk_cols]
     )
     values_clause = F.concat_ws(", ", *[lits[c] for c in value_cols])
 
     stmt = (
         F.when(
             F.col(CHANGE_TYPE) == DELETE,
-            F.concat(F.lit(f"DELETE FROM `{table}` WHERE "), where_clause, F.lit(";")),
+            F.concat(F.lit(f"DELETE FROM {q}{table}{q} WHERE "), where_clause, F.lit(";")),
         )
         .when(
             F.col(CHANGE_TYPE) == UPDATE,
             F.concat(
-                F.lit(f"UPDATE `{table}` SET "), set_clause,
+                F.lit(f"UPDATE {q}{table}{q} SET "), set_clause,
                 F.lit(" WHERE "), where_clause, F.lit(";"),
             ),
         )
         .otherwise(
             # Positional INSERT, as the reference re-emits it (sync.py:69).
-            F.concat(F.lit(f"INSERT INTO `{table}` VALUES ("), values_clause, F.lit(");")),
+            F.concat(F.lit(f"INSERT INTO {q}{table}{q} VALUES ("), values_clause, F.lit(");")),
         )
     )
     section = (

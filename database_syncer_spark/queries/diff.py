@@ -134,6 +134,21 @@ def sink_sync_script(spark: SparkSession, sf_dir: str) -> DataFrame:
     return generate_sync_script(changes, "orders", ["o_orderkey"])
 
 
+def sink_merge_executor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE-shaped executor sink: the generated sync script applied to
+    the backup state by a REAL sql engine (DuckDB, one transaction —
+    core/executor.py), standing in for the reference's real-world
+    consumption (a client executing the script, sync.py:587-589). The
+    result must equal production exactly, so the oracle is literally
+    ``SELECT * FROM orders``."""
+    from database_syncer_spark.core.executor import sync_via_executor
+
+    prod, backup = _snapshot_pair(spark, sf_dir)
+    prod = prod.select(*ORDERS_COLS)
+    backup = backup.select(*ORDERS_COLS)
+    return sync_via_executor(spark, prod, backup, "orders", ["o_orderkey"])
+
+
 def sink_cdc_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Changes DataFrame persisted as a CDC table (SURVEY §2 B1
     sink_cdc_table): parquet partitioned by change_type — the layout a
@@ -265,11 +280,15 @@ QUERIES = {
     "diff_scd2_history": diff_scd2_history,
     "win_row_number_dedup": win_row_number_dedup,
     "sink_sync_script": sink_sync_script,
+    "sink_merge_executor": sink_merge_executor,
     "sink_cdc_table": sink_cdc_table,
 }
 
 ORACLES = {
     "sink_sync_script": _script_sql(),
+    "sink_merge_executor": (
+        "SELECT " + ", ".join(ORDERS_COLS) + " FROM orders"
+    ),
     "diff_cdc_fullouter": _diff_sql(),
     "diff_composite_pk": _composite_diff_sql(),
     "diff_scd2_history": _scd2_sql(),

@@ -823,7 +823,10 @@ def write_sql_dump(df: DataFrame, table: str, pk_cols: list[str], path: str,
 
     col_defs = []
     for f in df.schema.fields:
-        mysql_t = _SPARK_TO_MYSQL.get(f.dataType.simpleString().split("(")[0], "varchar(255)")
+        st = f.dataType.simpleString()
+        # decimal keeps its exact precision/scale (MySQL syntax matches)
+        mysql_t = st if st.startswith("decimal") else _SPARK_TO_MYSQL.get(
+            st.split("(")[0], "varchar(255)")
         col_defs.append(f"  `{f.name}` {mysql_t} {'NOT NULL' if f.name in pk_cols else 'DEFAULT NULL'}")
     pk_def = ", ".join(f"`{c}`" for c in pk_cols)
     header = "\n".join([

@@ -117,6 +117,40 @@ def test_sync_script_executes_and_syncs(spark, duck, sf_dir):
     assert extra == 0 and missing == 0, (extra, missing)
 
 
+def test_executor_roundtrip(spark, sf_dir):
+    """The transactional executor (core/executor.py) applies the ANSI
+    script on a real DuckDB table and must reproduce production:
+    apply(script(diff(P, B)), B) == P through an actual sql engine."""
+    from database_syncer_spark.core.executor import sync_via_executor
+
+    prod, backup = _pair(spark, sf_dir)
+    synced = sync_via_executor(spark, prod, backup, "orders", ["o_orderkey"])
+    assert synced.exceptAll(prod).count() == 0
+    assert prod.exceptAll(synced).count() == 0
+
+
+def test_executor_rolls_back_atomically(spark, sf_dir):
+    """A failing statement mid-script must leave the table UNCHANGED —
+    the all-or-nothing guarantee the DataFrame emulation cannot give."""
+    import duckdb
+    import pytest as _pytest
+
+    from database_syncer_spark.core.executor import apply_script_duckdb
+
+    _, backup = _pair(spark, sf_dir)
+    n0 = backup.count()
+    con = duckdb.connect()
+    stmts = [
+        'DELETE FROM "t_x" WHERE "o_orderkey" = 1;',
+        'INSERT INTO "t_x" VALUES (broken',  # syntax error mid-script
+    ]
+    with _pytest.raises(Exception):
+        apply_script_duckdb(backup, "t_x", stmts, con=con)
+    n_after = con.execute('SELECT count(*) FROM "t_x"').fetchone()[0]
+    assert n_after == n0  # the DELETE before the failure was rolled back
+    con.close()
+
+
 def test_diff_against_empty_sides(spark, sf_dir):
     """diff(X, ∅) = all INSERT; diff(∅, X) = all DELETE; diff(∅, ∅) = ∅."""
     prod = load_table(spark, sf_dir, "orders")
