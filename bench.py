@@ -49,6 +49,20 @@ HEADLINE = [
     "text_quality_score",
 ]
 
+# Heaviest non-headline families, tracked so a regression is visible
+# BEFORE a round touches them. Kept out of HEADLINE/"value" so the
+# headline total stays directly comparable across rounds (BENCH_r01
+# covers exactly the 12 keys above).
+SECONDARY = [
+    "stream_foreachbatch_merge",   # real micro-batch MERGE replay
+    "stream_stateful_custom",      # applyInPandasWithState job
+    "dedup_cluster_components",    # iterative label propagation
+    "dedup_simhash",               # block-permutation candidate join
+    "sim_lsh_ann",                 # hyperplane LSH + re-rank
+    "sim_ivf_ann",                 # IVF cells + re-rank
+    "sink_merge_executor",         # script apply through DuckDB
+]
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -82,19 +96,39 @@ def main() -> None:
         fh.write("SELECT 1;\n")
     read_dump_statements(spark, probe).count()
 
-    timings: dict[str, float] = {}
-    for key in HEADLINE:
-        fn = queries.get(key)
-        if fn is None:
-            continue
+    def time_keys(keys: list[str], warmups: int) -> dict[str, float]:
+        out: dict[str, float] = {}
+        for key in keys:
+            fn = queries.get(key)
+            if fn is None:
+                continue
 
-        def run() -> float:
-            t0 = time.perf_counter()
-            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            return time.perf_counter() - t0
+            def run() -> float:
+                t0 = time.perf_counter()
+                fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+                return time.perf_counter() - t0
 
-        run(); run()  # warmups: codegen/JIT + page cache
-        timings[key] = round(sorted(run() for _ in range(3))[1], 3)
+            for _ in range(warmups):  # codegen/JIT + page cache
+                run()
+            out[key] = round(sorted(run() for _ in range(3))[1], 3)
+        return out
+
+    timings = time_keys(HEADLINE, warmups=2)
+    secondary = time_keys(SECONDARY, warmups=1)
+
+    # Previous-round totals, so the regression gate is visible in the
+    # artifact itself (BENCH_r01: 12-key headline total 8.13s at sf0.1).
+    prev: dict[str, float] = {}
+    import glob as _glob
+    here = os.path.dirname(os.path.abspath(__file__))
+    for p in sorted(_glob.glob(os.path.join(here, "BENCH_r*.json"))):
+        try:
+            with open(p, encoding="utf-8") as fh:
+                d = json.load(fh)
+            # the round driver wraps our JSON line under "parsed"
+            prev[os.path.basename(p)] = d.get("parsed", d).get("value")
+        except (OSError, ValueError, AttributeError):
+            pass
 
     total = round(sum(timings.values()), 3)
     print(json.dumps({
@@ -102,8 +136,11 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "secondary": secondary,
+        "prev_totals": prev,
         "sf": sf,
-        "methodology": "noop-sink; per key: 2 warmup runs, median of 3 timed runs",
+        "methodology": ("noop-sink; headline: 2 warmups, median of 3 timed; "
+                        "secondary (not in value): 1 warmup, median of 3"),
     }))
 
 

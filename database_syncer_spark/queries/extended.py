@@ -235,6 +235,30 @@ def scan_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.schema(c.schema).json(path)
 
 
+def scan_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC source round trip on supplier — B1 breadth: parquet, CSV,
+    JSONL, ORC and SQL-dump sources all covered. Explicit schema on
+    read; ORC is Spark-native (vectorized reader, predicate pushdown)."""
+    s = load_table(spark, sf_dir, "supplier")
+    path = _roundtrip_dir(sf_dir, "orc")
+    s.write.mode("overwrite").orc(path)
+    return spark.read.schema(s.schema).orc(path)
+
+
+def scan_partition_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-layout partitioned sink + partition-pruned scan: events
+    written ``partitionBy(event_type)``, read back filtered on the
+    partition column. The filter resolves at FILE-LISTING time
+    (PartitionFilters — other partitions' files are never opened), the
+    layout discipline that keeps a 100-TB event store queryable.
+    tests/test_plans.py asserts the pruning reaches the scan node."""
+    ev = load_table(spark, sf_dir, "events")
+    path = _roundtrip_dir(sf_dir, "evpart")
+    ev.write.mode("overwrite").partitionBy("event_type").parquet(path)
+    back = spark.read.parquet(path).where(F.col("event_type") == "click")
+    return back.select("event_id", "ts", "user_id", "event_type", "value")
+
+
 # --- SQL subquery forms --------------------------------------------------
 
 def subq_exists_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -312,6 +336,40 @@ def reshape_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def agg_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group correlation/stddev via EXACT decimal accumulators.
+
+    Built-in ``corr()``/``stddev()`` accumulate in floating point, so
+    their last bits depend on partial-aggregation order — nondeterministic
+    under shuffle/AQE/retry, a real hazard for both oracle parity and
+    100-TB reproducibility. Instead accumulate Σx, Σy, Σx², Σy², Σxy as
+    decimals (exact, order-independent, map-side combinable) and evaluate
+    the closed forms in double at the END: every engine sees identical
+    exact inputs, and the final scalar IEEE ops are deterministic."""
+    li = load_table(spark, sf_dir, "lineitem")
+    x = F.col("l_quantity").cast("decimal(18,2)")
+    y = F.col("l_extendedprice").cast("decimal(18,2)")
+    g = li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.sum(x).alias("sx"), F.sum(y).alias("sy"),
+        F.sum(x * x).alias("sxx"), F.sum(y * y).alias("syy"),
+        F.sum(x * y).alias("sxy"),
+    )
+    n = F.col("n").cast("double")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxx, syy = F.col("sxx").cast("double"), F.col("syy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    corr = (n * sxy - sx * sy) / F.sqrt(
+        (n * sxx - sx * sx) * (n * syy - sy * sy))
+    stddev_x = F.sqrt((n * sxx - sx * sx) / (n * (n - F.lit(1.0))))
+    return g.select(
+        "l_returnflag", "n",
+        F.round(corr, 6).alias("corr_qty_price"),
+        F.round(stddev_x, 6).alias("stddev_qty"),
+        F.round(sx / n, 6).alias("avg_qty"),
+    )
+
+
 # --- training-data sampling ----------------------------------------------
 
 def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -386,6 +444,9 @@ QUERIES = {
     "subq_scalar_agg": subq_scalar_agg,
     "scan_csv_roundtrip": scan_csv_roundtrip,
     "scan_jsonl_roundtrip": scan_jsonl_roundtrip,
+    "scan_orc_roundtrip": scan_orc_roundtrip,
+    "scan_partition_pruned": scan_partition_pruned,
+    "agg_stats_moments": agg_stats_moments,
     "join_part_promo": join_part_promo,
     "agg_mode_histogram": agg_mode_histogram,
     "subq_correlated_min": subq_correlated_min,
@@ -460,6 +521,39 @@ WHERE o_totalprice > 0.5 * (SELECT max(o_totalprice) FROM orders)
 """,
     "scan_csv_roundtrip": "SELECT * FROM nation",
     "scan_jsonl_roundtrip": "SELECT * FROM customer",
+    "scan_orc_roundtrip": "SELECT * FROM supplier",
+    "scan_partition_pruned": """
+SELECT event_id, ts, user_id, event_type, value
+FROM events WHERE event_type = 'click'
+""",
+    "agg_stats_moments": """
+WITH s AS (
+  SELECT l_returnflag, count(*) AS n,
+         sum(CAST(l_quantity AS DECIMAL(18,2))) AS sx,
+         sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sy,
+         sum(CAST(l_quantity AS DECIMAL(18,2))
+             * CAST(l_quantity AS DECIMAL(18,2))) AS sxx,
+         sum(CAST(l_extendedprice AS DECIMAL(18,2))
+             * CAST(l_extendedprice AS DECIMAL(18,2))) AS syy,
+         sum(CAST(l_quantity AS DECIMAL(18,2))
+             * CAST(l_extendedprice AS DECIMAL(18,2))) AS sxy
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l_returnflag, n,
+       round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                    * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                       - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
+           AS corr_qty_price,
+       round(sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                   - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                  / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0))), 6)
+           AS stddev_qty,
+       round(CAST(sx AS DOUBLE) / CAST(n AS DOUBLE), 6) AS avg_qty
+FROM s
+""",
     "subq_correlated_min": """
 SELECT c_custkey, c_nationkey, c_acctbal
 FROM customer c

@@ -39,6 +39,30 @@ def test_scan_pushes_filter_and_prunes_columns(spark, sf_dir):
         "l_orderkey", "l_quantity"}, "scan must read only projected columns"
 
 
+def test_partitioned_scan_prunes_at_listing(spark, sf_dir):
+    """scan_partition_pruned's filter must be a PartitionFilter (resolved
+    at file listing — other partitions' files never open), not a data
+    filter evaluated per row."""
+    from database_syncer_spark.queries.extended import scan_partition_pruned
+
+    plan = _plan(scan_partition_pruned(spark, sf_dir))
+    assert re.search(r"PartitionFilters: \[.*event_type.*click", plan), plan
+    # and the partition column is NOT in the read schema (it comes from
+    # the directory layout, not the files)
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m and "event_type" not in m.group(1)
+
+
+def test_stats_moments_single_shuffle(spark, sf_dir):
+    """Exact-accumulator moments must stay one partial+final hash
+    aggregate around a single exchange — the map-side-combine shape."""
+    from database_syncer_spark.queries.extended import agg_stats_moments
+
+    plan = _plan(agg_stats_moments(spark, sf_dir))
+    assert plan.count("HashAggregate") >= 2
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1
+
+
 def test_agg_partial_combines_map_side(spark, sf_dir):
     from database_syncer_spark.registry import all_queries
 
