@@ -60,10 +60,15 @@ def stream_foreachbatch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     prod = load_table(spark, sf_dir, "orders")
     backup = derive_backup(prod, "o_orderkey", "o_totalprice")
     changes = snapshot_diff(prod, backup, ["o_orderkey"])
-    tag = os.path.basename(os.path.normpath(sf_dir))
+    tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
     workdir = tempfile.mkdtemp(prefix=f"dss_febm_{tag}_")
+    # changes are a pure function of the read-only fixture — stage once
+    # per machine (reuse=True); state versions stay in the fresh workdir.
     return incremental_sync_foreachbatch(
-        spark, changes, backup, ["o_orderkey"], n_chunks=5, workdir=workdir)
+        spark, changes, backup, ["o_orderkey"], n_chunks=3, workdir=workdir,
+        changes_path=os.path.join(
+            tempfile.gettempdir(), f"dss_febm_src_{tag}"),
+        reuse_changes=True)
 
 
 def stream_stateful_custom(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -76,7 +81,8 @@ def stream_stateful_custom(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events")
     tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
     src = stage_as_stream_source(
-        events, os.path.join(tempfile.gettempdir(), f"dss_stateful_src_{tag}"), 5)
+        events, os.path.join(tempfile.gettempdir(), f"dss_stateful_src_{tag}"),
+        3, reuse=True)
     staged = spark.read.parquet(src)
     sink = run_stream_to_memory(
         spark, src, staged.schema, running_user_profile,
@@ -106,7 +112,8 @@ def stream_transform_with_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events")
     tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
     src = stage_as_stream_source(
-        events, os.path.join(tempfile.gettempdir(), f"dss_tws_src_{tag}"), 5)
+        events, os.path.join(tempfile.gettempdir(), f"dss_tws_src_{tag}"),
+        3, reuse=True)
     staged = spark.read.parquet(src)
 
     # transformWithState requires the RocksDB state store provider; the
