@@ -15,7 +15,26 @@ is a storage property — pick it once per table from target bucket size
 
 from __future__ import annotations
 
+import os
+import shutil
+
 from pyspark.sql import DataFrame, SparkSession
+
+
+def _clear_stale_location(spark: SparkSession, table: str) -> None:
+    """Remove a leftover managed-table directory from a PREVIOUS session.
+
+    The default catalog is in-memory, so a fresh session doesn't know the
+    table, but its warehouse directory survives on disk —
+    ``saveAsTable`` then fails with LOCATION_ALREADY_EXISTS even under
+    ``mode("overwrite")``. Dropping the (unknown) table is a no-op, so
+    the location itself has to go."""
+    wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    if wh.startswith("file:"):
+        wh = wh.removeprefix("file:")
+    loc = os.path.join(wh, table.lower())
+    if os.path.isdir(loc):
+        shutil.rmtree(loc, ignore_errors=True)
 
 
 def write_bucketed_snapshot(df: DataFrame, table: str, pk_cols: list[str],
@@ -24,6 +43,8 @@ def write_bucketed_snapshot(df: DataFrame, table: str, pk_cols: list[str],
     parquet table; returns the re-read table whose scan carries the
     bucketing metadata Catalyst needs to elide the diff shuffle."""
     spark = df.sparkSession
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    _clear_stale_location(spark, table)
     (df.write.mode("overwrite")
        .bucketBy(n_buckets, *pk_cols)
        .sortBy(*pk_cols)

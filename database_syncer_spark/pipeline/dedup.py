@@ -339,6 +339,49 @@ def ngram_jaccard_pairs(documents: DataFrame, threshold: float = 0.2,
     )
 
 
+def ngram_containment_pairs(documents: DataFrame, threshold: float = 0.5,
+                            k: int = 3, df_cap: int = 10_000) -> DataFrame:
+    """EXACT shingle containment C(A→B) = |A∩B| / |A| — the asymmetric
+    near-dup measure that catches SUB-document duplication (doc A mostly
+    quoted/embedded inside doc B), which symmetric Jaccard misses when
+    |B| ≫ |A|: C(A→B) can be 1.0 while J(A,B) ≈ |A|/|B| → 0.
+
+    Shares the inverted-index shape (and the df_cap prefix-filter
+    defence — same one-sided error argument) with
+    :func:`ngram_jaccard_pairs`; the intersection count is computed ONCE
+    per unordered pair and both directions are emitted by exploding two
+    structs from it, so the asymmetry costs no second join."""
+    sh = with_shingles(documents, k).select(
+        "doc_id", F.explode("shingles").alias("sh"),
+        F.size("shingles").alias("n_sh"),
+    )
+    from pyspark.sql import Window as W
+
+    sh = sh.withColumn(
+        "__df", F.count("*").over(W.partitionBy("sh"))
+    ).where(F.col("__df") <= df_cap).drop("__df")
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, "sh")
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"),
+            F.col("a.n_sh").alias("na"), F.col("b.n_sh").alias("nb"))
+        .agg(F.count("*").alias("c"))
+    )
+    cont = F.round(F.col("c").cast("double") / F.col("n_src"), 6)
+    both = inter.select(F.explode(F.array(
+        F.struct(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"),
+                 F.col("na").alias("n_src"), F.col("c")),
+        F.struct(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"),
+                 F.col("nb").alias("n_src"), F.col("c")),
+    )).alias("p")).select("p.*")
+    return (
+        both.select("src", "dst", cont.alias("containment"))
+        .where(F.col("containment") >= threshold)
+    )
+
+
 # --- connected components over near-dup pairs -----------------------------------
 
 def connected_components(edges: DataFrame, src: str = "doc_a",

@@ -86,6 +86,45 @@ def fingerprint(documents: DataFrame) -> DataFrame:
     return documents.select("doc_id", fp.alias("fingerprint"))
 
 
+def tfidf_topk(documents: DataFrame, top_n: int = 3) -> DataFrame:
+    """Per-document top-N terms by TF-IDF (idf = ln((N+1)/(df+1))) — the
+    keyword-extraction primitive of retrieval/labeling pipelines.
+
+    Shape: one groupBy(doc, term) with map-side partial combine, one
+    vocabulary-sized groupBy(term) for document frequency, then a
+    vocab⋈tf join — vocabulary ≪ corpus (Heaps' law), so at scale the
+    df side is broadcast-or-AQE territory, never a corpus-sized
+    shuffle; the corpus count rides in as a 1-row broadcast cross join
+    (a scalar subquery, not a driver collect). Ranking happens on the
+    ROUNDED score with the term as tiebreak, so the top-N set is
+    deterministic and engine-independent (ln() may differ in the last
+    ulp between engines; round-6 absorbs it)."""
+    tok = (
+        documents.select("doc_id", F.explode(tokens(F.col("text"))).alias("term"))
+        .where(F.col("term") != "")
+    )
+    tf = tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n = documents.agg(F.count("*").alias("__n"))
+    scored = (
+        tf.join(dfreq, "term").crossJoin(F.broadcast(n))
+        .select(
+            "doc_id", "term",
+            F.round(
+                F.col("tf").cast("double")
+                * F.log((F.col("__n") + 1.0) / (F.col("df") + 1.0)),
+                6).alias("tfidf"),
+        )
+    )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("term"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rn") <= top_n)
+    )
+
+
 # --- language ID -------------------------------------------------------------
 
 #: distinct character bigrams of the first 200 chars (cheap, codegen'd)

@@ -7,6 +7,8 @@ identical pair in pure SQL.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -149,6 +151,30 @@ def sink_merge_executor(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sync_via_executor(spark, prod, backup, "orders", ["o_orderkey"])
 
 
+def diff_bucketed_zeroshuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100-TB deployment shape of the CDC diff as a first-class key:
+    both snapshots are persisted BUCKETED+SORTED by the PK
+    (core/bucketing.py), so the full-outer diff join reads co-located
+    buckets and the plan has ZERO Exchange nodes
+    (tests/test_plans.py:84 proves it; an unbucketed diff has 2). Values
+    must equal the plain diff exactly — same oracle as
+    diff_cdc_fullouter — so the driver hash certifies that the
+    shuffle-free plan is not just fast but RIGHT.
+
+    Each call rewrites both bucketed tables (the write IS the one-time
+    clustering cost the steady-state deployment amortizes across runs);
+    table names carry the sf tag so concurrent fixtures don't collide."""
+    from database_syncer_spark.core.bucketing import write_bucketed_snapshot
+
+    prod, backup = _snapshot_pair(spark, sf_dir)
+    tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+    bp = write_bucketed_snapshot(
+        prod.select(*ORDERS_COLS), f"dss_bkt_prod_{tag}", ["o_orderkey"], 8)
+    bb = write_bucketed_snapshot(
+        backup.select(*ORDERS_COLS), f"dss_bkt_backup_{tag}", ["o_orderkey"], 8)
+    return snapshot_diff(bp, bb, pk_cols=["o_orderkey"])
+
+
 def sink_cdc_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Changes DataFrame persisted as a CDC table (SURVEY §2 B1
     sink_cdc_table): parquet partitioned by change_type — the layout a
@@ -275,6 +301,7 @@ FROM j WHERE change_type IN ('UPDATE', 'INSERT')
 
 QUERIES = {
     "diff_cdc_fullouter": diff_cdc_fullouter,
+    "diff_bucketed_zeroshuffle": diff_bucketed_zeroshuffle,
     "diff_composite_pk": diff_composite_pk,
     "diff_stats_by_type": diff_stats_by_type,
     "diff_scd2_history": diff_scd2_history,
@@ -290,6 +317,7 @@ ORACLES = {
         "SELECT " + ", ".join(ORDERS_COLS) + " FROM orders"
     ),
     "diff_cdc_fullouter": _diff_sql(),
+    "diff_bucketed_zeroshuffle": _diff_sql(),
     "diff_composite_pk": _composite_diff_sql(),
     "diff_scd2_history": _scd2_sql(),
     "diff_stats_by_type": (

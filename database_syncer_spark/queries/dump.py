@@ -75,9 +75,77 @@ def scan_sql_dump_composite(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_sql_dump(spark, path)["lineitem_ck"]
 
 
+def sync_dump_to_dump(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's ENTIRE main() flow (sync.py:629-642) end to end:
+    two mysqldump-style text files in → keyed CRUD change set out.
+
+    Renders a production dump (orders slice) and a backup dump (the
+    deterministic derive_backup of that slice), ingests BOTH through the
+    full distributed dump pipeline (statement split → Arrow tokenizer →
+    typed cast), then diffs the two ingested snapshots. The oracle
+    recomputes the identical diff from the parquet fixture in pure SQL,
+    so one driver hash verifies parse + typing + diff classification
+    together — the closest thing to running the reference itself."""
+    from database_syncer_spark.core.diff import snapshot_diff
+    from database_syncer_spark.core.snapshots import derive_backup
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    prod_path = os.path.join(
+        tempfile.gettempdir(), f"dss_dump_{_DUMP_FMT}_{tag}_orders.sql")
+    bak_path = os.path.join(
+        tempfile.gettempdir(), f"dss_dump_{_DUMP_FMT}_{tag}_orders_bak.sql")
+    if not (os.path.exists(prod_path) and os.path.getsize(prod_path) > 0):
+        orders = load_table(spark, sf_dir, "orders").where(
+            F.col("o_orderkey") < _SLICE)
+        write_sql_dump(orders, "orders", ["o_orderkey"], prod_path)
+    if not (os.path.exists(bak_path) and os.path.getsize(bak_path) > 0):
+        orders = load_table(spark, sf_dir, "orders").where(
+            F.col("o_orderkey") < _SLICE)
+        backup = derive_backup(orders, "o_orderkey", "o_totalprice")
+        write_sql_dump(backup, "orders", ["o_orderkey"], bak_path)
+    prod = read_sql_dump(spark, prod_path)["orders"]
+    backup = read_sql_dump(spark, bak_path)["orders"]
+    changes = snapshot_diff(prod, backup, pk_cols=["o_orderkey"])
+    return changes.withColumn(
+        "o_orderdate", F.col("o_orderdate").cast("timestamp_ntz"))
+
+
+def _dump_diff_sql() -> str:
+    """DuckDB oracle for sync_dump_to_dump: rebuild backup + diff from
+    the fixture slice (mirrors core/diff.snapshot_diff classification)."""
+    from database_syncer_spark.core.snapshots import derive_backup_sql
+
+    cols = ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+            "o_orderdate", "o_orderpriority"]
+    non_pk = [c for c in cols if c != "o_orderkey"]
+    slice_sql = (f"(SELECT {', '.join(cols)} FROM orders "
+                 f"WHERE o_orderkey < {_SLICE})")
+    backup = derive_backup_sql(
+        slice_sql + " AS s", "o_orderkey", "o_totalprice", cols)
+    post_image = ",\n  ".join(
+        f"CASE WHEN p.o_orderkey IS NULL THEN b.{c} ELSE p.{c} END AS {c}"
+        for c in non_pk)
+    unchanged = " AND ".join(
+        f"p.{c} IS NOT DISTINCT FROM b.{c}" for c in non_pk)
+    return f"""
+WITH prod AS (SELECT * FROM {slice_sql} p0),
+backup AS ({backup})
+SELECT
+  coalesce(p.o_orderkey, b.o_orderkey) AS o_orderkey,
+  CASE WHEN b.o_orderkey IS NULL THEN 'INSERT'
+       WHEN p.o_orderkey IS NULL THEN 'DELETE'
+       ELSE 'UPDATE' END AS change_type,
+  {post_image}
+FROM prod p
+FULL OUTER JOIN backup b ON p.o_orderkey = b.o_orderkey
+WHERE b.o_orderkey IS NULL OR p.o_orderkey IS NULL OR NOT ({unchanged})
+"""
+
+
 QUERIES = {
     "scan_sql_dump": scan_sql_dump,
     "scan_sql_dump_composite": scan_sql_dump_composite,
+    "sync_dump_to_dump": sync_dump_to_dump,
 }
 
 ORACLES = {
@@ -94,4 +162,5 @@ SELECT l_orderkey, l_linenumber,
 FROM lineitem WHERE l_orderkey < {_SLICE}
 QUALIFY count(*) OVER (PARTITION BY l_orderkey, l_linenumber) = 1
 """,
+    "sync_dump_to_dump": _dump_diff_sql(),
 }

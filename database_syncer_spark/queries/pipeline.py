@@ -44,6 +44,10 @@ def dedup_ngram_jaccard(spark, sf_dir):
     return D.ngram_jaccard_pairs(load_table(spark, sf_dir, "documents"))
 
 
+def dedup_ngram_containment(spark, sf_dir):
+    return D.ngram_containment_pairs(load_table(spark, sf_dir, "documents"))
+
+
 def dedup_cluster_components(spark, sf_dir):
     """Near-dup pairs -> connected components (the keep/drop clustering
     step). Built on the EXACT n-gram Jaccard pairs so the recursive-CTE
@@ -95,6 +99,10 @@ def text_fingerprint(spark, sf_dir):
 
 def text_langid(spark, sf_dir):
     return T.langid(spark, load_table(spark, sf_dir, "documents"))
+
+
+def text_tfidf_topk(spark, sf_dir):
+    return T.tfidf_topk(load_table(spark, sf_dir, "documents"))
 
 
 # --- multimodal ------------------------------------------------------------------
@@ -174,6 +182,7 @@ QUERIES = {
     "dedup_minhash_lsh": dedup_minhash_lsh,      # rows-only (xxhash64 LSH family)
     "dedup_simhash": dedup_simhash,              # rows-only (xxhash64 fingerprint)
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
+    "dedup_ngram_containment": dedup_ngram_containment,
     "dedup_cluster_components": dedup_cluster_components,
     "dedup_embedding_cosine": dedup_embedding_cosine,
     "sim_topk_cosine": sim_topk_cosine,
@@ -185,6 +194,7 @@ QUERIES = {
     "text_token_count": text_token_count,
     "text_fingerprint": text_fingerprint,
     "text_langid": text_langid,                  # rows-only (learned profiles)
+    "text_tfidf_topk": text_tfidf_topk,
     "multimodal_columns": multimodal_columns,
     "multimodal_decode": multimodal_decode,
     "udf_tokenizer": udf_tokenizer,
@@ -206,7 +216,45 @@ SELECT doc_a, doc_b, round(CAST(c AS DOUBLE) / (na + nb - c), 6) AS jaccard
 FROM inter WHERE round(CAST(c AS DOUBLE) / (na + nb - c), 6) >= 0.2
 """
 
+_CONTAINMENT_SQL = f"""
+WITH t AS (SELECT doc_id, {_SHINGLE_SQL} AS shingles FROM documents),
+sh AS (SELECT doc_id, len(shingles) AS n_sh, unnest(shingles) AS sh FROM t),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.n_sh AS na, b.n_sh AS nb,
+         count(*) AS c
+  FROM sh a JOIN sh b USING (sh)
+  WHERE a.doc_id < b.doc_id
+  GROUP BY 1, 2, 3, 4
+),
+dirs AS (
+  SELECT doc_a AS src, doc_b AS dst,
+         round(CAST(c AS DOUBLE) / na, 6) AS containment FROM inter
+  UNION ALL
+  SELECT doc_b, doc_a, round(CAST(c AS DOUBLE) / nb, 6) FROM inter
+)
+SELECT src, dst, containment FROM dirs WHERE containment >= 0.5
+"""
+
+_TFIDF_SQL = """
+WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+             FROM documents),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok
+       WHERE term <> '' GROUP BY 1, 2),
+dfx AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+n AS (SELECT count(*) AS n_docs FROM documents),
+scored AS (
+  SELECT doc_id, term,
+         round(CAST(tf AS DOUBLE) * ln((n_docs + 1.0) / (df + 1.0)), 6) AS tfidf
+  FROM tf JOIN dfx USING (term) CROSS JOIN n)
+SELECT doc_id, term, tfidf, rn FROM (
+  SELECT *, row_number() OVER (PARTITION BY doc_id
+                               ORDER BY tfidf DESC, term) AS rn
+  FROM scored) WHERE rn <= 3
+"""
+
 ORACLES = {
+    "dedup_ngram_containment": _CONTAINMENT_SQL,
+    "text_tfidf_topk": _TFIDF_SQL,
     "dedup_exact": """
 SELECT sha256(text) AS digest, min(doc_id) AS keep_id, count(*) AS n_copies
 FROM documents GROUP BY sha256(text)

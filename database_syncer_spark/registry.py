@@ -42,8 +42,10 @@ _KEY_ORDER = [
     "fn_map_json", "win_running_sum", "stream_session_window",
     "win_lag_lead_change", "udf_tokenizer", "fn_math",
     "udtf_statement_split", "multimodal_columns", "dedup_minhash_lsh",
-    "text_langid", "dedup_ngram_jaccard", "scan_sql_dump",
+    "text_langid", "text_tfidf_topk", "dedup_ngram_jaccard",
+    "dedup_ngram_containment", "scan_sql_dump",
     "sim_topk_cosine", "dedup_embedding_cosine", "dedup_cluster_components",
+    "sync_dump_to_dump", "diff_bucketed_zeroshuffle",
     "dedup_simhash", "stream_foreachbatch_merge", "sim_ivf_ann",
     "stream_transform_with_state", "stream_stateful_custom", "sim_lsh_ann",
     # --- round-1 hash-fail / no-oracle, fixed this round ---

@@ -283,3 +283,46 @@ def test_connected_components_chain_and_islands(spark):
            for r in connected_components(edges).collect()}
     assert got == {(1, 1), (2, 1), (3, 1), (4, 1),
                    (10, 10), (11, 10), (7, 7), (20, 7)}
+
+
+def test_ngram_containment_catches_subdocument(spark, sf_dir):
+    """A short doc embedded verbatim inside a much longer one:
+    containment(short→long) = 1.0 while Jaccard ≈ |A|/|B| is far below
+    any useful threshold — the case the asymmetric measure exists for."""
+    from database_syncer_spark.pipeline.dedup import (
+        ngram_containment_pairs, ngram_jaccard_pairs)
+
+    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 20)
+    long_doc = docs.where(F.col("doc_id") == 0).select(
+        F.lit(9000).alias("doc_id"),
+        F.concat_ws(" ", *[F.col("text")] * 1).alias("base"))
+    # doc 9001 = first 12 tokens of doc 0; doc 9000 = all of doc 0
+    sub = long_doc.select(
+        F.lit(9001).alias("doc_id"),
+        F.concat_ws(" ", F.slice(F.split("base", " "), 1, 12)).alias("text"))
+    full = long_doc.select("doc_id", F.col("base").alias("text"))
+    corpus = (
+        docs.select("doc_id", "text")
+        .unionByName(full).unionByName(sub)
+    )
+    cont = {(r.src, r.dst): r.containment
+            for r in ngram_containment_pairs(corpus, threshold=0.9).collect()}
+    assert cont.get((9001, 9000)) == pytest.approx(1.0), cont
+    jac = {(r.doc_a, r.doc_b): r.jaccard
+           for r in ngram_jaccard_pairs(corpus, threshold=0.0).collect()
+           if {r.doc_a, r.doc_b} == {9000, 9001}}
+    assert all(v < 0.5 for v in jac.values()), jac
+
+
+def test_tfidf_topk_ranks_rare_terms(spark, sf_dir):
+    """A term unique to one doc must outrank corpus-wide terms there."""
+    from database_syncer_spark.pipeline.text import tfidf_topk
+
+    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 30)
+    tagged = docs.select(
+        "doc_id",
+        F.when(F.col("doc_id") == 5,
+               F.concat(F.lit("zzuniq zzuniq zzuniq "), F.col("text")))
+        .otherwise(F.col("text")).alias("text"))
+    top = tfidf_topk(tagged, top_n=3).where(F.col("doc_id") == 5).collect()
+    assert top[0].term == "zzuniq", top
