@@ -56,6 +56,25 @@ def dedup_cluster_components(spark, sf_dir):
     return D.connected_components(D.ngram_jaccard_pairs(docs))
 
 
+def dedup_corpus_keep(spark, sf_dir):
+    """END-TO-END corpus dedup decision — the artifact a training-data
+    pipeline actually consumes: documents in, retained doc_ids out.
+
+    Stage 1 removes exact duplicates (sha2 groupBy, min-id survivor);
+    stage 2 clusters the survivors' near-dup pairs (exact n-gram
+    Jaccard → connected components) and keeps one doc per cluster (the
+    min id, matching the component label). Every stage is an
+    already-verified operator (dedup_exact / dedup_ngram_jaccard /
+    dedup_cluster_components); this key verifies their COMPOSITION under
+    one driver hash, recursive-CTE oracle included."""
+    docs = load_table(spark, sf_dir, "documents")
+    keep_exact = D.exact_dedup(docs).select(F.col("keep_id").alias("doc_id"))
+    survivors = docs.join(keep_exact, "doc_id", "left_semi")
+    comp = D.connected_components(D.ngram_jaccard_pairs(survivors))
+    dropped = comp.where(F.col("component") != F.col("doc_id")).select("doc_id")
+    return keep_exact.join(dropped, "doc_id", "left_anti")
+
+
 def dedup_embedding_cosine(spark, sf_dir):
     return D.embedding_near_dup(
         load_table(spark, sf_dir, "embeddings"), threshold=0.5)
@@ -184,6 +203,7 @@ QUERIES = {
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_ngram_containment": dedup_ngram_containment,
     "dedup_cluster_components": dedup_cluster_components,
+    "dedup_corpus_keep": dedup_corpus_keep,
     "dedup_embedding_cosine": dedup_embedding_cosine,
     "sim_topk_cosine": sim_topk_cosine,
     "sim_lsh_ann": sim_lsh_ann,                  # rows-only (hyperplane buckets)
@@ -252,8 +272,45 @@ SELECT doc_id, term, tfidf, rn FROM (
   FROM scored) WHERE rn <= 3
 """
 
+_CORPUS_KEEP_SQL = f"""
+WITH RECURSIVE ek AS (
+  SELECT min(doc_id) AS doc_id FROM documents GROUP BY sha256(text)
+),
+d2 AS (SELECT d.doc_id, d.text FROM documents d JOIN ek USING (doc_id)),
+t AS (SELECT doc_id, {_SHINGLE_SQL} AS shingles FROM d2),
+sh AS (SELECT doc_id, len(shingles) AS n_sh, unnest(shingles) AS sh FROM t),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.n_sh AS na, b.n_sh AS nb,
+         count(*) AS c
+  FROM sh a JOIN sh b USING (sh)
+  WHERE a.doc_id < b.doc_id
+  GROUP BY 1, 2, 3, 4
+),
+pairs AS (
+  SELECT doc_a, doc_b FROM inter
+  WHERE round(CAST(c AS DOUBLE) / (na + nb - c), 6) >= 0.2
+),
+sym AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION
+  SELECT doc_b, doc_a FROM pairs
+),
+reach(src, dst) AS (
+  SELECT a, b FROM sym
+  UNION
+  SELECT r.src, s.b FROM reach r JOIN sym s ON r.dst = s.a
+),
+comp AS (
+  SELECT src AS doc_id, least(src, min(dst)) AS component
+  FROM reach GROUP BY src
+)
+SELECT ek.doc_id FROM ek LEFT JOIN comp USING (doc_id)
+WHERE comp.doc_id IS NULL OR comp.component = ek.doc_id
+"""
+
 ORACLES = {
     "dedup_ngram_containment": _CONTAINMENT_SQL,
+    "dedup_corpus_keep": _CORPUS_KEEP_SQL,
     "text_tfidf_topk": _TFIDF_SQL,
     "dedup_exact": """
 SELECT sha256(text) AS digest, min(doc_id) AS keep_id, count(*) AS n_copies

@@ -144,6 +144,52 @@ def stream_transform_with_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_TIER = (
+    "CASE event_type WHEN 'purchase' THEN 'revenue' "
+    "WHEN 'signup' THEN 'growth' ELSE 'engagement' END"
+)
+
+
+def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream–static join run as a REAL micro-batch job: the event stream
+    joins a small static dimension (event_type → business tier) and
+    aggregates per tier. Stream–static is its own operator class in
+    Structured Streaming — the static side is re-resolvable per trigger
+    and broadcast into every micro-batch, no state, no watermark. The
+    per-tier fold (count + exact decimal sum) is order-independent, so
+    the complete-mode result equals the batch aggregate and the key is
+    fully oracle-checkable."""
+    from database_syncer_spark.streaming.runner import (
+        run_stream_to_memory, stage_as_stream_source)
+
+    events = load_table(spark, sf_dir, "events")
+    tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+    src = stage_as_stream_source(
+        events, os.path.join(tempfile.gettempdir(), f"dss_ssj_src_{tag}"),
+        3, reuse=True)
+    staged = spark.read.parquet(src)
+    dim = (
+        events.select("event_type").distinct()
+        .withColumn("tier", F.expr(_TIER))
+    )
+
+    def shape(stream: DataFrame) -> DataFrame:
+        return (
+            stream.join(F.broadcast(dim), "event_type")
+            .groupBy("tier")
+            .agg(
+                F.count("*").alias("n"),
+                F.sum(F.col("value").cast("decimal(18,2)"))
+                .cast("double").alias("sum_value"),
+            )
+        )
+
+    return run_stream_to_memory(
+        spark, src, staged.schema, shape, f"dss_ssj_{tag}",
+        output_mode="complete",
+    )
+
+
 def _bucket(col_sec: int, offset: str = "0") -> str:
     return (
         f"make_timestamp(CAST((floor(epoch(ts) / {col_sec}) - ({offset})) "
@@ -157,6 +203,7 @@ QUERIES = {
     "stream_session_window": stream_session_window,
     "stream_watermark_late": stream_watermark_late,
     "stream_dedup": stream_dedup,
+    "stream_static_join": stream_static_join,
     "stream_foreachbatch_merge": stream_foreachbatch_merge,
     "stream_stateful_custom": stream_stateful_custom,
     "stream_transform_with_state": stream_transform_with_state,
@@ -199,6 +246,11 @@ SELECT {_bucket(600)} AS window_start, event_type, count(*) AS n
 FROM events GROUP BY 1, 2
 """,
     "stream_dedup": "SELECT DISTINCT user_id, event_type FROM events",
+    "stream_static_join": f"""
+SELECT {_TIER} AS tier, count(*) AS n,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM events GROUP BY 1
+""",
     "stream_foreachbatch_merge": """
 SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate,
        o_orderpriority

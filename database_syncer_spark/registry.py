@@ -45,7 +45,8 @@ _KEY_ORDER = [
     "text_langid", "text_tfidf_topk", "dedup_ngram_jaccard",
     "dedup_ngram_containment", "scan_sql_dump",
     "sim_topk_cosine", "dedup_embedding_cosine", "dedup_cluster_components",
-    "sync_dump_to_dump", "diff_bucketed_zeroshuffle",
+    "sync_dump_to_dump", "diff_bucketed_zeroshuffle", "dedup_corpus_keep",
+    "stream_static_join",
     "dedup_simhash", "stream_foreachbatch_merge", "sim_ivf_ann",
     "stream_transform_with_state", "stream_stateful_custom", "sim_lsh_ann",
     # --- round-1 hash-fail / no-oracle, fixed this round ---
