@@ -9,7 +9,8 @@ Each query is materialized through the built-in `noop` sink so the full
 plan executes on the executors (scan -> shuffle -> agg) without paying
 driver-side collect/serialization — the same discipline a cluster bench
 would use.  Per key: two untimed warmup executions, then the MEDIAN of
-three timed executions.  The warmups absorb the per-plan one-time costs
+five timed executions (secondary keys: three — they are heavy and not
+part of the headline total).  The warmups absorb the per-plan one-time costs
 that belong to the JVM, not the engine — whole-stage-codegen Janino
 compilation and C2 JIT of the generated methods (measured on the CDC
 diff at sf0.1: 6.2s first execution, 1.4s second, ~0.8s steady state —

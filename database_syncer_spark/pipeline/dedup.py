@@ -295,6 +295,33 @@ def simhash_dedup(documents: DataFrame, max_hamming: int = 3,
 
 # --- exact n-gram Jaccard (inverted index) ------------------------------------
 
+def _shingle_intersections(documents: DataFrame, k: int,
+                           df_cap: int) -> DataFrame:
+    """Shared candidate stage of the exact shingle measures: explode
+    distinct k-shingles, apply the df_cap prefix filter (the count
+    window partitions by the JOIN key, so it shares the join's hash
+    exchange), inverted-index self-join, and count the intersection once
+    per unordered pair. Returns (doc_a < doc_b, na, nb, c)."""
+    from pyspark.sql import Window as W
+
+    sh = with_shingles(documents, k).select(
+        "doc_id", F.explode("shingles").alias("sh"),
+        F.size("shingles").alias("n_sh"),
+    )
+    sh = sh.withColumn(
+        "__df", F.count("*").over(W.partitionBy("sh"))
+    ).where(F.col("__df") <= df_cap).drop("__df")
+    a, b = sh.alias("a"), sh.alias("b")
+    return (
+        a.join(b, "sh")
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"),
+            F.col("a.n_sh").alias("na"), F.col("b.n_sh").alias("nb"))
+        .agg(F.count("*").alias("c"))
+    )
+
+
 def ngram_jaccard_pairs(documents: DataFrame, threshold: float = 0.2,
                         k: int = 3, df_cap: int = 10_000) -> DataFrame:
     """EXACT Jaccard over word k-shingles via an inverted-index self-join:
@@ -312,26 +339,8 @@ def ngram_jaccard_pairs(documents: DataFrame, threshold: float = 0.2,
     construction near-content-free boilerplate for similarity purposes.
     The per-doc sizes ``n_sh`` keep counting ALL shingles, so capping
     never inflates a score — errors are one-sided (recall, never
-    precision). The DF count partitions by the JOIN key, so it shares
-    the join's hash exchange (no extra shuffle)."""
-    from pyspark.sql import Window as W
-
-    sh = with_shingles(documents, k).select(
-        "doc_id", F.explode("shingles").alias("sh"),
-        F.size("shingles").alias("n_sh"),
-    )
-    sh = sh.withColumn(
-        "__df", F.count("*").over(W.partitionBy("sh"))
-    ).where(F.col("__df") <= df_cap).drop("__df")
-    a, b = sh.alias("a"), sh.alias("b")
-    inter = (
-        a.join(b, "sh")
-        .where(F.col("a.doc_id") < F.col("b.doc_id"))
-        .groupBy(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"),
-            F.col("a.n_sh").alias("na"), F.col("b.n_sh").alias("nb"))
-        .agg(F.count("*").alias("c"))
-    )
+    precision)."""
+    inter = _shingle_intersections(documents, k, df_cap)
     jac = F.col("c").cast("double") / (F.col("na") + F.col("nb") - F.col("c"))
     return (
         inter.select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
@@ -351,24 +360,7 @@ def ngram_containment_pairs(documents: DataFrame, threshold: float = 0.5,
     :func:`ngram_jaccard_pairs`; the intersection count is computed ONCE
     per unordered pair and both directions are emitted by exploding two
     structs from it, so the asymmetry costs no second join."""
-    sh = with_shingles(documents, k).select(
-        "doc_id", F.explode("shingles").alias("sh"),
-        F.size("shingles").alias("n_sh"),
-    )
-    from pyspark.sql import Window as W
-
-    sh = sh.withColumn(
-        "__df", F.count("*").over(W.partitionBy("sh"))
-    ).where(F.col("__df") <= df_cap).drop("__df")
-    a, b = sh.alias("a"), sh.alias("b")
-    inter = (
-        a.join(b, "sh")
-        .where(F.col("a.doc_id") < F.col("b.doc_id"))
-        .groupBy(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"),
-            F.col("a.n_sh").alias("na"), F.col("b.n_sh").alias("nb"))
-        .agg(F.count("*").alias("c"))
-    )
+    inter = _shingle_intersections(documents, k, df_cap)
     cont = F.round(F.col("c").cast("double") / F.col("n_src"), 6)
     both = inter.select(F.explode(F.array(
         F.struct(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"),

@@ -28,6 +28,13 @@ from database_syncer_spark.streaming.queries import (
     watermarked_tumbling,
 )
 
+#: bump when any staged-source DERIVATION changes (chunk count, the
+#: deriving transform, or the upstream snapshot derivation) — reuse=True
+#: stagings are keyed by path, so without a version token an edited
+#: derivation would silently serve the previous round's staged data
+#: (same hazard the dump cache solves with _DUMP_FMT, queries/dump.py).
+_STAGE_FMT = "v2"
+
 
 def stream_tumbling_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tumbling_agg(load_table(spark, sf_dir, "events"))
@@ -67,7 +74,7 @@ def stream_foreachbatch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     return incremental_sync_foreachbatch(
         spark, changes, backup, ["o_orderkey"], n_chunks=3, workdir=workdir,
         changes_path=os.path.join(
-            tempfile.gettempdir(), f"dss_febm_src_{tag}"),
+            tempfile.gettempdir(), f"dss_febm_src_{_STAGE_FMT}_{tag}"),
         reuse_changes=True)
 
 
@@ -81,7 +88,7 @@ def stream_stateful_custom(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events")
     tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
     src = stage_as_stream_source(
-        events, os.path.join(tempfile.gettempdir(), f"dss_stateful_src_{tag}"),
+        events, os.path.join(tempfile.gettempdir(), f"dss_stateful_src_{_STAGE_FMT}_{tag}"),
         3, reuse=True)
     staged = spark.read.parquet(src)
     sink = run_stream_to_memory(
@@ -112,7 +119,7 @@ def stream_transform_with_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events")
     tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
     src = stage_as_stream_source(
-        events, os.path.join(tempfile.gettempdir(), f"dss_tws_src_{tag}"),
+        events, os.path.join(tempfile.gettempdir(), f"dss_tws_src_{_STAGE_FMT}_{tag}"),
         3, reuse=True)
     staged = spark.read.parquet(src)
 
@@ -165,7 +172,7 @@ def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events")
     tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
     src = stage_as_stream_source(
-        events, os.path.join(tempfile.gettempdir(), f"dss_ssj_src_{tag}"),
+        events, os.path.join(tempfile.gettempdir(), f"dss_ssj_src_{_STAGE_FMT}_{tag}"),
         3, reuse=True)
     staged = spark.read.parquet(src)
     dim = (
@@ -173,9 +180,14 @@ def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("tier", F.expr(_TIER))
     )
 
+    # Pin NULL semantics explicitly: a NULL event_type never
+    # equality-joins the dim, while the oracle's CASE would bucket it
+    # under ELSE — filter NULLs on BOTH sides so the contract is the
+    # same even if the fixture ever gains NULL types.
     def shape(stream: DataFrame) -> DataFrame:
         return (
-            stream.join(F.broadcast(dim), "event_type")
+            stream.where(F.col("event_type").isNotNull())
+            .join(F.broadcast(dim), "event_type")
             .groupBy("tier")
             .agg(
                 F.count("*").alias("n"),
@@ -249,7 +261,7 @@ FROM events GROUP BY 1, 2
     "stream_static_join": f"""
 SELECT {_TIER} AS tier, count(*) AS n,
        CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
-FROM events GROUP BY 1
+FROM events WHERE event_type IS NOT NULL GROUP BY 1
 """,
     "stream_foreachbatch_merge": """
 SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate,

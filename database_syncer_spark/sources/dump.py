@@ -839,16 +839,24 @@ def write_sql_dump(df: DataFrame, table: str, pk_cols: list[str], path: str,
     ])
 
     parts_dir = tempfile.mkdtemp(prefix="dss_dump_parts_")
+    # Assemble into a sibling temp name and rename: callers cache dumps by
+    # "exists and non-empty", so a crash mid-assembly must never leave a
+    # plausible-looking truncated file at the final path (rename on the
+    # same filesystem is atomic).
+    tmp_path = path + ".tmp"
     try:
         (rendered.mapInPandas(to_statements, "s string")
          .write.mode("overwrite").text(parts_dir))
-        with open(path, "w", encoding="utf-8") as out_fh:
+        with open(tmp_path, "w", encoding="utf-8") as out_fh:
             out_fh.write(header + "\n")
             for part in sorted(_glob.glob(os.path.join(parts_dir, "part-*"))):
                 with open(part, "r", encoding="utf-8") as in_fh:
                     shutil.copyfileobj(in_fh, out_fh)
+        os.replace(tmp_path, path)
     finally:
         shutil.rmtree(parts_dir, ignore_errors=True)
+        if os.path.exists(tmp_path):
+            os.remove(tmp_path)
 
 
 # --- end-to-end orchestration (reference compare_sql_files, sync.py:522) ----

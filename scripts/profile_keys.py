@@ -64,7 +64,9 @@ def main() -> None:
 
     total = time.perf_counter() - t_total
     print(f"TOTAL {total:.1f}s for {len(out)} keys")
-    with open(os.path.join(os.path.dirname(__file__), "profile_keys.json"), "w") as f:
+    # A --keys-filtered run must not clobber the full-registry artifact.
+    name = "profile_keys.json" if not only else "profile_keys_partial.json"
+    with open(os.path.join(os.path.dirname(__file__), name), "w") as f:
         json.dump({"total_sec": round(total, 1), "sf_dir": sf_dir, "keys": out}, f, indent=1)
 
 
