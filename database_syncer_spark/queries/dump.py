@@ -110,6 +110,52 @@ def sync_dump_to_dump(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderdate", F.col("o_orderdate").cast("timestamp_ntz"))
 
 
+def sync_catalog_ddl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table-LEVEL diff surface (reference missing/extra tables +
+    CREATE/DROP emission, sync.py:245-253, :318-331) over a MULTI-table
+    dump: the production dump carries two tables in one file (the
+    mysqldump shape — DDL+DML per table, concatenated), the backup dump
+    only one, so ingest must split tables correctly and the catalog diff
+    must flag the missing one. Output: one row per production table with
+    the action a sync script would take (CREATE for missing, SYNC for
+    common) and the ingested row count — all driver-hashable."""
+    from database_syncer_spark.core.diff import catalog_diff
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    # Reuse the cached single-table renders; the combined file is just
+    # their concatenation (mysqldump emits tables back to back).
+    scan_sql_dump(spark, sf_dir)            # ensures orders dump exists
+    scan_sql_dump_composite(spark, sf_dir)  # ensures lineitem_ck dump exists
+    orders_path = os.path.join(
+        tempfile.gettempdir(), f"dss_dump_{_DUMP_FMT}_{tag}_orders.sql")
+    li_path = os.path.join(
+        tempfile.gettempdir(), f"dss_dump_{_DUMP_FMT}_{tag}_lineitem_ck.sql")
+    multi_path = os.path.join(
+        tempfile.gettempdir(), f"dss_dump_{_DUMP_FMT}_{tag}_multi.sql")
+    if not (os.path.exists(multi_path) and os.path.getsize(multi_path) > 0):
+        tmp = multi_path + ".tmp"
+        with open(tmp, "w", encoding="utf-8") as out:
+            for p in (orders_path, li_path):
+                with open(p, encoding="utf-8") as fh:
+                    out.write(fh.read())
+                out.write("\n")
+        os.replace(tmp, multi_path)
+    bak_path = os.path.join(
+        tempfile.gettempdir(), f"dss_dump_{_DUMP_FMT}_{tag}_orders_bak.sql")
+    if not (os.path.exists(bak_path) and os.path.getsize(bak_path) > 0):
+        sync_dump_to_dump(spark, sf_dir)    # renders the backup dump
+
+    prod_tables = read_sql_dump(spark, multi_path)
+    backup_tables = read_sql_dump(spark, bak_path)
+    cat = catalog_diff(prod_tables, backup_tables)
+    action = {t: "CREATE" for t in cat["create"]}
+    action.update({t: "SYNC" for t in cat["common"]})
+    rows = [(t, action[t], prod_tables[t].count())
+            for t in sorted(prod_tables)]
+    return spark.createDataFrame(
+        rows, "table_name string, action string, n_rows bigint")
+
+
 def _dump_diff_sql() -> str:
     """DuckDB oracle for sync_dump_to_dump: rebuild backup + diff from
     the fixture slice (mirrors core/diff.snapshot_diff classification)."""
@@ -146,6 +192,7 @@ QUERIES = {
     "scan_sql_dump": scan_sql_dump,
     "scan_sql_dump_composite": scan_sql_dump_composite,
     "sync_dump_to_dump": sync_dump_to_dump,
+    "sync_catalog_ddl": sync_catalog_ddl,
 }
 
 ORACLES = {
@@ -163,4 +210,11 @@ FROM lineitem WHERE l_orderkey < {_SLICE}
 QUALIFY count(*) OVER (PARTITION BY l_orderkey, l_linenumber) = 1
 """,
     "sync_dump_to_dump": _dump_diff_sql(),
+    "sync_catalog_ddl": f"""
+SELECT 'lineitem_ck' AS table_name, 'CREATE' AS action, count(*) AS n_rows
+FROM (SELECT 1 FROM lineitem WHERE l_orderkey < {_SLICE}
+      QUALIFY count(*) OVER (PARTITION BY l_orderkey, l_linenumber) = 1)
+UNION ALL
+SELECT 'orders', 'SYNC', count(*) FROM orders WHERE o_orderkey < {_SLICE}
+""",
 }

@@ -48,7 +48,8 @@ _KEY_ORDER = [
     "dedup_ngram_containment", "text_langid", "fn_math",
     "dedup_ngram_jaccard", "sim_topk_cosine", "dedup_embedding_cosine",
     "stream_foreachbatch_merge", "dedup_simhash", "sync_dump_to_dump",
-    "stream_static_join", "scan_sql_dump_composite", "sim_ivf_ann",
+    "stream_static_join", "scan_sql_dump_composite", "sync_catalog_ddl",
+    "sim_ivf_ann",
     "diff_bucketed_zeroshuffle", "dedup_cluster_components",
     "stream_stateful_custom", "dedup_corpus_keep", "sim_lsh_ann",
     "stream_transform_with_state", "sink_merge_executor",

@@ -648,7 +648,8 @@ def _parse_inserts_jvm(inserts: DataFrame, schemas: dict[str, TableSchema]):
 
 def read_sql_dump(spark: SparkSession, path: str, typed: bool = True,
                   dedup_pk: bool = True,
-                  tokenizer: str = "python") -> dict[str, DataFrame]:
+                  tokenizer: str = "python",
+                  tables: list[str] | None = None) -> dict[str, DataFrame]:
     """Ingest a SQL dump into a dict of DataFrames (one per table).
 
     The reference's parse_sql_dump (sync.py:29-72), distributed: DDL is
@@ -661,16 +662,19 @@ def read_sql_dump(spark: SparkSession, path: str, typed: bool = True,
     comment) tokenizes rows in Arrow-batched Python; ``"jvm"`` keeps
     tokenizing in whole-stage codegen (no executor Python workers) with
     automatic per-statement fallback to the Python scanner.
+    ``tables``: ingest only these tables — table PROJECTION pushed into
+    the source (see read_sql_dump_with_schemas).
     """
-    tables, _ = read_sql_dump_with_schemas(spark, path, typed=typed,
-                                           dedup_pk=dedup_pk,
-                                           tokenizer=tokenizer)
-    return tables
+    out, _ = read_sql_dump_with_schemas(spark, path, typed=typed,
+                                        dedup_pk=dedup_pk,
+                                        tokenizer=tokenizer, tables=tables)
+    return out
 
 
 def read_sql_dump_with_schemas(
     spark: SparkSession, path: str, typed: bool = True, dedup_pk: bool = True,
     tokenizer: str = "python", keep_seq: bool = False,
+    tables: list[str] | None = None,
 ) -> tuple[dict[str, DataFrame], dict[str, TableSchema]]:
     """`read_sql_dump` plus the parsed DDL, from ONE statement scan.
 
@@ -688,6 +692,14 @@ def read_sql_dump_with_schemas(
     ``keep_seq``: retain the ``__seq_hi/__seq_lo`` file-order key on
     undeduplicated frames so callers can fuse last-wins dedup into a
     downstream aggregation (see ``snapshot_diff_fused``).
+
+    ``tables``: ingest only the named tables. This is table PROJECTION
+    pushed into the source: unrequested tables' INSERT statements are
+    dropped by a JVM-side prefix filter BEFORE the Arrow tokenizer, so
+    a 100-table mysqldump read for one table tokenizes ~1/100th of the
+    DML (the Python crossing is the expensive stage). The tokenizer
+    independently skips tables absent from ``schemas``, so the filter is
+    purely an optimization — correctness never depends on it.
     """
     from database_syncer_spark.core.diff import dedup_last_wins
 
@@ -701,10 +713,28 @@ def read_sql_dump_with_schemas(
         ts = parse_create_table(stmt)
         if ts:
             schemas[ts.name] = ts
+    if tables is not None:
+        want = set(tables)
+        missing = want - set(schemas)
+        if missing:
+            raise ValueError(
+                f"tables not in dump: {sorted(missing)} "
+                f"(dump has: {sorted(schemas)})")
+        schemas = {n: ts for n, ts in schemas.items() if n in want}
     if not schemas:
         return {}, {}
 
     inserts = stmts.where(F.upper(F.col("stmt")).startswith("INSERT INTO"))
+    if tables is not None:
+        # Statement-level pushdown: keep only the requested tables'
+        # INSERTs (anchored regex tolerant of keyword case, whitespace,
+        # and backtick/bare identifiers — the same surface _INSERT_RE
+        # accepts). Runs JVM-side before the Python crossing.
+        import re as _re
+
+        names = "|".join(_re.escape(n) for n in sorted(schemas))
+        inserts = inserts.where(F.col("stmt").rlike(
+            rf"(?is)^INSERT\s+INTO\s+[`\"]?({names})[`\"]?\s*[(\sV]"))
     if tokenizer == "jvm":
         parsed, _cache = _parse_inserts_jvm(inserts, schemas)
     else:

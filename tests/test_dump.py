@@ -423,3 +423,29 @@ def test_python_tokenizer_all_rows_arity_filtered(spark, tmp_path):
     path = _write(tmp_path, "empty.sql", dump)
     for tok in ("python", "jvm"):
         assert read_sql_dump(spark, path, tokenizer=tok)["t"].count() == 0
+
+
+def test_table_projection_pushdown(spark, tmp_path):
+    """tables=[...] ingests only the requested tables, matches the full
+    read's values, survives keyword-case/identifier-form variety (the
+    JVM prefilter must never drop a statement the tokenizer accepts),
+    and errors on unknown names."""
+    import pytest as _pytest
+
+    dump = (
+        "CREATE TABLE t1 (a text, b text, PRIMARY KEY (a));\n"
+        "CREATE TABLE t2 (a text, PRIMARY KEY (a));\n"
+        "INSERT INTO `t1` VALUES ('k1', 'x');\n"
+        "insert into t1 values ('k2', 'y');\n"
+        "INSERT INTO t1(a, b) VALUES ('k3', 'z');\n"
+        "INSERT INTO `t2` VALUES ('other');\n"
+    )
+    path = _write(tmp_path, "proj.sql", dump)
+    full = read_sql_dump(spark, path, typed=False)
+    only = read_sql_dump(spark, path, typed=False, tables=["t1"])
+    assert set(only) == {"t1"}
+    assert (sorted(map(tuple, only["t1"].collect()))
+            == sorted(map(tuple, full["t1"].collect())))
+    assert only["t1"].count() == 3
+    with _pytest.raises(ValueError, match="not in dump"):
+        read_sql_dump(spark, path, tables=["t1", "nope"])
