@@ -202,6 +202,62 @@ def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked stream–stream INNER join run as a real micro-batch
+    job: the click stream joins the purchase stream on user_id within a
+    ±10-minute event-time band (attribution shape). Both sides carry
+    watermarks and the join has a two-sided time-range condition, so
+    per-key state is bounded by the band + watermark, not stream
+    history. Inner-join matches emit as they occur (the watermark only
+    gates state CLEANUP), so after processAllAvailable the sink equals
+    the batch self-join and the key is fully value-oracled.
+
+    Staging must be EVENT-TIME ordered: with random file order the
+    watermark from an early batch's max timestamp evicts join state
+    that later files' older rows still need — 7 of 13 fixture matches
+    were silently dropped that way (correct streaming semantics, wrong
+    replay harness). Ordered quantile files keep the watermark
+    monotonic, and the 30-minute delay comfortably covers the ±10-min
+    band across file boundaries."""
+    from database_syncer_spark.streaming.runner import (
+        run_stream_to_memory, stage_as_stream_source_ordered)
+
+    events = load_table(spark, sf_dir, "events")
+    tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+    src = stage_as_stream_source_ordered(
+        events, os.path.join(tempfile.gettempdir(), f"dss_ssj2_src_{_STAGE_FMT}_{tag}"),
+        3, reuse=True)
+    staged = spark.read.parquet(src)
+
+    def shape(stream: DataFrame) -> DataFrame:
+        s = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+        clicks = (
+            s.where(F.col("event_type") == "click")
+            .withWatermark("ts", "30 minutes")
+            .select(F.col("user_id").alias("c_user"),
+                    F.col("event_id").alias("click_id"),
+                    F.col("ts").alias("c_ts"))
+        )
+        purchases = (
+            s.where(F.col("event_type") == "purchase")
+            .withWatermark("ts", "30 minutes")
+            .select(F.col("user_id").alias("p_user"),
+                    F.col("event_id").alias("purchase_id"),
+                    F.col("ts").alias("p_ts"))
+        )
+        return clicks.join(
+            purchases,
+            F.expr("c_user = p_user AND "
+                   "p_ts BETWEEN c_ts - INTERVAL 10 MINUTES "
+                   "AND c_ts + INTERVAL 10 MINUTES"),
+        ).select(F.col("c_user").alias("user_id"), "click_id", "purchase_id")
+
+    return run_stream_to_memory(
+        spark, src, staged.schema, shape, f"dss_ssj2_{tag}",
+        output_mode="append",
+    )
+
+
 def _bucket(col_sec: int, offset: str = "0") -> str:
     return (
         f"make_timestamp(CAST((floor(epoch(ts) / {col_sec}) - ({offset})) "
@@ -216,6 +272,7 @@ QUERIES = {
     "stream_watermark_late": stream_watermark_late,
     "stream_dedup": stream_dedup,
     "stream_static_join": stream_static_join,
+    "stream_stream_join": stream_stream_join,
     "stream_foreachbatch_merge": stream_foreachbatch_merge,
     "stream_stateful_custom": stream_stateful_custom,
     "stream_transform_with_state": stream_transform_with_state,
@@ -262,6 +319,13 @@ FROM events GROUP BY 1, 2
 SELECT {_TIER} AS tier, count(*) AS n,
        CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
 FROM events WHERE event_type IS NOT NULL GROUP BY 1
+""",
+    "stream_stream_join": """
+SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id
+FROM events c JOIN events p
+  ON c.user_id = p.user_id
+ AND c.event_type = 'click' AND p.event_type = 'purchase'
+ AND p.ts BETWEEN c.ts - INTERVAL 10 MINUTE AND c.ts + INTERVAL 10 MINUTE
 """,
     "stream_foreachbatch_merge": """
 SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate,

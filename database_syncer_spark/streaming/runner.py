@@ -36,14 +36,22 @@ def stage_as_stream_source(df: DataFrame, path: str, n_files: int = 5,
 
 
 def stage_as_stream_source_ordered(df: DataFrame, path: str, n_files: int = 5,
-                                   order_col: str = "ts") -> str:
+                                   order_col: str = "ts",
+                                   reuse: bool = False) -> str:
     """Stage N files in EVENT-TIME order (file i holds the i-th time
     quantile, written sequentially so the file source replays them in
     arrival order). Required for watermark tests: with out-of-order
-    replay a watermark legitimately drops late rows."""
+    replay a watermark legitimately drops late rows. ``reuse`` as in
+    :func:`stage_as_stream_source` (each sequential append leaves one
+    part file, so the file count check holds here too)."""
     from pyspark.sql import Window as W
 
     if os.path.exists(path):
+        if (reuse
+                and os.path.exists(os.path.join(path, "_SUCCESS"))
+                and sum(f.endswith(".parquet")
+                        for f in os.listdir(path)) == n_files):
+            return path
         shutil.rmtree(path)
     chunked = df.withColumn(
         "__chunk", F.ntile(n_files).over(W.orderBy(order_col)))
