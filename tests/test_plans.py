@@ -178,3 +178,38 @@ def test_dedup_last_wins_is_hash_agg_not_sort(spark):
     plan = _plan(dedup_last_wins(df, ["id"], ["seq"]))
     assert "max_by" in plan or "HashAggregate" in plan
     assert "Window" not in plan
+
+
+def test_bucketed_zeroshuffle_key_plan(spark, sf_dir):
+    """The driver-facing diff_bucketed_zeroshuffle key (not just the
+    core helper) must produce a plan with ZERO Exchange nodes: the
+    full-outer SMJ reads co-located buckets directly."""
+    from database_syncer_spark.queries.diff import diff_bucketed_zeroshuffle
+
+    plan = _plan(diff_bucketed_zeroshuffle(spark, sf_dir))
+    assert "SortMergeJoin FullOuter" in plan or "SortMergeJoin" in plan
+    assert "Exchange" not in plan, plan
+    assert plan.count("Bucketed: true") == 2, "both scans must be bucketed"
+
+
+def test_tfidf_partial_aggregates_and_broadcast_count(spark, sf_dir):
+    """TF-IDF's two aggregations must partial-combine map-side, and the
+    1-row corpus count must enter as a broadcast, never a shuffle."""
+    from database_syncer_spark.pipeline.text import tfidf_topk
+    from database_syncer_spark.catalog import load_table
+
+    plan = _plan(tfidf_topk(load_table(spark, sf_dir, "documents")))
+    assert plan.count("HashAggregate") >= 4  # partial+final for tf and df
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_containment_single_selfjoin(spark, sf_dir):
+    """Both containment directions must come from ONE inverted-index
+    self-join (explode of the shared intersection), not two joins."""
+    from database_syncer_spark.pipeline.dedup import ngram_containment_pairs
+    from database_syncer_spark.catalog import load_table
+
+    plan = _plan(ngram_containment_pairs(
+        load_table(spark, sf_dir, "documents")))
+    assert plan.count("SortMergeJoin") + plan.count("ShuffledHashJoin") <= 1
+    assert "Generate explode" in plan
