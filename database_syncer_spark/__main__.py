@@ -1,7 +1,11 @@
 """CLI entry point — the reference's ``main()`` (sync.py:629-642) on Spark.
 
-Usage (defaults match the reference):
+Usage (positional defaults match the reference):
     python -m database_syncer_spark [prod.sql] [backup.sql] [out.sql]
+                                    [--tables t1,t2]
+
+``--tables``: sync only the named tables — the projection pushes into
+both dump reads, so unrequested tables' DML is never tokenized.
 """
 
 from __future__ import annotations
@@ -10,7 +14,16 @@ import sys
 
 
 def main(argv: list[str] | None = None) -> int:
-    argv = sys.argv[1:] if argv is None else argv
+    argv = list(sys.argv[1:] if argv is None else argv)
+    tables = None
+    if "--tables" in argv:
+        i = argv.index("--tables")
+        try:
+            tables = [t for t in argv[i + 1].split(",") if t]
+        except IndexError:
+            print("--tables requires a comma-separated list")
+            return 2
+        del argv[i:i + 2]
     production = argv[0] if len(argv) > 0 else "prod.sql"
     backup = argv[1] if len(argv) > 1 else "backup.sql"
     output = argv[2] if len(argv) > 2 else "database_sync_crud.sql"
@@ -19,7 +32,8 @@ def main(argv: list[str] | None = None) -> int:
     from database_syncer_spark.sources.dump import compare_sql_files
 
     spark = get_spark("database-syncer")
-    result = compare_sql_files(spark, production, backup, output)
+    result = compare_sql_files(spark, production, backup, output,
+                               tables=tables)
     return 0 if result is not None else 1
 
 

@@ -433,7 +433,53 @@ def tpch_q16_supplier_cnt(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.countDistinct("l_suppkey").alias("supplier_cnt")))
 
 
+def join_runtime_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runtime bloom-filter join pruning — the 100-TB semi-join
+    reduction: the selective dim filter (URGENT orders) builds a bloom
+    filter at runtime that the FACT scan probes (``might_contain`` in
+    the fact-side Filter), so non-matching lineitem rows drop before the
+    shuffle instead of after it. On a real cluster the default
+    thresholds (10 GB application side) trigger this automatically; the
+    fixture is far below them, so the callable lowers the thresholds,
+    forces physical planning while they're in effect (executedPlan is
+    cached on the Dataset), then restores session state —
+    tests/test_plans.py asserts might_contain is really in the plan."""
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter."
+        "applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    prev = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        li = load_table(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_quantity")
+        orders = load_table(spark, sf_dir, "orders").where(
+            F.col("o_orderpriority") == "1-URGENT").select(
+            "o_orderkey", "o_orderstatus")
+        out = (
+            li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .groupBy("o_orderstatus")
+            .agg(F.count("*").alias("n_lines"),
+                 F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+                 .cast("double").alias("sum_qty"))
+        )
+        # materialize the physical plan (with bloom injected) before the
+        # confs are restored; the Dataset caches it for later actions.
+        out._jdf.queryExecution().executedPlan()
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    return out
+
+
 QUERIES = {
+    "join_runtime_bloom": join_runtime_bloom,
     "join_range_banded": join_range_banded,
     "join_skew_salted": join_skew_salted,
     "win_ntile_cume": win_ntile_cume,
@@ -460,6 +506,13 @@ QUERIES = {
 }
 
 ORACLES = {
+    "join_runtime_bloom": """
+SELECT o_orderstatus, count(*) AS n_lines,
+       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE o_orderpriority = '1-URGENT'
+GROUP BY o_orderstatus
+""",
     # Same oracle text as join_theta_range: the banded rewrite must be
     # result-identical to the plain range join.
     "join_range_banded": """

@@ -48,6 +48,7 @@ _KEY_ORDER = [
     "udtf_statement_split", "scan_orc_roundtrip", "agg_stats_moments",
     "scan_partition_pruned", "multimodal_columns", "dedup_minhash_lsh",
     "dedup_ngram_containment", "text_langid", "fn_math",
+    "join_runtime_bloom",
     "dedup_ngram_jaccard", "sim_topk_cosine", "dedup_embedding_cosine",
     "stream_foreachbatch_merge", "dedup_simhash", "sync_dump_to_dump",
     "stream_static_join", "scan_sql_dump_composite", "sync_catalog_ddl",

@@ -894,7 +894,8 @@ def write_sql_dump(df: DataFrame, table: str, pk_cols: list[str], path: str,
 def compare_sql_files(spark: SparkSession, production_file: str,
                       backup_file: str,
                       output_file: str = "database_sync_crud.sql",
-                      verbose: bool = True) -> dict | None:
+                      verbose: bool = True,
+                      tables: list[str] | None = None) -> dict | None:
     """The reference's library entry point (sync.py:522-625), Spark-first.
 
     Reads both dumps, diffs every common table, prints the CRUD summary,
@@ -912,7 +913,7 @@ def compare_sql_files(spark: SparkSession, production_file: str,
             return None
 
     changes, catalog, scripts, prod_schemas = sync_dumps(
-        spark, production_file, backup_file)
+        spark, production_file, backup_file, tables=tables)
 
     from database_syncer_spark.core.script import ddl_statements, write_script
 
@@ -977,10 +978,16 @@ def _size_shuffle_partitions(spark: SparkSession, *paths: str) -> None:
         spark.conf.set("spark.sql.shuffle.partitions", str(target))
 
 
-def sync_dumps(spark: SparkSession, prod_path: str, backup_path: str):
+def sync_dumps(spark: SparkSession, prod_path: str, backup_path: str,
+               tables: list[str] | None = None):
     """Diff two SQL dumps: the reference's whole pipeline
     (sync.py:522-625) on Spark. Returns (changes_per_table, catalog,
     script_statements_per_table, prod_schemas).
+
+    ``tables`` restricts the sync to the named tables (projection pushed
+    into both dump reads — unrequested tables' DML is never tokenized).
+    A table present in only one dump still appears in the catalog diff
+    when requested; requesting a table in NEITHER dump errors.
 
     The per-table changes are persisted (MEMORY_AND_DISK): the dump
     parse is the expensive stage and every returned DataFrame (changes,
@@ -1000,10 +1007,24 @@ def sync_dumps(spark: SparkSession, prod_path: str, backup_path: str):
     # keep_seq + no dedup: last-wins resolution happens INSIDE the diff's
     # single shuffle (snapshot_diff_fused) instead of as a per-side
     # aggregation before a join — one wide stage less per table.
-    prod, prod_schemas = read_sql_dump_with_schemas(
-        spark, prod_path, dedup_pk=False, keep_seq=True)
-    backup, _ = read_sql_dump_with_schemas(
-        spark, backup_path, dedup_pk=False, keep_seq=True)
+    def side(path):
+        if tables is None:
+            return read_sql_dump_with_schemas(
+                spark, path, dedup_pk=False, keep_seq=True)
+        # a requested table may legitimately be absent from ONE side
+        # (that's what the catalog diff reports) — filter to the
+        # intersection per side, but error if a name is in neither.
+        have = set(get_dump_schemas(spark, path))
+        return read_sql_dump_with_schemas(
+            spark, path, dedup_pk=False, keep_seq=True,
+            tables=[t for t in tables if t in have])
+
+    prod, prod_schemas = side(prod_path)
+    backup, _ = side(backup_path)
+    if tables is not None:
+        nowhere = set(tables) - set(prod) - set(backup)
+        if nowhere:
+            raise ValueError(f"tables in neither dump: {sorted(nowhere)}")
     catalog = catalog_diff(prod, backup)
     changes, scripts = {}, {}
     for name in catalog["common"]:

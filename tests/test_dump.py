@@ -449,3 +449,31 @@ def test_table_projection_pushdown(spark, tmp_path):
     assert only["t1"].count() == 3
     with _pytest.raises(ValueError, match="not in dump"):
         read_sql_dump(spark, path, tables=["t1", "nope"])
+
+
+def test_sync_dumps_table_restriction(spark, tmp_path):
+    """sync_dumps(tables=...) syncs only the requested tables; a table
+    present in one side still shows in the catalog diff; a table in
+    neither errors."""
+    import pytest as _pytest
+    from database_syncer_spark.sources.dump import sync_dumps
+
+    prod = (
+        "CREATE TABLE t1 (a text, b text, PRIMARY KEY (a));\n"
+        "CREATE TABLE t2 (a text, PRIMARY KEY (a));\n"
+        "INSERT INTO `t1` VALUES ('k1', 'new');\n"
+        "INSERT INTO `t2` VALUES ('z');\n"
+    )
+    bak = (
+        "CREATE TABLE t1 (a text, b text, PRIMARY KEY (a));\n"
+        "INSERT INTO `t1` VALUES ('k1', 'old');\n"
+    )
+    pp = _write(tmp_path, "p.sql", prod)
+    bp = _write(tmp_path, "b.sql", bak)
+    changes, catalog, scripts, _ = sync_dumps(spark, pp, bp, tables=["t1", "t2"])
+    assert catalog["create"] == ["t2"] and catalog["common"] == ["t1"]
+    assert [r.change_type for r in changes["t1"].collect()] == ["UPDATE"]
+    changes1, catalog1, _, _ = sync_dumps(spark, pp, bp, tables=["t1"])
+    assert set(changes1) == {"t1"} and catalog1["create"] == []
+    with _pytest.raises(ValueError, match="neither"):
+        sync_dumps(spark, pp, bp, tables=["ghost"])

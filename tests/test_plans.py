@@ -213,3 +213,17 @@ def test_containment_single_selfjoin(spark, sf_dir):
         load_table(spark, sf_dir, "documents")))
     assert plan.count("SortMergeJoin") + plan.count("ShuffledHashJoin") <= 1
     assert "Generate explode" in plan
+
+
+def test_runtime_bloom_filter_reaches_fact_scan(spark, sf_dir):
+    """join_runtime_bloom's fact side must carry a might_contain probe
+    (the runtime semi-join reduction), and later keys must see restored
+    session confs (broadcast threshold back to its default)."""
+    from database_syncer_spark.queries.extended import join_runtime_bloom
+
+    df = join_runtime_bloom(spark, sf_dir)
+    plan = _plan(df)
+    assert "might_contain" in plan, plan
+    assert spark.conf.get("spark.sql.autoBroadcastJoinThreshold") != "-1"
+    # the cached physical plan must survive conf restoration
+    assert df.count() > 0
