@@ -123,6 +123,165 @@ def lsh_ann_topk(embeddings: DataFrame, n_queries: int = 10, k: int = 10,
     )
 
 
+def train_pq_codebooks(embeddings: DataFrame, m: int = 8, dim: int = 64,
+                       k_sub: int = 16,
+                       lloyd_iters: int = 1) -> list[list[list[float]]]:
+    """Product-quantization codebooks: ``m`` subspaces of dim/m dims,
+    ``k_sub`` centroids each. Deterministic like IVF: seeds are the
+    k_sub corpus vectors with smallest xxhash64(vec_id), sliced per
+    subspace; each Lloyd pass assigns every vector's m subvectors to
+    their nearest sub-centroid (one Arrow map pass) and re-averages
+    (ONE groupBy over the exploded (subspace, code) pairs — 2·m·k_sub
+    rows of dim/m sums cross the wire, corpus-size-independent)."""
+    import numpy as np
+
+    d_sub = dim // m
+    seeds = (embeddings
+             .orderBy(F.xxhash64("vec_id"), "vec_id")
+             .limit(k_sub)
+             .select("embedding")
+             .collect())
+    base = np.stack([_normalize([float(v) for v in r.embedding])
+                     for r in seeds])           # k_sub × dim
+    books = [base[:, s * d_sub:(s + 1) * d_sub].copy() for s in range(m)]
+    for _ in range(lloyd_iters):
+        coded = _with_pq_codes(
+            embeddings.select("embedding"), books, m, dim)
+        pairs = coded.select(
+            "embedding",
+            F.posexplode("pq_codes").alias("sub", "code"))
+        aggs = [F.sum(F.col("embedding")[F.col("sub") * d_sub + i]
+                      .cast("double")).alias(f"s{i}") for i in range(d_sub)]
+        sums = (pairs.groupBy("sub", "code")
+                .agg(F.count("*").alias("n"), *aggs)
+                .collect())
+        for r in sums:
+            books[r.sub][r.code] = np.asarray(
+                [r[f"s{i}"] / r.n for i in range(d_sub)])
+    return [b.tolist() for b in books]
+
+
+def _with_pq_codes(df: DataFrame, books: list, m: int, dim: int,
+                   emb_col: str = "embedding") -> DataFrame:
+    """Append ``pq_codes``: per subspace, the nearest sub-centroid id
+    (L2), via one Arrow-batched numpy pass (same Janino rationale as
+    `_with_probe_cells`; m argmins over (B×d_sub)@(d_sub×k) products)."""
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    d_sub = dim // m
+    bmats = [np.asarray(b, dtype=np.float64) for b in books]  # k × d_sub
+    bnorm = [0.5 * (b * b).sum(axis=1) for b in bmats]
+    out_schema = T.StructType(
+        list(df.schema.fields)
+        + [T.StructField("pq_codes", T.ArrayType(T.IntegerType()))])
+
+    def assign(batches):
+        for pdf in batches:
+            if len(pdf):
+                full = np.stack(pdf[emb_col].to_numpy()).astype(np.float64)
+                nrm = np.linalg.norm(full, axis=1, keepdims=True)
+                full = full / np.where(nrm == 0, 1.0, nrm)
+                codes = np.empty((len(pdf), m), dtype=np.int32)
+                for s in range(m):
+                    sub = full[:, s * d_sub:(s + 1) * d_sub]
+                    # argmin ||x-c||² == argmax (x·c − ½||c||²)
+                    codes[:, s] = np.argmax(sub @ bmats[s].T - bnorm[s], axis=1)
+                pdf = pdf.assign(pq_codes=[row for row in codes])
+            else:
+                pdf = pdf.assign(pq_codes=pd.Series([], dtype=object))
+            yield pdf
+
+    return df.mapInPandas(assign, out_schema)
+
+
+def pq_ann_topk(embeddings: DataFrame, n_queries: int = 10, k: int = 10,
+                m: int = 8, dim: int = 64, k_sub: int = 16,
+                refine: int = 8) -> DataFrame:
+    """Approximate top-k via product quantization + asymmetric distance
+    (ADC): corpus vectors live as m uint8 codes (8 bytes vs 256 — the
+    32× memory compression that fits a 100-TB embedding corpus in a
+    cluster's RAM), each query builds an m×k_sub lookup table of
+    subspace dot products, and the scan scores a row with m table
+    lookups instead of dim multiplies. The top refine·k candidates by
+    ADC score are re-ranked exactly against the full vectors; output
+    schema matches brute_force_topk.
+
+    Unlike IVF (which prunes WHICH rows are read), PQ compresses WHAT
+    is read — at scale the two compose (IVF-PQ: probe cells, scan
+    codes, re-rank survivors). The codes scan is one map pass over the
+    code table; candidate exact re-rank joins back to the full vectors
+    by vec_id, shuffling only refine·k·Q rows."""
+    import numpy as np
+    import pandas as pd
+
+    books = train_pq_codebooks(embeddings, m=m, dim=dim, k_sub=k_sub)
+    coded = _with_pq_codes(
+        embeddings.select("vec_id", "embedding"), books, m, dim
+    ).select("vec_id", "pq_codes")
+
+    d_sub = dim // m
+    qrows = (embeddings.where(F.col("vec_id") < n_queries)
+             .select("vec_id", "embedding").collect())
+    qids = [int(r.vec_id) for r in qrows]
+    qmat = np.stack([_normalize([float(v) for v in r.embedding])
+                     for r in qrows])            # Q × dim
+    # LUT[q, s, j] = dot(q_s, c_sj) — Q·m·k_sub floats, broadcast state
+    lut = np.stack([
+        qmat[:, s * d_sub:(s + 1) * d_sub]
+        @ np.asarray(books[s], dtype=np.float64).T
+        for s in range(m)], axis=1)              # Q × m × k_sub
+
+    from pyspark.sql import types as T
+    out_schema = T.StructType([
+        T.StructField("query_id", T.LongType()),
+        T.StructField("vec_id", T.LongType()),
+        T.StructField("adc", T.DoubleType()),
+    ])
+
+    def score(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            codes = np.stack(pdf["pq_codes"].to_numpy())    # B × m
+            # approx[q, b] = Σ_s LUT[q, s, codes[b, s]]
+            approx = lut[:, np.arange(m)[None, :], codes].sum(axis=2)
+            nq, nb = approx.shape
+            yield pd.DataFrame({
+                "query_id": np.repeat(qids, nb),
+                "vec_id": np.tile(pdf["vec_id"].to_numpy(), nq),
+                "adc": approx.reshape(-1),
+            })
+
+    scored = coded.mapInPandas(score, out_schema).where(
+        F.col("vec_id") != F.col("query_id"))
+    w_adc = W.partitionBy("query_id").orderBy(
+        F.col("adc").desc(), F.col("vec_id"))
+    cands = (scored.withColumn("__r", F.row_number().over(w_adc))
+             .where(F.col("__r") <= refine * k)
+             .select("query_id", "vec_id"))
+
+    e = embeddings.select("vec_id", "embedding",
+                          V.norm("embedding", dim).alias("nrm"))
+    q = (embeddings.where(F.col("vec_id") < n_queries)
+         .select(F.col("vec_id").alias("query_id"),
+                 F.col("embedding").alias("q_emb"),
+                 V.norm("embedding", dim).alias("q_nrm")))
+    joined = cands.join(e, "vec_id").join(F.broadcast(q), "query_id")
+    cos = F.round(
+        V.dot("q_emb", "embedding", dim) / (F.col("q_nrm") * F.col("nrm")), 6)
+    w = W.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        joined.select("query_id", F.col("vec_id").alias("neighbor_id"),
+                      cos.alias("cosine"))
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )
+
+
 def _with_probe_cells(df: DataFrame, centroids: list[list[float]],
                       n_probe: int, emb_col: str = "embedding") -> DataFrame:
     """Append ``probe_cells``: the n_probe nearest centroid ids per row,

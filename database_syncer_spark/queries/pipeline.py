@@ -94,6 +94,10 @@ def sim_ivf_ann(spark, sf_dir):
     return S.ivf_ann_topk(load_table(spark, sf_dir, "embeddings"))
 
 
+def sim_pq_ann(spark, sf_dir):
+    return S.pq_ann_topk(load_table(spark, sf_dir, "embeddings"))
+
+
 # --- text analysis ---------------------------------------------------------------
 
 def text_tokens_tf(spark, sf_dir):
@@ -208,6 +212,7 @@ QUERIES = {
     "sim_topk_cosine": sim_topk_cosine,
     "sim_lsh_ann": sim_lsh_ann,                  # rows-only (hyperplane buckets)
     "sim_ivf_ann": sim_ivf_ann,                  # rows-only (centroid cells)
+    "sim_pq_ann": sim_pq_ann,                    # rows-only (PQ codebooks)
     "text_tokens_tf": text_tokens_tf,
     "text_lang_stats": text_lang_stats,
     "text_quality_score": text_quality_score,

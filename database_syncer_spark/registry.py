@@ -56,7 +56,7 @@ _KEY_ORDER = [
     "diff_bucketed_zeroshuffle", "dedup_cluster_components",
     "stream_stateful_custom", "dedup_corpus_keep", "sim_lsh_ann",
     "stream_transform_with_state", "sink_merge_executor",
-    "stream_stream_join",
+    "stream_stream_join", "sim_pq_ann",
     # --- r1 hash-fail / no-oracle, fixed in r2 ---
     "agg_mode_histogram", "sink_sync_script", "tpch_q12_priority_classes",
     # --- driver-green in r1 ---
