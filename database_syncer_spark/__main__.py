@@ -23,6 +23,11 @@ def main(argv: list[str] | None = None) -> int:
         except IndexError:
             print("--tables requires a comma-separated list")
             return 2
+        if not tables:
+            # an empty list would "sync" nothing while reporting success
+            # (e.g. --tables "$UNSET_VAR") — refuse instead
+            print("--tables requires at least one table name")
+            return 2
         del argv[i:i + 2]
     production = argv[0] if len(argv) > 0 else "prod.sql"
     backup = argv[1] if len(argv) > 1 else "backup.sql"

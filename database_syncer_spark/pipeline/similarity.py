@@ -132,9 +132,17 @@ def train_pq_codebooks(embeddings: DataFrame, m: int = 8, dim: int = 64,
     subspace; each Lloyd pass assigns every vector's m subvectors to
     their nearest sub-centroid (one Arrow map pass) and re-averages
     (ONE groupBy over the exploded (subspace, code) pairs — 2·m·k_sub
-    rows of dim/m sums cross the wire, corpus-size-independent)."""
+    rows of dim/m sums cross the wire, corpus-size-independent).
+
+    Everything PQ-side — seeds, assignment, re-average, the ADC LUT —
+    operates in L2-NORMALIZED space (cosine setting), so the Lloyd sums
+    divide each row by its norm; averaging raw vectors would put the
+    centroids at the corpus's magnitude scale while assignment and
+    scoring expect unit scale (caught in review before it shipped)."""
     import numpy as np
 
+    if dim % m:
+        raise ValueError(f"dim={dim} not divisible by m={m}")
     d_sub = dim // m
     seeds = (embeddings
              .orderBy(F.xxhash64("vec_id"), "vec_id")
@@ -147,12 +155,15 @@ def train_pq_codebooks(embeddings: DataFrame, m: int = 8, dim: int = 64,
     for _ in range(lloyd_iters):
         coded = _with_pq_codes(
             embeddings.select("embedding"), books, m, dim)
+        nrm = V.norm("embedding", dim)
         pairs = coded.select(
-            "embedding",
+            "embedding", nrm.alias("__nrm"),
             F.posexplode("pq_codes").alias("sub", "code"))
-        aggs = [F.sum(F.col("embedding")[F.col("sub") * d_sub + i]
-                      .cast("double")).alias(f"s{i}") for i in range(d_sub)]
-        sums = (pairs.groupBy("sub", "code")
+        aggs = [F.sum((F.col("embedding")[F.col("sub") * d_sub + i]
+                       / F.col("__nrm")).cast("double")).alias(f"s{i}")
+                for i in range(d_sub)]
+        sums = (pairs.where(F.col("__nrm") > 0)
+                .groupBy("sub", "code")
                 .agg(F.count("*").alias("n"), *aggs)
                 .collect())
         for r in sums:
@@ -212,11 +223,16 @@ def pq_ann_topk(embeddings: DataFrame, n_queries: int = 10, k: int = 10,
     Unlike IVF (which prunes WHICH rows are read), PQ compresses WHAT
     is read — at scale the two compose (IVF-PQ: probe cells, scan
     codes, re-rank survivors). The codes scan is one map pass over the
-    code table; candidate exact re-rank joins back to the full vectors
-    by vec_id, shuffling only refine·k·Q rows."""
+    code table, and the scorer keeps only each BATCH's top refine·k per
+    query (argpartition), so the window that selects global candidates
+    shuffles ~refine·k·Q·n_batches rows, never the Q×N cross product;
+    the exact re-rank then joins refine·k·Q rows back to the full
+    vectors by vec_id."""
     import numpy as np
     import pandas as pd
 
+    if dim % m:
+        raise ValueError(f"dim={dim} not divisible by m={m}")
     books = train_pq_codebooks(embeddings, m=m, dim=dim, k_sub=k_sub)
     coded = _with_pq_codes(
         embeddings.select("vec_id", "embedding"), books, m, dim
@@ -241,6 +257,9 @@ def pq_ann_topk(embeddings: DataFrame, n_queries: int = 10, k: int = 10,
         T.StructField("adc", T.DoubleType()),
     ])
 
+    keep = refine * k
+    qarr = np.asarray(qids)
+
     def score(batches):
         for pdf in batches:
             if not len(pdf):
@@ -249,11 +268,24 @@ def pq_ann_topk(embeddings: DataFrame, n_queries: int = 10, k: int = 10,
             # approx[q, b] = Σ_s LUT[q, s, codes[b, s]]
             approx = lut[:, np.arange(m)[None, :], codes].sum(axis=2)
             nq, nb = approx.shape
-            yield pd.DataFrame({
-                "query_id": np.repeat(qids, nb),
-                "vec_id": np.tile(pdf["vec_id"].to_numpy(), nq),
-                "adc": approx.reshape(-1),
-            })
+            vids = pdf["vec_id"].to_numpy()
+            if nb > keep:
+                # per-batch top refine·k per query: the global top-k is
+                # a subset of every batch's top-k, so pruning here is
+                # lossless and keeps the downstream shuffle
+                # batch-count-proportional instead of corpus-sized.
+                idx = np.argpartition(-approx, keep - 1, axis=1)[:, :keep]
+                yield pd.DataFrame({
+                    "query_id": np.repeat(qarr, keep),
+                    "vec_id": vids[idx].reshape(-1),
+                    "adc": np.take_along_axis(approx, idx, axis=1).reshape(-1),
+                })
+            else:
+                yield pd.DataFrame({
+                    "query_id": np.repeat(qarr, nb),
+                    "vec_id": np.tile(vids, nq),
+                    "adc": approx.reshape(-1),
+                })
 
     scored = coded.mapInPandas(score, out_schema).where(
         F.col("vec_id") != F.col("query_id"))

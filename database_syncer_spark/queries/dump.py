@@ -25,33 +25,46 @@ _SLICE = 200  # o_orderkey < 200 at any sf
 _DUMP_FMT = "v2"
 
 
-def scan_sql_dump(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Measures INGEST: the fixture dump is rendered once per (sf, format
-    version) and reused — its content is a pure function of the read-only
-    fixture, so re-rendering on every call would only time the writer."""
+
+def _dump_path(sf_dir: str, suffix: str) -> str:
     tag = os.path.basename(os.path.normpath(sf_dir))
-    path = os.path.join(
-        tempfile.gettempdir(), f"dss_dump_{_DUMP_FMT}_{tag}_orders.sql")
-    if not (os.path.exists(path) and os.path.getsize(path) > 0):
+    return os.path.join(
+        tempfile.gettempdir(), f"dss_dump_{_DUMP_FMT}_{tag}_{suffix}.sql")
+
+
+def _cached(path: str) -> bool:
+    return os.path.exists(path) and os.path.getsize(path) > 0
+
+
+def _orders_dump(spark: SparkSession, sf_dir: str) -> str:
+    """Render-if-missing: the production orders-slice dump. ALL keys
+    that need one of the fixture dumps go through these helpers, so the
+    naming scheme and render logic live in exactly one place."""
+    path = _dump_path(sf_dir, "orders")
+    if not _cached(path):
         orders = load_table(spark, sf_dir, "orders").where(
             F.col("o_orderkey") < _SLICE)
         write_sql_dump(orders, "orders", ["o_orderkey"], path)
-    back = read_sql_dump(spark, path)["orders"]
-    return back.withColumn(
-        "o_orderdate", F.col("o_orderdate").cast("timestamp_ntz"))
+    return path
 
 
-def scan_sql_dump_composite(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Second ingest shape: COMPOSITE primary key (l_orderkey,
-    l_linenumber — the case the reference's PK regex cannot match and
-    silently mis-keys, sync.py:89-104 / SURVEY §1.3), DECIMAL columns
-    with exact precision/scale through DDL parse + typed cast, and real
-    NULLs in a value column. Same render-once/ingest-per-call shape as
-    scan_sql_dump."""
-    tag = os.path.basename(os.path.normpath(sf_dir))
-    path = os.path.join(
-        tempfile.gettempdir(), f"dss_dump_{_DUMP_FMT}_{tag}_lineitem_ck.sql")
-    if not (os.path.exists(path) and os.path.getsize(path) > 0):
+def _orders_backup_dump(spark: SparkSession, sf_dir: str) -> str:
+    """Render-if-missing: the derived-backup orders dump."""
+    from database_syncer_spark.core.snapshots import derive_backup
+
+    path = _dump_path(sf_dir, "orders_bak")
+    if not _cached(path):
+        orders = load_table(spark, sf_dir, "orders").where(
+            F.col("o_orderkey") < _SLICE)
+        backup = derive_backup(orders, "o_orderkey", "o_totalprice")
+        write_sql_dump(backup, "orders", ["o_orderkey"], path)
+    return path
+
+
+def _lineitem_ck_dump(spark: SparkSession, sf_dir: str) -> str:
+    """Render-if-missing: the composite-PK lineitem slice dump."""
+    path = _dump_path(sf_dir, "lineitem_ck")
+    if not _cached(path):
         from pyspark.sql import Window as W
 
         li = load_table(spark, sf_dir, "lineitem").where(
@@ -72,7 +85,27 @@ def scan_sql_dump_composite(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("nullif(l_returnflag, 'N')").alias("l_returnflag"),
         )
         write_sql_dump(li, "lineitem_ck", ["l_orderkey", "l_linenumber"], path)
-    return read_sql_dump(spark, path)["lineitem_ck"]
+    return path
+
+
+def scan_sql_dump(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measures INGEST: the fixture dump is rendered once per (sf, format
+    version) and reused — its content is a pure function of the read-only
+    fixture, so re-rendering on every call would only time the writer."""
+    back = read_sql_dump(spark, _orders_dump(spark, sf_dir))["orders"]
+    return back.withColumn(
+        "o_orderdate", F.col("o_orderdate").cast("timestamp_ntz"))
+
+
+def scan_sql_dump_composite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second ingest shape: COMPOSITE primary key (l_orderkey,
+    l_linenumber — the case the reference's PK regex cannot match and
+    silently mis-keys, sync.py:89-104 / SURVEY §1.3), DECIMAL columns
+    with exact precision/scale through DDL parse + typed cast, and real
+    NULLs in a value column. Same render-once/ingest-per-call shape as
+    scan_sql_dump."""
+    return read_sql_dump(
+        spark, _lineitem_ck_dump(spark, sf_dir))["lineitem_ck"]
 
 
 def sync_dump_to_dump(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -87,24 +120,10 @@ def sync_dump_to_dump(spark: SparkSession, sf_dir: str) -> DataFrame:
     so one driver hash verifies parse + typing + diff classification
     together — the closest thing to running the reference itself."""
     from database_syncer_spark.core.diff import snapshot_diff
-    from database_syncer_spark.core.snapshots import derive_backup
 
-    tag = os.path.basename(os.path.normpath(sf_dir))
-    prod_path = os.path.join(
-        tempfile.gettempdir(), f"dss_dump_{_DUMP_FMT}_{tag}_orders.sql")
-    bak_path = os.path.join(
-        tempfile.gettempdir(), f"dss_dump_{_DUMP_FMT}_{tag}_orders_bak.sql")
-    if not (os.path.exists(prod_path) and os.path.getsize(prod_path) > 0):
-        orders = load_table(spark, sf_dir, "orders").where(
-            F.col("o_orderkey") < _SLICE)
-        write_sql_dump(orders, "orders", ["o_orderkey"], prod_path)
-    if not (os.path.exists(bak_path) and os.path.getsize(bak_path) > 0):
-        orders = load_table(spark, sf_dir, "orders").where(
-            F.col("o_orderkey") < _SLICE)
-        backup = derive_backup(orders, "o_orderkey", "o_totalprice")
-        write_sql_dump(backup, "orders", ["o_orderkey"], bak_path)
-    prod = read_sql_dump(spark, prod_path)["orders"]
-    backup = read_sql_dump(spark, bak_path)["orders"]
+    prod = read_sql_dump(spark, _orders_dump(spark, sf_dir))["orders"]
+    backup = read_sql_dump(
+        spark, _orders_backup_dump(spark, sf_dir))["orders"]
     changes = snapshot_diff(prod, backup, pk_cols=["o_orderkey"])
     return changes.withColumn(
         "o_orderdate", F.col("o_orderdate").cast("timestamp_ntz"))
@@ -121,18 +140,12 @@ def sync_catalog_ddl(spark: SparkSession, sf_dir: str) -> DataFrame:
     common) and the ingested row count — all driver-hashable."""
     from database_syncer_spark.core.diff import catalog_diff
 
-    tag = os.path.basename(os.path.normpath(sf_dir))
-    # Reuse the cached single-table renders; the combined file is just
-    # their concatenation (mysqldump emits tables back to back).
-    scan_sql_dump(spark, sf_dir)            # ensures orders dump exists
-    scan_sql_dump_composite(spark, sf_dir)  # ensures lineitem_ck dump exists
-    orders_path = os.path.join(
-        tempfile.gettempdir(), f"dss_dump_{_DUMP_FMT}_{tag}_orders.sql")
-    li_path = os.path.join(
-        tempfile.gettempdir(), f"dss_dump_{_DUMP_FMT}_{tag}_lineitem_ck.sql")
-    multi_path = os.path.join(
-        tempfile.gettempdir(), f"dss_dump_{_DUMP_FMT}_{tag}_multi.sql")
-    if not (os.path.exists(multi_path) and os.path.getsize(multi_path) > 0):
+    # The combined file is just the cached single-table renders
+    # concatenated (mysqldump emits tables back to back).
+    orders_path = _orders_dump(spark, sf_dir)
+    li_path = _lineitem_ck_dump(spark, sf_dir)
+    multi_path = _dump_path(sf_dir, "multi")
+    if not _cached(multi_path):
         tmp = multi_path + ".tmp"
         with open(tmp, "w", encoding="utf-8") as out:
             for p in (orders_path, li_path):
@@ -140,13 +153,9 @@ def sync_catalog_ddl(spark: SparkSession, sf_dir: str) -> DataFrame:
                     out.write(fh.read())
                 out.write("\n")
         os.replace(tmp, multi_path)
-    bak_path = os.path.join(
-        tempfile.gettempdir(), f"dss_dump_{_DUMP_FMT}_{tag}_orders_bak.sql")
-    if not (os.path.exists(bak_path) and os.path.getsize(bak_path) > 0):
-        sync_dump_to_dump(spark, sf_dir)    # renders the backup dump
 
     prod_tables = read_sql_dump(spark, multi_path)
-    backup_tables = read_sql_dump(spark, bak_path)
+    backup_tables = read_sql_dump(spark, _orders_backup_dump(spark, sf_dir))
     cat = catalog_diff(prod_tables, backup_tables)
     action = {t: "CREATE" for t in cat["create"]}
     action.update({t: "SYNC" for t in cat["common"]})

@@ -674,7 +674,7 @@ def read_sql_dump(spark: SparkSession, path: str, typed: bool = True,
 def read_sql_dump_with_schemas(
     spark: SparkSession, path: str, typed: bool = True, dedup_pk: bool = True,
     tokenizer: str = "python", keep_seq: bool = False,
-    tables: list[str] | None = None,
+    tables: list[str] | None = None, ignore_missing: bool = False,
 ) -> tuple[dict[str, DataFrame], dict[str, TableSchema]]:
     """`read_sql_dump` plus the parsed DDL, from ONE statement scan.
 
@@ -716,7 +716,7 @@ def read_sql_dump_with_schemas(
     if tables is not None:
         want = set(tables)
         missing = want - set(schemas)
-        if missing:
+        if missing and not ignore_missing:
             raise ValueError(
                 f"tables not in dump: {sorted(missing)} "
                 f"(dump has: {sorted(schemas)})")
@@ -1007,20 +1007,16 @@ def sync_dumps(spark: SparkSession, prod_path: str, backup_path: str,
     # keep_seq + no dedup: last-wins resolution happens INSIDE the diff's
     # single shuffle (snapshot_diff_fused) instead of as a per-side
     # aggregation before a join — one wide stage less per table.
-    def side(path):
-        if tables is None:
-            return read_sql_dump_with_schemas(
-                spark, path, dedup_pk=False, keep_seq=True)
-        # a requested table may legitimately be absent from ONE side
-        # (that's what the catalog diff reports) — filter to the
-        # intersection per side, but error if a name is in neither.
-        have = set(get_dump_schemas(spark, path))
-        return read_sql_dump_with_schemas(
-            spark, path, dedup_pk=False, keep_seq=True,
-            tables=[t for t in tables if t in have])
-
-    prod, prod_schemas = side(prod_path)
-    backup, _ = side(backup_path)
+    # a requested table may legitimately be absent from ONE side (that's
+    # what the catalog diff reports), so each side ignores missing names
+    # inside its own (single) DDL scan — a separate get_dump_schemas
+    # prescan would repeat the full statement scan per side.
+    prod, prod_schemas = read_sql_dump_with_schemas(
+        spark, prod_path, dedup_pk=False, keep_seq=True,
+        tables=tables, ignore_missing=True)
+    backup, _ = read_sql_dump_with_schemas(
+        spark, backup_path, dedup_pk=False, keep_seq=True,
+        tables=tables, ignore_missing=True)
     if tables is not None:
         nowhere = set(tables) - set(prod) - set(backup)
         if nowhere:
