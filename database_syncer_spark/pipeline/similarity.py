@@ -59,6 +59,36 @@ def brute_force_topk(embeddings: DataFrame, n_queries: int = 10,
     )
 
 
+def ann_recall(embeddings: DataFrame, ann: DataFrame, n_queries: int = 10,
+               k: int = 10, dim: int = 64) -> DataFrame:
+    """Score-threshold recall@k of an ANN result against the exact top-k.
+
+    A retrieved neighbor counts as a hit when its round(cosine, 6) is >=
+    the query's k-th exact cosine — the tie-tolerant recall definition
+    standard in ANN benchmarking (either member of a tie at rank k is a
+    correct answer). Ground truth is the brute-force sibling
+    (brute_force_topk) computed in the same job: recall verification
+    REQUIRES exact truth by definition, so this key is O(Q×N) on the
+    exact side — a verification artifact, not the serving path.
+
+    Output (query_id, k, n_hits, recall) is deterministic: the ANN
+    algorithms are seed-free (md5 hyperplanes / xxhash64 seed picks) and
+    the fixture is fixed, so the driver can value-hash these rows against
+    pinned measured values (engine-independent recomputation of LSH/IVF/PQ
+    internals in SQL isn't feasible; quality bounds are asserted in
+    tests/test_pipeline.py)."""
+    exact = brute_force_topk(embeddings, n_queries=n_queries, k=k, dim=dim)
+    thr = exact.groupBy("query_id").agg(F.min("cosine").alias("__thr"))
+    return (
+        ann.join(thr, "query_id")
+        .groupBy("query_id")
+        .agg(F.sum(F.when(F.col("cosine") >= F.col("__thr"), 1)
+                   .otherwise(0)).cast("int").alias("n_hits"))
+        .select("query_id", F.lit(k).alias("k"), "n_hits",
+                (F.col("n_hits") / F.lit(float(k))).alias("recall"))
+    )
+
+
 def _hyperplanes(n_planes: int, dim: int, table: int) -> list[list[float]]:
     """Deterministic pseudo-random hyperplanes from md5 — no RNG state,
     same planes on every executor and every run."""
@@ -167,8 +197,10 @@ def train_pq_codebooks(embeddings: DataFrame, m: int = 8, dim: int = 64,
                 .agg(F.count("*").alias("n"), *aggs)
                 .collect())
         for r in sums:
-            books[r.sub][r.code] = np.asarray(
-                [r[f"s{i}"] / r.n for i in range(d_sub)])
+            # 9-dp rounding for partition-independent model state (same
+            # rationale as train_ivf_centroids).
+            books[r.sub][r.code] = np.round(np.asarray(
+                [r[f"s{i}"] / r.n for i in range(d_sub)]), 9)
     return [b.tolist() for b in books]
 
 
@@ -198,8 +230,11 @@ def _with_pq_codes(df: DataFrame, books: list, m: int, dim: int,
                 codes = np.empty((len(pdf), m), dtype=np.int32)
                 for s in range(m):
                     sub = full[:, s * d_sub:(s + 1) * d_sub]
-                    # argmin ||x-c||² == argmax (x·c − ½||c||²)
-                    codes[:, s] = np.argmax(sub @ bmats[s].T - bnorm[s], axis=1)
+                    # argmin ||x-c||² == argmax (x·c − ½||c||²); 9-dp
+                    # round for batch-shape-independent assignment (see
+                    # _with_probe_cells).
+                    codes[:, s] = np.argmax(
+                        np.round(sub @ bmats[s].T - bnorm[s], 9), axis=1)
                 pdf = pdf.assign(pq_codes=[row for row in codes])
             else:
                 pdf = pdf.assign(pq_codes=pd.Series([], dtype=object))
@@ -265,8 +300,14 @@ def pq_ann_topk(embeddings: DataFrame, n_queries: int = 10, k: int = 10,
             if not len(pdf):
                 continue
             codes = np.stack(pdf["pq_codes"].to_numpy())    # B × m
-            # approx[q, b] = Σ_s LUT[q, s, codes[b, s]]
-            approx = lut[:, np.arange(m)[None, :], codes].sum(axis=2)
+            # approx[q, b] = Σ_s LUT[q, s, codes[b, s]]; 9-dp round so
+            # the refine·k candidate boundary is partition-independent.
+            approx = np.round(
+                lut[:, np.arange(m)[None, :], codes].sum(axis=2), 9)
+            # Mask each query's own vector BEFORE the argpartition prune:
+            # filtering it afterwards would let it occupy a top-refine·k
+            # slot and silently drop the true refine·k-th candidate.
+            approx[np.equal.outer(qarr, pdf["vec_id"].to_numpy())] = -np.inf
             nq, nb = approx.shape
             vids = pdf["vec_id"].to_numpy()
             if nb > keep:
@@ -346,7 +387,11 @@ def _with_probe_cells(df: DataFrame, centroids: list[list[float]],
         for pdf in batches:
             if len(pdf):
                 m = np.stack(pdf[emb_col].to_numpy()).astype(np.float64)
-                dots = m @ cmat                       # B × C
+                # 9-dp round before the argsort: BLAS blocking can vary
+                # with batch shape, and a 1e-16 wobble at a near-tie
+                # would flip cell assignment between runs; rounding makes
+                # such pairs exact ties, broken stably by cell index.
+                dots = np.round(m @ cmat, 9)          # B × C
                 order = np.argsort(-dots, axis=1, kind="stable")[:, :n_probe]
                 pdf = pdf.assign(
                     probe_cells=[row.astype("int32") for row in order])
@@ -389,7 +434,11 @@ def train_ivf_centroids(embeddings: DataFrame, n_cells: int = 16,
                 .collect())
         new = list(centroids)
         for r in sums:
-            new[r.cell] = _normalize([r[f"s{i}"] / r.n for i in range(dim)])
+            # Round to 9 dp: F.sum over doubles is reduction-order-
+            # dependent, so without a fixed precision the model (and any
+            # recall pinned on it) would vary with partitioning.
+            new[r.cell] = [round(v, 9) for v in _normalize(
+                [r[f"s{i}"] / r.n for i in range(dim)])]
         centroids = new
     return centroids
 

@@ -87,15 +87,22 @@ def sim_topk_cosine(spark, sf_dir):
 
 
 def sim_lsh_ann(spark, sf_dir):
-    return S.lsh_ann_topk(load_table(spark, sf_dir, "embeddings"))
+    """LSH ANN + recall@10 vs the exact sibling, per query — the ANN
+    neighbor lists themselves are engine-specific (hyperplane buckets),
+    but the recall rows are deterministic and driver-hashable (see
+    S.ann_recall). Oracle pins the measured recall per corpus size."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.ann_recall(emb, S.lsh_ann_topk(emb))
 
 
 def sim_ivf_ann(spark, sf_dir):
-    return S.ivf_ann_topk(load_table(spark, sf_dir, "embeddings"))
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.ann_recall(emb, S.ivf_ann_topk(emb))
 
 
 def sim_pq_ann(spark, sf_dir):
-    return S.pq_ann_topk(load_table(spark, sf_dir, "embeddings"))
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.ann_recall(emb, S.pq_ann_topk(emb))
 
 
 # --- text analysis ---------------------------------------------------------------
@@ -210,9 +217,9 @@ QUERIES = {
     "dedup_corpus_keep": dedup_corpus_keep,
     "dedup_embedding_cosine": dedup_embedding_cosine,
     "sim_topk_cosine": sim_topk_cosine,
-    "sim_lsh_ann": sim_lsh_ann,                  # rows-only (hyperplane buckets)
-    "sim_ivf_ann": sim_ivf_ann,                  # rows-only (centroid cells)
-    "sim_pq_ann": sim_pq_ann,                    # rows-only (PQ codebooks)
+    "sim_lsh_ann": sim_lsh_ann,                  # recall@10 rows, pinned oracle
+    "sim_ivf_ann": sim_ivf_ann,                  # recall@10 rows, pinned oracle
+    "sim_pq_ann": sim_pq_ann,                    # recall@10 rows, pinned oracle
     "text_tokens_tf": text_tokens_tf,
     "text_lang_stats": text_lang_stats,
     "text_quality_score": text_quality_score,
@@ -313,7 +320,49 @@ SELECT ek.doc_id FROM ek LEFT JOIN comp USING (doc_id)
 WHERE comp.doc_id IS NULL OR comp.component = ek.doc_id
 """
 
+# ANN recall oracles: the recall rows are a deterministic function of the
+# (seed-free) ANN algorithms and the fixed fixture — verified partition-
+# independent (9-dp model rounding, see pipeline/similarity.py) — so the
+# oracle pins the measured per-query n_hits. DuckDB cannot re-derive
+# LSH/IVF/PQ internals, and the sf0.001 (parity suite) and sf0.01 (driver)
+# fixtures both have 500 rows, so the constants are keyed on a corpus
+# content fingerprint; an unknown fixture yields NULLs → loud hash fail,
+# never a silent pass. Measured 2026-08-14 under local[8]/8 and
+# local[32]/32+repartition(7) (identical).
+_ANN_FP = """
+SELECT round(sum(list_aggregate(list_transform(
+         embedding, x -> CAST(x AS DOUBLE)), 'sum')), 0) AS f
+FROM embeddings
+"""
+
+
+def _ann_recall_sql(h001: list[int], h01: list[int]) -> str:
+    vals = ", ".join(f"({q}, {a}, {b})"
+                     for q, (a, b) in enumerate(zip(h001, h01)))
+    return f"""
+WITH fp AS ({_ANN_FP}),
+c(query_id, h001, h01) AS (VALUES {vals})
+SELECT CAST(query_id AS BIGINT) AS query_id, CAST(10 AS INT) AS k,
+       CAST(CASE WHEN fp.f = -33.0 THEN h001
+                 WHEN fp.f = 1.0 THEN h01 END AS INT) AS n_hits,
+       CAST(CASE WHEN fp.f = -33.0 THEN h001
+                 WHEN fp.f = 1.0 THEN h01 END AS DOUBLE) / 10.0 AS recall
+FROM c CROSS JOIN fp
+"""
+
+
+_LSH_RECALL_SQL = _ann_recall_sql(
+    [0, 4, 2, 3, 2, 2, 1, 2, 1, 1], [3, 4, 2, 4, 2, 2, 3, 1, 1, 3])
+_IVF_RECALL_SQL = _ann_recall_sql(
+    [5, 4, 4, 6, 4, 5, 8, 2, 9, 6], [6, 1, 6, 4, 4, 1, 6, 8, 10, 4])
+_PQ_RECALL_SQL = _ann_recall_sql(
+    [7, 8, 9, 9, 7, 8, 8, 9, 9, 7], [9, 8, 6, 9, 9, 6, 8, 8, 8, 7])
+
+
 ORACLES = {
+    "sim_lsh_ann": _LSH_RECALL_SQL,
+    "sim_ivf_ann": _IVF_RECALL_SQL,
+    "sim_pq_ann": _PQ_RECALL_SQL,
     "dedup_ngram_containment": _CONTAINMENT_SQL,
     "dedup_corpus_keep": _CORPUS_KEEP_SQL,
     "text_tfidf_topk": _TFIDF_SQL,

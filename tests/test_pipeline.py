@@ -238,9 +238,10 @@ def test_ivf_centroids_deterministic(spark, sf_dir):
     a = train_ivf_centroids(corpus, n_cells=8)
     b = train_ivf_centroids(corpus, n_cells=8)
     assert a == b
-    # unit-normalized centroids
+    # unit-normalized centroids (to within the 9-dp model rounding that
+    # makes the Lloyd update partition-independent)
     for c in a:
-        assert abs(sum(v * v for v in c) - 1.0) < 1e-9
+        assert abs(sum(v * v for v in c) - 1.0) < 1e-7
 
 
 def test_langid_on_separable_corpus(spark):
