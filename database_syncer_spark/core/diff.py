@@ -62,13 +62,13 @@ def snapshot_diff(
     Spark form of the reference's dict-overwrite semantics (sync.py:67,
     "last INSERT for a PK wins").
 
-    NULL-PK contract: primary keys are assumed NON-NULL (the SQL/MERGE
-    model; the join keys use plain ``=``). A row with a NULL PK never
-    matches the other side and surfaces as an INSERT+DELETE pair — unlike
-    ``snapshot_diff_fused``, whose groupBy treats NULL keys as equal and
-    would pair them. Callers with possibly-NULL PKs must filter or
-    sentinel them first; see the fused variant's docstring for the same
-    caveat from the other side.
+    NULL-PK contract (pinned by tests/test_diff.py, identical in
+    ``snapshot_diff_fused``): the join keys use plain ``=`` (the
+    SQL/MERGE model), so a row with a NULL PK never matches the other
+    side — it surfaces as an INSERT (prod side, post-image) or DELETE
+    (backup side, pre-image). Presence is tracked with explicit
+    per-side markers, NOT the PK's null-ness, so null-PK rows are
+    classified correctly rather than falling through as UPDATEs.
     """
     if compare_cols is None:
         compare_cols = [c for c in prod.columns if c not in pk_cols]
@@ -76,23 +76,26 @@ def snapshot_diff(
         prod = dedup_last_wins(prod, pk_cols, last_wins_col)
         backup = dedup_last_wins(backup, pk_cols, last_wins_col)
 
-    p = prod.select(pk_cols + compare_cols).alias("p")
-    b = backup.select(pk_cols + compare_cols).alias("b")
+    p = prod.select(
+        *pk_cols, *compare_cols, F.lit(True).alias("__pp")).alias("p")
+    b = backup.select(
+        *pk_cols, *compare_cols, F.lit(True).alias("__bp")).alias("b")
     if broadcast_backup:
         b = F.broadcast(b)
 
-    # Plain-equality join keys (not eqNullSafe): PKs are non-null by
-    # construction, SQL MERGE/diff semantics use `=` (so does the DuckDB
-    # oracle), and — decisive at scale — a null-safe key disqualifies the
-    # join from bucketed-table co-location (measured: eqNullSafe keys on
-    # bucketBy(pk) snapshots plan 2 exchanges, `=` keys plan ZERO).
+    # Plain-equality join keys (not eqNullSafe): SQL MERGE/diff semantics
+    # use `=` (so does the DuckDB oracle), and — decisive at scale — a
+    # null-safe key disqualifies the join from bucketed-table co-location
+    # (measured: eqNullSafe keys on bucketBy(pk) snapshots plan 2
+    # exchanges, `=` keys plan ZERO).
     on = [F.col(f"p.{c}") == F.col(f"b.{c}") for c in pk_cols]
     joined = p.join(b, on, "full_outer")
 
-    # Presence flags: a PK column may legitimately be NULL only if the row
-    # is absent from that side (PKs are non-null by construction).
-    in_prod = F.col(f"p.{pk_cols[0]}").isNotNull()
-    in_backup = F.col(f"b.{pk_cols[0]}").isNotNull()
+    # Presence flags: the explicit marker is NULL exactly when the outer
+    # join found no row on that side — unlike the PK, which can also be
+    # NULL on a PRESENT row (the null-PK contract above).
+    in_prod = F.col("p.__pp").isNotNull()
+    in_backup = F.col("b.__bp").isNotNull()
     changed = ~_ns_eq(compare_cols)
 
     change = (
@@ -134,9 +137,14 @@ def snapshot_diff_fused(
     so each aggregate sees only its own side's rows. One shuffle of
     |prod|+|backup| rows, no sorts, map-side partial aggregation; the
     classification then runs on the aggregated pair exactly like
-    ``snapshot_diff``. (PKs are assumed non-null, as everywhere in the
-    diff; a null PK would group as a key here but never match in the
-    join form's ``=`` keys.)
+    ``snapshot_diff``.
+
+    NULL-PK contract — IDENTICAL to ``snapshot_diff``: a row with a NULL
+    PK never matches the other side and surfaces as an INSERT (prod) or
+    DELETE (backup). groupBy would otherwise pool NULL keys (SQL GROUP BY
+    treats NULLs as equal, the opposite of the join form's ``=`` keys),
+    so null-PK rows get a per-row unique grouping salt; both forms are
+    pinned equal on null-PK inputs by tests/test_diff.py.
 
     Output is identical to ``snapshot_diff`` (same columns, same
     semantics); measured ~15% faster end-to-end on the 15M-row/side dump
@@ -151,8 +159,16 @@ def snapshot_diff_fused(
         ]
 
     def tagged(df: DataFrame, is_prod: bool) -> DataFrame:
+        any_null = F.lit(False)
+        for c in pk_cols:
+            any_null = any_null | F.col(c).isNull()
         return df.select(
             *pk_cols,
+            # Unique per-row salt for null-PK rows so they never group
+            # together; 0 for well-keyed rows (the normal path is
+            # untouched — one constant column through the shuffle).
+            F.when(any_null, F.monotonically_increasing_id() + 1)
+            .otherwise(F.lit(0)).alias("__nullsalt"),
             F.struct(*[F.col(c) for c in compare_cols]).alias("__vals"),
             F.struct(*[F.col(c) for c in order_cols]).alias("__ord"),
             F.lit(is_prod).alias("__is_p"),
@@ -160,7 +176,7 @@ def snapshot_diff_fused(
 
     u = tagged(prod, True).unionByName(tagged(backup, False))
     is_p = F.col("__is_p")
-    agg = u.groupBy(*pk_cols).agg(
+    agg = u.groupBy(*pk_cols, "__nullsalt").agg(
         F.max_by(F.when(is_p, F.col("__vals")),
                  F.when(is_p, F.col("__ord"))).alias("__p"),
         F.max_by(F.when(~is_p, F.col("__vals")),
@@ -216,13 +232,15 @@ def scd2_history(
     if compare_cols is None:
         compare_cols = [c for c in prod.columns if c not in pk_cols]
 
-    p = prod.select(pk_cols + compare_cols).alias("p")
-    b = backup.select(pk_cols + compare_cols).alias("b")
+    p = prod.select(
+        *pk_cols, *compare_cols, F.lit(True).alias("__pp")).alias("p")
+    b = backup.select(
+        *pk_cols, *compare_cols, F.lit(True).alias("__bp")).alias("b")
     on = [F.col(f"p.{c}") == F.col(f"b.{c}") for c in pk_cols]  # see snapshot_diff
     joined = p.join(b, on, "full_outer")
 
-    in_prod = F.col(f"p.{pk_cols[0]}").isNotNull()
-    in_backup = F.col(f"b.{pk_cols[0]}").isNotNull()
+    in_prod = F.col("p.__pp").isNotNull()     # see snapshot_diff: presence
+    in_backup = F.col("b.__bp").isNotNull()   # markers, not PK null-ness
     changed = ~_ns_eq(compare_cols)
     change = (
         F.when(in_prod & ~in_backup, F.lit(INSERT))

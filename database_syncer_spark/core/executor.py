@@ -78,12 +78,23 @@ def apply_script_duckdb(
     return out
 
 
+#: Driver-side apply is only sane for modest volumes: the script is
+#: collect()ed and the whole backup table is toArrow()'d onto the driver.
+#: Above these bounds the change volume rivals the table and the right
+#: consumption is the distributed MERGE (apply_changes / foreachBatch) —
+#: the policy the module docstring states, enforced here.
+MAX_SCRIPT_STATEMENTS = 1_000_000
+MAX_BACKUP_ROWS = 10_000_000
+
+
 def sync_via_executor(
     spark: SparkSession,
     prod: DataFrame,
     backup: DataFrame,
     table: str,
     pk_cols: list[str],
+    max_script_statements: int = MAX_SCRIPT_STATEMENTS,
+    max_backup_rows: int = MAX_BACKUP_ROWS,
 ) -> DataFrame:
     """End-to-end: diff(prod, backup) -> ANSI sync script -> transactional
     DuckDB apply -> synced table as a Spark DataFrame (with the backup's
@@ -91,11 +102,20 @@ def sync_via_executor(
 
     The metamorphic contract ``apply(script(diff(P, B)), B) == P`` runs
     through a REAL sql engine here, not the DataFrame emulation.
-    """
-    from database_syncer_spark.core.diff import snapshot_diff
+
+    SIZE GATE: when the change volume or the backup table exceed the
+    driver-side bounds, the script path is skipped and the changes are
+    applied with the distributed MERGE emulation (``apply_changes``) —
+    same result, no driver residency. The counts reuse the diff/backup
+    plans Spark was about to execute anyway."""
+    from database_syncer_spark.core.diff import apply_changes, snapshot_diff
     from database_syncer_spark.core.script import generate_sync_script
 
     changes = snapshot_diff(prod, backup, pk_cols)
+    n_changes = changes.count()
+    if n_changes > max_script_statements or backup.count() > max_backup_rows:
+        merged = apply_changes(backup.select(*backup.columns), changes, pk_cols)
+        return merged.select(*backup.columns)
     script = generate_sync_script(changes, table, pk_cols, ident_quote='"')
     stmts = [r.statement for r in script.select("statement").collect()]
     synced = apply_script_duckdb(backup, table, stmts, pk_cols=pk_cols)

@@ -41,8 +41,19 @@ def brute_force_topk(embeddings: DataFrame, n_queries: int = 10,
     Rank on round(cosine, 6) with vec_id tie-break so ordering is stable
     across engines and shuffle orders. The dot/norm expressions are
     unrolled over ``dim`` (pipeline/vector.py) so the whole scan stays in
-    one whole-stage-codegen span."""
-    e = embeddings.select("vec_id", "embedding", V.norm("embedding", dim).alias("nrm"))
+    one whole-stage-codegen span.
+
+    A per-row assert_true guards ``size(embedding) == dim``: non-ANSI
+    GetArrayItem past the end returns NULL silently, so a wrong or
+    ragged dim would otherwise produce NULL norms and quietly drop
+    rows from every top-k (callers should pass
+    ``dim=multimodal.probe_dim(df)`` rather than hardcode)."""
+    dim_ok = F.assert_true(
+        F.size("embedding") == dim,
+        F.format_string("embedding dim != %d", F.lit(dim)))
+    e = embeddings.select(
+        "vec_id", "embedding",
+        F.when(dim_ok.isNull(), V.norm("embedding", dim)).alias("nrm"))
     q = (e.where(F.col("vec_id") < n_queries)
          .select(F.col("vec_id").alias("query_id"),
                  F.col("embedding").alias("q_emb"),

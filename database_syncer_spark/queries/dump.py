@@ -21,8 +21,9 @@ from database_syncer_spark.sources.dump import read_sql_dump, write_sql_dump
 _SLICE = 200  # o_orderkey < 200 at any sf
 
 
-#: bump when the dump rendering format changes — invalidates cached files
-_DUMP_FMT = "v2"
+#: bump when the dump rendering format OR any upstream derivation changes
+#: (e.g. derive_backup's synthetic-key scheme) — invalidates cached files
+_DUMP_FMT = "v3"
 
 
 

@@ -76,14 +76,19 @@ def dedup_corpus_keep(spark, sf_dir):
 
 
 def dedup_embedding_cosine(spark, sf_dir):
-    return D.embedding_near_dup(
-        load_table(spark, sf_dir, "embeddings"), threshold=0.5)
+    emb = load_table(spark, sf_dir, "embeddings")
+    return D.embedding_near_dup(emb, threshold=0.5, dim=M.probe_dim(emb))
 
 
 # --- similarity ----------------------------------------------------------------
+# dim is PROBED from the data (multimodal.probe_dim), never hardcoded: a
+# wrong dim makes non-ANSI GetArrayItem yield silent NULLs, and
+# brute_force_topk additionally assert_true-guards per row against
+# ragged columns.
 
 def sim_topk_cosine(spark, sf_dir):
-    return S.brute_force_topk(load_table(spark, sf_dir, "embeddings"))
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.brute_force_topk(emb, dim=M.probe_dim(emb))
 
 
 def sim_lsh_ann(spark, sf_dir):
@@ -92,17 +97,20 @@ def sim_lsh_ann(spark, sf_dir):
     but the recall rows are deterministic and driver-hashable (see
     S.ann_recall). Oracle pins the measured recall per corpus size."""
     emb = load_table(spark, sf_dir, "embeddings")
-    return S.ann_recall(emb, S.lsh_ann_topk(emb))
+    dim = M.probe_dim(emb)
+    return S.ann_recall(emb, S.lsh_ann_topk(emb, dim=dim), dim=dim)
 
 
 def sim_ivf_ann(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
-    return S.ann_recall(emb, S.ivf_ann_topk(emb))
+    dim = M.probe_dim(emb)
+    return S.ann_recall(emb, S.ivf_ann_topk(emb, dim=dim), dim=dim)
 
 
 def sim_pq_ann(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
-    return S.ann_recall(emb, S.pq_ann_topk(emb))
+    dim = M.probe_dim(emb)
+    return S.ann_recall(emb, S.pq_ann_topk(emb, dim=dim), dim=dim)
 
 
 # --- text analysis ---------------------------------------------------------------

@@ -33,7 +33,7 @@ from database_syncer_spark.streaming.queries import (
 #: stagings are keyed by path, so without a version token an edited
 #: derivation would silently serve the previous round's staged data
 #: (same hazard the dump cache solves with _DUMP_FMT, queries/dump.py).
-_STAGE_FMT = "v2"
+_STAGE_FMT = "v3"
 
 
 def stream_tumbling_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -93,7 +93,7 @@ def stream_stateful_custom(spark: SparkSession, sf_dir: str) -> DataFrame:
     staged = spark.read.parquet(src)
     sink = run_stream_to_memory(
         spark, src, staged.schema, running_user_profile,
-        f"dss_stateful_{tag}", output_mode="update",
+        f"dss_stateful_{tag}", output_mode="update", shuffle_partitions=4,
     )
     # update-mode sink holds one row per (user, batch); the final state is
     # the row with the greatest running count.
@@ -135,7 +135,7 @@ def stream_transform_with_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     try:
         sink = run_stream_to_memory(
             spark, src, staged.schema, user_type_profile_tws,
-            f"dss_tws_{tag}", output_mode="update",
+            f"dss_tws_{tag}", output_mode="update", shuffle_partitions=4,
         )
     finally:
         if prev is None:
@@ -198,7 +198,7 @@ def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return run_stream_to_memory(
         spark, src, staged.schema, shape, f"dss_ssj_{tag}",
-        output_mode="complete",
+        output_mode="complete", shuffle_partitions=4,
     )
 
 
@@ -218,14 +218,21 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     were silently dropped that way (correct streaming semantics, wrong
     replay harness). Ordered quantile files keep the watermark
     monotonic, and the 30-minute delay comfortably covers the ±10-min
-    band across file boundaries."""
+    band across file boundaries.
+
+    Only click/purchase rows are staged: other event types never join
+    and only ever advanced the watermark (which the ordered staging
+    already keeps monotonic) — at scale this is the filter pushed down
+    to the sources; here it also cuts the replayed state volume."""
     from database_syncer_spark.streaming.runner import (
         run_stream_to_memory, stage_as_stream_source_ordered)
 
-    events = load_table(spark, sf_dir, "events")
+    events = load_table(spark, sf_dir, "events").where(
+        F.col("event_type").isin("click", "purchase"))
     tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
     src = stage_as_stream_source_ordered(
-        events, os.path.join(tempfile.gettempdir(), f"dss_ssj2_src_{_STAGE_FMT}_{tag}"),
+        events,
+        os.path.join(tempfile.gettempdir(), f"dss_ssj2cp_src_{_STAGE_FMT}_{tag}"),
         3, reuse=True)
     staged = spark.read.parquet(src)
 
@@ -254,7 +261,7 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return run_stream_to_memory(
         spark, src, staged.schema, shape, f"dss_ssj2_{tag}",
-        output_mode="append",
+        output_mode="append", shuffle_partitions=4,
     )
 
 

@@ -13,6 +13,27 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+def _staging_complete(path: str, n_files: int) -> bool:
+    return (os.path.exists(os.path.join(path, "_SUCCESS"))
+            and sum(f.endswith(".parquet")
+                    for f in os.listdir(path)) == n_files)
+
+
+def _publish_staging(tmp: str, path: str, n_files: int) -> str:
+    """Atomically move a finished staging dir into place (mirrors the
+    dump cache's tmp+os.replace pattern — ADVICE r2: fixed-path rmtree
+    plus in-place write let one process delete or half-read a staging
+    another process was still writing). os.rename fails if ``path``
+    appeared concurrently; accept the winner's copy if it is complete."""
+    try:
+        os.rename(tmp, path)
+    except OSError:
+        if not _staging_complete(path, n_files):
+            raise
+        shutil.rmtree(tmp, ignore_errors=True)
+    return path
+
+
 def stage_as_stream_source(df: DataFrame, path: str, n_files: int = 5,
                            reuse: bool = False) -> str:
     """Write a DataFrame as N parquet files for file-by-file stream replay
@@ -23,16 +44,15 @@ def stage_as_stream_source(df: DataFrame, path: str, n_files: int = 5,
     — callers whose ``df`` is a pure function of an immutable fixture
     (the driver's correctness keys) pay the staging job once per machine
     instead of once per call. Pass ``reuse=False`` (default) whenever the
-    input can change between calls."""
+    input can change between calls. Writes land in a unique temp dir and
+    are renamed into place, so concurrent stagers race safely."""
     if os.path.exists(path):
-        if (reuse
-                and os.path.exists(os.path.join(path, "_SUCCESS"))
-                and sum(f.endswith(".parquet")
-                        for f in os.listdir(path)) == n_files):
+        if reuse and _staging_complete(path, n_files):
             return path
         shutil.rmtree(path)
-    df.repartition(n_files).write.parquet(path)
-    return path
+    tmp = f"{path}.tmp{os.getpid()}"
+    df.repartition(n_files).write.mode("overwrite").parquet(tmp)
+    return _publish_staging(tmp, path, n_files)
 
 
 def stage_as_stream_source_ordered(df: DataFrame, path: str, n_files: int = 5,
@@ -41,24 +61,25 @@ def stage_as_stream_source_ordered(df: DataFrame, path: str, n_files: int = 5,
     """Stage N files in EVENT-TIME order (file i holds the i-th time
     quantile, written sequentially so the file source replays them in
     arrival order). Required for watermark tests: with out-of-order
-    replay a watermark legitimately drops late rows. ``reuse`` as in
-    :func:`stage_as_stream_source` (each sequential append leaves one
-    part file, so the file count check holds here too)."""
+    replay a watermark legitimately drops late rows. ``reuse`` and the
+    atomic tmp+rename publish as in :func:`stage_as_stream_source`
+    (each sequential append leaves one part file, so the file count
+    check holds here too)."""
     from pyspark.sql import Window as W
 
     if os.path.exists(path):
-        if (reuse
-                and os.path.exists(os.path.join(path, "_SUCCESS"))
-                and sum(f.endswith(".parquet")
-                        for f in os.listdir(path)) == n_files):
+        if reuse and _staging_complete(path, n_files):
             return path
         shutil.rmtree(path)
+    tmp = f"{path}.tmp{os.getpid()}"
+    if os.path.exists(tmp):
+        shutil.rmtree(tmp)
     chunked = df.withColumn(
         "__chunk", F.ntile(n_files).over(W.orderBy(order_col)))
     for i in range(1, n_files + 1):
         (chunked.where(F.col("__chunk") == i).drop("__chunk")
-         .coalesce(1).write.mode("append").parquet(path))
-    return path
+         .coalesce(1).write.mode("append").parquet(tmp))
+    return _publish_staging(tmp, path, n_files)
 
 
 def run_stream_to_memory(
@@ -69,21 +90,37 @@ def run_stream_to_memory(
     query_name: str,
     output_mode: str = "complete",
     max_files_per_trigger: int = 1,
+    shuffle_partitions: int | None = None,
 ) -> DataFrame:
     """Replay a staged parquet dir through ``shape`` as a real streaming
-    query (memory sink), synchronously to completion; return the sink."""
+    query (memory sink), synchronously to completion; return the sink.
+
+    ``shuffle_partitions``: stateful operators build one state-store
+    instance PER shuffle partition PER micro-batch; replaying a tiny
+    fixture with the session's batch-tuned partition count (32 on the
+    bench host) pays 32x the state-store maintenance for no parallelism.
+    The override is applied for the query's planning only and restored
+    immediately (streaming queries pin their partitioning at start)."""
     stream = (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", max_files_per_trigger)
         .parquet(source_path)
     )
-    q = (
-        shape(stream)
-        .writeStream.outputMode(output_mode)
-        .format("memory")
-        .queryName(query_name)
-        .start()
-    )
+    conf_key = "spark.sql.shuffle.partitions"
+    prev = spark.conf.get(conf_key)
+    if shuffle_partitions is not None:
+        spark.conf.set(conf_key, str(shuffle_partitions))
+    try:
+        q = (
+            shape(stream)
+            .writeStream.outputMode(output_mode)
+            .format("memory")
+            .queryName(query_name)
+            .start()
+        )
+    finally:
+        if shuffle_partitions is not None:
+            spark.conf.set(conf_key, prev)
     try:
         q.processAllAvailable()
     finally:

@@ -9,7 +9,7 @@ from database_syncer_spark.core.diff import (
     DELETE, INSERT, UPDATE, apply_changes, catalog_diff, snapshot_diff,
 )
 from database_syncer_spark.core.script import assemble_script, generate_sync_script
-from database_syncer_spark.core.snapshots import NEW_PK_OFFSET, derive_backup
+from database_syncer_spark.core.snapshots import derive_backup
 
 
 def _pair(spark, sf_dir):
@@ -34,7 +34,8 @@ def test_diff_classification_counts(spark, sf_dir):
     n_update = prod.where(
         (F.col("o_orderkey") % 10 == 3) & (F.col("o_orderkey") % 20 != 0)
     ).count()
-    n_delete = prod.where(F.col("o_orderkey") % 25 == 0).count()
+    n_delete = prod.where(
+        (F.col("o_orderkey") % 25 == 0) & (F.col("o_orderkey") > 0)).count()
     assert by_type.get(INSERT, 0) == n_insert
     assert by_type.get(UPDATE, 0) == n_update
     assert by_type.get(DELETE, 0) == n_delete
@@ -66,7 +67,19 @@ def test_delete_rows_carry_preimage(spark, sf_dir):
     changes = snapshot_diff(prod, backup, ["o_orderkey"])
     deleted = changes.where(F.col("change_type") == DELETE)
     assert deleted.where(F.col("o_totalprice").isNull()).count() == 0
-    assert deleted.where(F.col("o_orderkey") < NEW_PK_OFFSET).count() == 0
+    # deletes are exactly the synthetic (negated-key) extras
+    assert deleted.where(F.col("o_orderkey") >= 0).count() == 0
+
+
+def test_synthetic_backup_keys_never_collide(spark, sf_dir):
+    """The derived backup's synthetic extras must be disjoint from real
+    fixture keys AT ANY SCALE — the +offset scheme this replaced broke
+    once real keys outgrew the offset (≥ ~30M-row runs)."""
+    prod, backup = _pair(spark, sf_dir)
+    extras = backup.join(prod.select("o_orderkey"), "o_orderkey", "left_anti")
+    assert extras.count() > 0
+    assert extras.where(F.col("o_orderkey") >= 0).count() == 0
+    assert prod.where(F.col("o_orderkey") < 0).count() == 0
 
 
 def test_sync_script_shape(spark, sf_dir):
@@ -125,6 +138,25 @@ def test_executor_roundtrip(spark, sf_dir):
 
     prod, backup = _pair(spark, sf_dir)
     synced = sync_via_executor(spark, prod, backup, "orders", ["o_orderkey"])
+    assert synced.exceptAll(prod).count() == 0
+    assert prod.exceptAll(synced).count() == 0
+
+
+def test_executor_size_gate_routes_to_distributed_merge(
+        spark, sf_dir, monkeypatch):
+    """Above the driver-residency bounds, sync_via_executor must SKIP the
+    script/DuckDB path (the backup wouldn't fit on the driver at scale)
+    and apply the changes with the distributed MERGE — same result."""
+    from database_syncer_spark.core import executor
+
+    def boom(*a, **k):  # the gate must prevent this from being reached
+        raise AssertionError("driver-side script apply above the size gate")
+
+    monkeypatch.setattr(executor, "apply_script_duckdb", boom)
+    prod, backup = _pair(spark, sf_dir)
+    synced = executor.sync_via_executor(
+        spark, prod, backup, "orders", ["o_orderkey"],
+        max_script_statements=10)
     assert synced.exceptAll(prod).count() == 0
     assert prod.exceptAll(synced).count() == 0
 
@@ -237,6 +269,36 @@ def test_fused_diff_matches_unfused(spark):
     # NULL == NULL is unchanged (id=3), identical rows drop out (id=4)
     got = {(r.id, r.change_type) for r in fused.collect()}
     assert got == {(1, "UPDATE"), (5, "INSERT"), (6, "DELETE")}
+
+
+def test_null_pk_semantics_identical_in_both_diff_forms(spark):
+    """The pinned NULL-PK contract (core/diff.py): a NULL-PK row never
+    matches the other side in EITHER diff form — it surfaces as INSERT
+    (prod side) or DELETE (backup side), even when both sides carry a
+    null-PK row with identical values. snapshot_diff_fused used to pool
+    NULL keys via groupBy (SQL GROUP BY equality) while the join form's
+    `=` keys never matched them; the fused form now salts null keys."""
+    from database_syncer_spark.core.diff import snapshot_diff, snapshot_diff_fused
+
+    prod = spark.createDataFrame(
+        [(None, 0, "x"), (None, 0, "y"), (1, 0, "a")],
+        "id int, __seq int, val string")
+    backup = spark.createDataFrame(
+        [(None, 0, "x"), (1, 0, "a-old")],
+        "id int, __seq int, val string")
+
+    join_form = snapshot_diff(
+        prod.drop("__seq"), backup.drop("__seq"), ["id"])
+    fused_form = snapshot_diff_fused(prod, backup, ["id"],
+                                     order_cols=["__seq"])
+    expect = sorted([
+        (None, "INSERT", "x"), (None, "INSERT", "y"),
+        (None, "DELETE", "x"), (1, "UPDATE", "a"),
+    ], key=str)
+    for form in (join_form, fused_form):
+        got = sorted([(r.id, r.change_type, r.val) for r in form.collect()],
+                     key=str)
+        assert got == expect, got
 
 
 def test_scd2_history_semantics(spark):
