@@ -16,9 +16,22 @@ is a storage property — pick it once per table from target bucket size
 from __future__ import annotations
 
 import os
+import re
 import shutil
 
 from pyspark.sql import DataFrame, SparkSession
+
+#: Table names are interpolated into SQL and mapped to warehouse paths
+#: that get rmtree'd — restrict to plain identifiers so an unexpected
+#: string can't become SQL or a path traversal (ADVICE r2).
+_IDENT = re.compile(r"^\w+$")
+
+
+def _check_ident(table: str) -> str:
+    if not _IDENT.match(table):
+        raise ValueError(
+            f"bucketed snapshot table name must match \\w+: {table!r}")
+    return table
 
 
 def _clear_stale_location(spark: SparkSession, table: str) -> None:
@@ -41,8 +54,13 @@ def write_bucketed_snapshot(df: DataFrame, table: str, pk_cols: list[str],
                             n_buckets: int) -> DataFrame:
     """Persist a snapshot bucketed (and sorted) by PK as a managed
     parquet table; returns the re-read table whose scan carries the
-    bucketing metadata Catalyst needs to elide the diff shuffle."""
+    bucketing metadata Catalyst needs to elide the diff shuffle.
+
+    Single-driver assumption: the managed-table location is derived from
+    the table name, so two concurrent sessions sharing one warehouse dir
+    must use distinct table names (the query keys embed the sf tag)."""
     spark = df.sparkSession
+    _check_ident(table)
     spark.sql(f"DROP TABLE IF EXISTS {table}")
     _clear_stale_location(spark, table)
     (df.write.mode("overwrite")
@@ -54,4 +72,4 @@ def write_bucketed_snapshot(df: DataFrame, table: str, pk_cols: list[str],
 
 
 def drop_snapshot(spark: SparkSession, table: str) -> None:
-    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    spark.sql(f"DROP TABLE IF EXISTS {_check_ident(table)}")

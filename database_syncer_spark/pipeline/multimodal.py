@@ -77,6 +77,25 @@ def probe_dim(embeddings: DataFrame, col: str = "embedding") -> int:
     return int(row["d"])
 
 
+def check_dim(embeddings: DataFrame, col: str = "embedding") -> int:
+    """Probe AND validate: returns the corpus dim after one cheap
+    aggregate proves every row agrees (min(size) == max(size)). A ragged
+    corpus raises here, at plan-build time, instead of silently NULLing
+    norms downstream — and the validation lives OUTSIDE the hot kernels,
+    whose unrolled expressions stay in whole-stage codegen (a per-row
+    assert_true in the norm projection measured +25% on the sf0.1
+    brute-force scan). One size-only columnar scan, no data movement."""
+    row = embeddings.select(
+        F.min(F.size(col)).alias("lo"), F.max(F.size(col)).alias("hi")).first()
+    if row is None or row["lo"] is None:
+        raise ValueError(f"cannot probe embedding dim from column {col!r}")
+    if row["lo"] != row["hi"] or row["lo"] <= 0:
+        raise ValueError(
+            f"ragged embedding dim in column {col!r}: "
+            f"size ranges {row['lo']}..{row['hi']}")
+    return int(row["lo"])
+
+
 def multimodal_join(documents: DataFrame, embeddings: DataFrame,
                     dim: int | None = None) -> DataFrame:
     """Mixed text + vector + scalar table: documents ⋈ embeddings with

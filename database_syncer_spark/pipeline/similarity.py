@@ -43,17 +43,15 @@ def brute_force_topk(embeddings: DataFrame, n_queries: int = 10,
     unrolled over ``dim`` (pipeline/vector.py) so the whole scan stays in
     one whole-stage-codegen span.
 
-    A per-row assert_true guards ``size(embedding) == dim``: non-ANSI
-    GetArrayItem past the end returns NULL silently, so a wrong or
-    ragged dim would otherwise produce NULL norms and quietly drop
-    rows from every top-k (callers should pass
-    ``dim=multimodal.probe_dim(df)`` rather than hardcode)."""
-    dim_ok = F.assert_true(
-        F.size("embedding") == dim,
-        F.format_string("embedding dim != %d", F.lit(dim)))
+    Callers should pass ``dim=multimodal.check_dim(df)`` rather than
+    hardcode: non-ANSI GetArrayItem past the end returns NULL silently,
+    so a wrong or ragged dim would otherwise produce NULL norms and
+    quietly drop rows from every top-k. Validation deliberately lives in
+    check_dim (one size-only aggregate), NOT as a per-row assert in this
+    projection — an assert_true here measured +25% by dragging the scan
+    out of whole-stage codegen."""
     e = embeddings.select(
-        "vec_id", "embedding",
-        F.when(dim_ok.isNull(), V.norm("embedding", dim)).alias("nrm"))
+        "vec_id", "embedding", V.norm("embedding", dim).alias("nrm"))
     q = (e.where(F.col("vec_id") < n_queries)
          .select(F.col("vec_id").alias("query_id"),
                  F.col("embedding").alias("q_emb"),

@@ -77,18 +77,30 @@ def dedup_corpus_keep(spark, sf_dir):
 
 def dedup_embedding_cosine(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
-    return D.embedding_near_dup(emb, threshold=0.5, dim=M.probe_dim(emb))
+    return D.embedding_near_dup(emb, threshold=0.5,
+                                dim=_emb_dim(sf_dir, emb))
 
 
 # --- similarity ----------------------------------------------------------------
-# dim is PROBED from the data (multimodal.probe_dim), never hardcoded: a
-# wrong dim makes non-ANSI GetArrayItem yield silent NULLs, and
-# brute_force_topk additionally assert_true-guards per row against
-# ragged columns.
+# dim is PROBED AND VALIDATED from the data (multimodal.check_dim: one
+# size-only aggregate proving the corpus is non-ragged), never
+# hardcoded — a wrong dim makes non-ANSI GetArrayItem yield silent
+# NULLs. Validation stays out of the hot kernels so they keep
+# whole-stage codegen, and is cached per fixture dir (dim is a table
+# property; the read-only fixtures never change within a process).
+
+_DIM_CACHE: dict[str, int] = {}
+
+
+def _emb_dim(sf_dir: str, emb) -> int:
+    if sf_dir not in _DIM_CACHE:
+        _DIM_CACHE[sf_dir] = M.check_dim(emb)
+    return _DIM_CACHE[sf_dir]
+
 
 def sim_topk_cosine(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
-    return S.brute_force_topk(emb, dim=M.probe_dim(emb))
+    return S.brute_force_topk(emb, dim=_emb_dim(sf_dir, emb))
 
 
 def sim_lsh_ann(spark, sf_dir):
@@ -97,19 +109,19 @@ def sim_lsh_ann(spark, sf_dir):
     but the recall rows are deterministic and driver-hashable (see
     S.ann_recall). Oracle pins the measured recall per corpus size."""
     emb = load_table(spark, sf_dir, "embeddings")
-    dim = M.probe_dim(emb)
+    dim = _emb_dim(sf_dir, emb)
     return S.ann_recall(emb, S.lsh_ann_topk(emb, dim=dim), dim=dim)
 
 
 def sim_ivf_ann(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
-    dim = M.probe_dim(emb)
+    dim = _emb_dim(sf_dir, emb)
     return S.ann_recall(emb, S.ivf_ann_topk(emb, dim=dim), dim=dim)
 
 
 def sim_pq_ann(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
-    dim = M.probe_dim(emb)
+    dim = _emb_dim(sf_dir, emb)
     return S.ann_recall(emb, S.pq_ann_topk(emb, dim=dim), dim=dim)
 
 

@@ -91,9 +91,12 @@ def stream_stateful_custom(spark: SparkSession, sf_dir: str) -> DataFrame:
         events, os.path.join(tempfile.gettempdir(), f"dss_stateful_src_{_STAGE_FMT}_{tag}"),
         3, reuse=True)
     staged = spark.read.parquet(src)
+    # 8 partitions: enough parallelism for the per-batch shuffle at
+    # bench sf (the state itself is ~150 user keys), an out-of-the-box
+    # 4x cut in per-batch state-store instances vs the session's 32.
     sink = run_stream_to_memory(
         spark, src, staged.schema, running_user_profile,
-        f"dss_stateful_{tag}", output_mode="update", shuffle_partitions=4,
+        f"dss_stateful_{tag}", output_mode="update", shuffle_partitions=8,
     )
     # update-mode sink holds one row per (user, batch); the final state is
     # the row with the greatest running count.
@@ -135,7 +138,7 @@ def stream_transform_with_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     try:
         sink = run_stream_to_memory(
             spark, src, staged.schema, user_type_profile_tws,
-            f"dss_tws_{tag}", output_mode="update", shuffle_partitions=4,
+            f"dss_tws_{tag}", output_mode="update", shuffle_partitions=8,
         )
     finally:
         if prev is None:

@@ -34,22 +34,25 @@ _MODULES = [
 # REGENERATE after each round's CORRECTNESS lands (see the memory note /
 # the generator snippet in git history, commit 5889b8b).
 _KEY_ORDER = [
-    # --- no green driver row after r2, cheapest-first (sf0.01 sec) ---
-    "tpch_q12_priority_classes",   # 0.33  r1-fail, fixed in r2
-    "agg_mode_histogram",          # 0.36  r1-fail, fixed in r2
-    "scan_sql_dump_composite",     # 0.54  r2 hash-fail, boundary cast r3
-    "sink_sync_script",            # 0.66  r1-fail, fixed in r2
-    "diff_bucketed_zeroshuffle",   # 1.03  never checked
-    "sync_catalog_ddl",            # 2.21  never checked
-    "sink_merge_executor",         # 2.23  never checked
-    "stream_transform_with_state", # 3.17  never checked
-    "dedup_corpus_keep",           # 3.18  never checked
-    "stream_stateful_custom",      # 3.27  never checked
-    "sim_pq_ann",                  # 3.39  never checked
-    "dedup_cluster_components",    # 3.42  never checked
-    "sim_ivf_ann",                 # 3.65  never checked
-    "sim_lsh_ann",                 # 5.71  never checked
-    "stream_stream_join",          # 11.3  never checked (trimmed r3)
+    # --- no green driver row after r2: the 4 fail-then-fixed keys lead
+    # (highest correctness value), then never-checked cheapest-first by
+    # the r3 profile (sf0.01 sec, Spark+oracle, cold caches; the first
+    # key's figure carries JVM warmup, true warm cost ~0.3s) ---
+    "tpch_q12_priority_classes",   # 4.96* r1-fail, fixed r2 (*warmup)
+    "agg_mode_histogram",          # 1.37  r1-fail, fixed in r2
+    "scan_sql_dump_composite",     # 4.28  r2 hash-fail, boundary cast r3
+    "sink_sync_script",            # 1.67  r1-fail, fixed in r2
+    "sink_merge_executor",         # 1.97  never checked (sliced r3)
+    "diff_bucketed_zeroshuffle",   # 2.25  never checked
+    "stream_stateful_custom",      # 2.42  never checked
+    "sync_catalog_ddl",            # 2.73  never checked
+    "stream_transform_with_state", # 3.98  never checked
+    "stream_stream_join",          # 5.07  never checked (trimmed r3)
+    "dedup_cluster_components",    # 6.44  never checked
+    "sim_ivf_ann",                 # 7.26  never checked (recall oracle r3)
+    "sim_lsh_ann",                 # 7.39  never checked (recall oracle r3)
+    "dedup_corpus_keep",           # 7.47  never checked
+    "sim_pq_ann",                  # 12.2  never checked (recall oracle r3)
     # --- driver-green in r1, least-recently verified — refresh ---
     "diff_cdc_fullouter", "diff_composite_pk", "diff_stats_by_type",
     "diff_scd2_history", "win_row_number_dedup", "sink_cdc_table",

@@ -349,19 +349,20 @@ def test_pq_ann_recall_and_compression(spark, sf_dir):
 
 
 def test_dim_probed_not_hardcoded_and_ragged_fails_loudly(spark):
-    """A non-64-dim corpus must WORK (dim is probed from the data), and a
-    ragged corpus must FAIL LOUDLY — silent NULL norms from out-of-range
-    GetArrayItem were a landmine for any real corpus (ADVICE r2)."""
+    """A non-64-dim corpus must WORK (dim is probed+validated from the
+    data, multimodal.check_dim), and a ragged corpus must FAIL LOUDLY at
+    plan-build time — silent NULL norms from out-of-range GetArrayItem
+    were a landmine for any real corpus (ADVICE r2)."""
     import pytest as _pytest
 
-    from database_syncer_spark.pipeline.multimodal import probe_dim
+    from database_syncer_spark.pipeline.multimodal import check_dim
     from database_syncer_spark.pipeline.similarity import brute_force_topk
 
     # dim=4 corpus: e1 is closest to q=vec 0, e3 orthogonal.
     rows = [(0, [1.0, 0.0, 0.0, 0.0]), (1, [0.9, 0.1, 0.0, 0.0]),
             (2, [0.5, 0.5, 0.0, 0.0]), (3, [0.0, 0.0, 1.0, 0.0])]
     emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
-    dim = probe_dim(emb)
+    dim = check_dim(emb)
     assert dim == 4
     top = brute_force_topk(emb, n_queries=1, k=3, dim=dim).collect()
     assert [r.neighbor_id for r in top] == [1, 2, 3]
@@ -370,6 +371,5 @@ def test_dim_probed_not_hardcoded_and_ragged_fails_loudly(spark):
     ragged = spark.createDataFrame(
         [(0, [1.0, 0.0, 0.0, 0.0]), (1, [1.0, 0.0])],
         "vec_id long, embedding array<float>")
-    with _pytest.raises(Exception, match="dim"):
-        brute_force_topk(ragged, n_queries=1, k=1,
-                         dim=probe_dim(ragged)).collect()
+    with _pytest.raises(ValueError, match="ragged"):
+        check_dim(ragged)
