@@ -1,13 +1,14 @@
 """LLM-pipeline + UDF/UDTF query keys (SURVEY.md §2 B10, B11).
 
-Engine-specific keys (xxhash64 families, hyperplane buckets, learned
-profiles) are still value-checked where honestly possible: minhash rides
-the exact inverted-index SQL (its LSH recall is verified total on the
-fixtures), simhash and the ANN recall keys pin their deterministic
+Every key is value-checked, including the engine-specific ones
+(xxhash64 families, hyperplane buckets, learned profiles), each by the
+honest route available: minhash rides the exact inverted-index SQL (its
+LSH recall is verified total on the fixtures), text_langid's n-gram
+classifier is recomputed from scratch in DuckDB (pure relational
+algebra), simhash and the ANN recall keys pin their deterministic
 measured outputs per corpus fingerprint, and every such key's SEMANTICS
 are additionally pinned by tests/test_pipeline.py against brute-force
-references. Only text_langid remains rows-only (learned-model
-predictions have no meaningful engine-independent oracle).
+references.
 """
 
 from __future__ import annotations
@@ -250,7 +251,7 @@ QUERIES = {
     "text_quality_score": text_quality_score,
     "text_token_count": text_token_count,
     "text_fingerprint": text_fingerprint,
-    "text_langid": text_langid,                  # rows-only (learned profiles)
+    "text_langid": text_langid,                  # exact-SQL oracle
     "text_tfidf_topk": text_tfidf_topk,
     "multimodal_columns": multimodal_columns,
     "multimodal_decode": multimodal_decode,
@@ -435,7 +436,40 @@ _PQ_RECALL_SQL = _ann_recall_sql(
     [7, 8, 9, 9, 7, 8, 8, 9, 9, 7], [9, 8, 6, 9, 9, 6, 8, 8, 8, 7])
 
 
+# text_langid oracle: the n-gram classifier is EXACT relational algebra
+# end to end (distinct char-bigrams of the first 200 chars -> per-lang
+# top-40 by document frequency with (df desc, bg) tie-break -> overlap
+# argmax with (overlap desc, lang) tie-break), so DuckDB recomputes the
+# identical predictions from scratch — a fully honest oracle, no pins.
+_LANGID_SQL = """
+WITH t AS (SELECT doc_id, lang, substring(text, 1, 200) AS t200
+           FROM documents),
+bg AS (SELECT doc_id, lang,
+         list_distinct(list_transform(
+           generate_series(1, greatest(length(t200) - 1, 1)),
+           i -> substring(t200, CAST(i AS INT), 2))) AS bgs
+       FROM t),
+dfx AS (SELECT lang, bg2 AS bg, count(*) AS df
+        FROM (SELECT lang, unnest(bgs) AS bg2 FROM bg)
+        GROUP BY lang, bg2),
+prof AS (SELECT lang AS cand_lang, list(bg) AS profile FROM (
+           SELECT lang, bg,
+                  row_number() OVER (PARTITION BY lang
+                                     ORDER BY df DESC, bg) AS rk
+           FROM dfx) WHERE rk <= 40 GROUP BY lang),
+scored AS (SELECT b.doc_id, b.lang, p.cand_lang,
+             len(list_intersect(b.bgs, p.profile)) AS overlap
+           FROM bg b CROSS JOIN prof p)
+SELECT doc_id, lang AS true_lang, cand_lang AS pred_lang,
+       CAST(overlap AS INT) AS overlap
+FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+                                   ORDER BY overlap DESC, cand_lang) AS rk
+      FROM scored) WHERE rk = 1
+"""
+
+
 ORACLES = {
+    "text_langid": _LANGID_SQL,
     "dedup_minhash_lsh": _MINHASH_SQL,
     "dedup_simhash": _simhash_sql(),
     "sim_lsh_ann": _LSH_RECALL_SQL,
