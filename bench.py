@@ -63,6 +63,7 @@ SECONDARY = [
     "sim_ivf_ann",                 # IVF cells + re-rank
     "sink_merge_executor",         # script apply through DuckDB
     "sim_pq_ann",                  # PQ codebooks + ADC scan + re-rank
+    "sim_ivfpq_ann",               # composed IVF-PQ (probe + ADC + re-rank)
     "stream_stream_join",          # watermarked stream-stream join replay
     "dedup_corpus_keep",           # exact + near-dup + components keep-list
 ]

@@ -339,6 +339,14 @@ def pq_ann_topk(embeddings: DataFrame, n_queries: int = 10, k: int = 10,
 
     scored = coded.mapInPandas(score, out_schema).where(
         F.col("vec_id") != F.col("query_id"))
+    return _exact_rerank(embeddings, scored, n_queries, k, refine, dim)
+
+
+def _exact_rerank(embeddings: DataFrame, scored: DataFrame, n_queries: int,
+                  k: int, refine: int, dim: int) -> DataFrame:
+    """Shared ADC tail: global top refine·k by approximate score, then
+    exact cosine re-rank against the full vectors (schema matches
+    brute_force_topk)."""
     w_adc = W.partitionBy("query_id").orderBy(
         F.col("adc").desc(), F.col("vec_id"))
     cands = (scored.withColumn("__r", F.row_number().over(w_adc))
@@ -362,6 +370,98 @@ def pq_ann_topk(embeddings: DataFrame, n_queries: int = 10, k: int = 10,
         .withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
     )
+
+
+def ivfpq_ann_topk(embeddings: DataFrame, n_queries: int = 10, k: int = 10,
+                   n_cells: int = 16, n_probe: int = 4, m: int = 8,
+                   dim: int = 64, k_sub: int = 16,
+                   refine: int = 8) -> DataFrame:
+    """IVF-PQ: the composed 100-TB serving shape — IVF prunes WHICH rows
+    are scanned (each query touches n_probe/n_cells of the corpus; at
+    rest the code table partitions by cell so the pruning happens at the
+    parquet scan), PQ compresses WHAT is scanned (m uint8 codes per row,
+    ADC lookups instead of dim multiplies), and the survivors re-rank
+    exactly against the full vectors. Reuses the IVF trainer/assigner
+    and the PQ codebooks/ADC scorer of the standalone paths; the only
+    new piece is the per-query cell mask inside the scan.
+
+    Model state: C×dim centroids + m×k_sub×(dim/m) codebooks + the Q×C
+    probe mask — all driver/broadcast scale. Determinism: every
+    assignment and score rounds to 9 dp like the parent paths, so the
+    recall rows are partition-independent and driver-pinnable."""
+    import numpy as np
+    import pandas as pd
+
+    if dim % m:
+        raise ValueError(f"dim={dim} not divisible by m={m}")
+    centroids = train_ivf_centroids(embeddings, n_cells=n_cells, dim=dim)
+    books = train_pq_codebooks(embeddings, m=m, dim=dim, k_sub=k_sub)
+    coded = (_with_pq_codes(
+        _with_probe_cells(
+            embeddings.select("vec_id", "embedding"), centroids, n_probe=1),
+        books, m, dim)
+        .select("vec_id", F.col("probe_cells")[0].alias("cell"), "pq_codes"))
+
+    d_sub = dim // m
+    qrows = (embeddings.where(F.col("vec_id") < n_queries)
+             .select("vec_id", "embedding").collect())
+    qarr = np.asarray([int(r.vec_id) for r in qrows])
+    qmat = np.stack([_normalize([float(v) for v in r.embedding])
+                     for r in qrows])            # Q × dim
+    # Per-query probed cells: same rounded-argmax math as
+    # _with_probe_cells, driver-side (Q rows of model-state work).
+    cmat = np.asarray(centroids, dtype=np.float64).T
+    qdots = np.round(qmat @ cmat, 9)             # Q × C
+    order = np.argsort(-qdots, axis=1, kind="stable")[:, :n_probe]
+    probe_ok = np.zeros((len(qarr), len(centroids)), dtype=bool)
+    np.put_along_axis(probe_ok, order, True, axis=1)  # Q × C mask
+    lut = np.stack([
+        qmat[:, s * d_sub:(s + 1) * d_sub]
+        @ np.asarray(books[s], dtype=np.float64).T
+        for s in range(m)], axis=1)              # Q × m × k_sub
+
+    from pyspark.sql import types as T
+    out_schema = T.StructType([
+        T.StructField("query_id", T.LongType()),
+        T.StructField("vec_id", T.LongType()),
+        T.StructField("adc", T.DoubleType()),
+    ])
+    keep = refine * k
+
+    def score(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            codes = np.stack(pdf["pq_codes"].to_numpy())    # B × m
+            approx = np.round(
+                lut[:, np.arange(m)[None, :], codes].sum(axis=2), 9)
+            # IVF mask: a row only competes for queries that probe its
+            # cell (this is the at-rest partition pruning, expressed as
+            # a mask because the local fixture is one unpartitioned
+            # file). Self-matches masked before the prune as in PQ.
+            cells = pdf["cell"].to_numpy()
+            approx[~probe_ok[:, cells]] = -np.inf
+            approx[np.equal.outer(qarr, pdf["vec_id"].to_numpy())] = -np.inf
+            nq, nb = approx.shape
+            vids = pdf["vec_id"].to_numpy()
+            if nb > keep:
+                idx = np.argpartition(-approx, keep - 1, axis=1)[:, :keep]
+                yield pd.DataFrame({
+                    "query_id": np.repeat(qarr, keep),
+                    "vec_id": vids[idx].reshape(-1),
+                    "adc": np.take_along_axis(approx, idx, axis=1).reshape(-1),
+                })
+            else:
+                yield pd.DataFrame({
+                    "query_id": np.repeat(qarr, nb),
+                    "vec_id": np.tile(vids, nq),
+                    "adc": approx.reshape(-1),
+                })
+
+    scored = (coded.mapInPandas(score, out_schema)
+              .where(F.col("vec_id") != F.col("query_id"))
+              .where(F.col("adc") != F.lit(float("-inf"))))
+    return _exact_rerank(embeddings, scored, n_queries, k, refine, dim)
 
 
 def _with_probe_cells(df: DataFrame, centroids: list[list[float]],

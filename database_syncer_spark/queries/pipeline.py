@@ -131,6 +131,15 @@ def sim_pq_ann(spark, sf_dir):
     return S.ann_recall(emb, S.pq_ann_topk(emb, dim=dim), dim=dim)
 
 
+def sim_ivfpq_ann(spark, sf_dir):
+    """The composed IVF-PQ serving shape (probe cells -> ADC-scan codes
+    -> exact re-rank) as a first-class key, same recall-row surface as
+    the standalone paths."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    dim = _emb_dim(sf_dir, emb)
+    return S.ann_recall(emb, S.ivfpq_ann_topk(emb, dim=dim), dim=dim)
+
+
 # --- text analysis ---------------------------------------------------------------
 
 def text_tokens_tf(spark, sf_dir):
@@ -246,6 +255,7 @@ QUERIES = {
     "sim_lsh_ann": sim_lsh_ann,                  # recall@10 rows, pinned oracle
     "sim_ivf_ann": sim_ivf_ann,                  # recall@10 rows, pinned oracle
     "sim_pq_ann": sim_pq_ann,                    # recall@10 rows, pinned oracle
+    "sim_ivfpq_ann": sim_ivfpq_ann,              # composed path, pinned oracle
     "text_tokens_tf": text_tokens_tf,
     "text_lang_stats": text_lang_stats,
     "text_quality_score": text_quality_score,
@@ -434,6 +444,8 @@ _IVF_RECALL_SQL = _ann_recall_sql(
     [5, 4, 4, 6, 4, 5, 8, 2, 9, 6], [6, 1, 6, 4, 4, 1, 6, 8, 10, 4])
 _PQ_RECALL_SQL = _ann_recall_sql(
     [7, 8, 9, 9, 7, 8, 8, 9, 9, 7], [9, 8, 6, 9, 9, 6, 8, 8, 8, 7])
+_IVFPQ_RECALL_SQL = _ann_recall_sql(
+    [5, 4, 4, 6, 3, 5, 8, 2, 9, 6], [6, 1, 6, 3, 4, 1, 6, 8, 10, 4])
 
 
 # text_langid oracle: the n-gram classifier is EXACT relational algebra
@@ -473,6 +485,7 @@ ORACLES = {
     "dedup_minhash_lsh": _MINHASH_SQL,
     "dedup_simhash": _simhash_sql(),
     "sim_lsh_ann": _LSH_RECALL_SQL,
+    "sim_ivfpq_ann": _IVFPQ_RECALL_SQL,
     "sim_ivf_ann": _IVF_RECALL_SQL,
     "sim_pq_ann": _PQ_RECALL_SQL,
     "dedup_ngram_containment": _CONTAINMENT_SQL,

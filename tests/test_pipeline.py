@@ -373,3 +373,29 @@ def test_dim_probed_not_hardcoded_and_ragged_fails_loudly(spark):
         "vec_id long, embedding array<float>")
     with _pytest.raises(ValueError, match="ragged"):
         check_dim(ragged)
+
+
+def test_ivfpq_composition(spark, sf_dir):
+    """The composed IVF-PQ path: retrieved cosines are EXACT (re-rank),
+    recall is in the IVF-bounded ballpark (it can only see probed
+    cells), and the output schema matches the other ANN paths."""
+    from database_syncer_spark.pipeline.similarity import (
+        brute_force_topk, ivfpq_ann_topk)
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    got = ivfpq_ann_topk(emb).collect()
+    assert got and got[0].__fields__ == ["query_id", "neighbor_id",
+                                         "cosine", "rank"]
+    exact = {(r.query_id, r.neighbor_id): r.cosine
+             for r in brute_force_topk(emb, k=100).collect()}
+    hits = total = 0
+    for r in got:
+        total += 1
+        if (r.query_id, r.neighbor_id) in exact:
+            hits += 1
+            assert abs(r.cosine - exact[(r.query_id, r.neighbor_id)]) < 1e-9
+    # probing 4/16 cells: recall well above the 25% mass scanned
+    thr = {r.query_id for r in got}
+    per_q = {q: sum(1 for r in got if r.query_id == q) for q in thr}
+    assert all(n <= 10 for n in per_q.values())
+    assert hits / total >= 0.3
