@@ -182,3 +182,64 @@ def classify_lang(documents: DataFrame, profiles: DataFrame) -> DataFrame:
 
 def langid(spark: SparkSession, documents: DataFrame) -> DataFrame:
     return classify_lang(documents, train_lang_profiles(documents))
+
+
+def decontaminate(documents: DataFrame, eval_docs: DataFrame,
+                  k: int = 3) -> DataFrame:
+    """Benchmark decontamination: flag training documents sharing any
+    word k-gram with an evaluation set (the standard pre-training hygiene
+    step — eval n-grams leaking into the corpus inflate benchmarks).
+
+    Plan shape: the eval set's distinct shingles BROADCAST (eval sets are
+    KB-MB scale against a 100-TB corpus — broadcasting them is the whole
+    design; the corpus is never shuffled), the corpus streams through one
+    explode -> broadcast-hash semi-join -> per-doc count. Output one row
+    per training doc: overlap count + contaminated flag, so the clean
+    subset is a `WHERE NOT contaminated` away."""
+    from database_syncer_spark.pipeline.dedup import with_shingles
+
+    eval_sh = (with_shingles(eval_docs, k)
+               .select(F.explode("shingles").alias("sh")).distinct())
+    doc_sh = (with_shingles(documents, k)
+              .select("doc_id", F.explode("shingles").alias("sh")))
+    hits = (doc_sh.join(F.broadcast(eval_sh), "sh")
+            .groupBy("doc_id").agg(F.count("*").alias("__n")))
+    n = F.coalesce(F.col("__n"), F.lit(0))
+    return (documents.select("doc_id").join(hits, "doc_id", "left")
+            .select("doc_id",
+                    n.cast("int").alias("n_eval_shingles"),
+                    (n > 0).alias("contaminated")))
+
+
+def repetition_score(documents: DataFrame, k: int = 3,
+                     dup_threshold: float = 0.3,
+                     top_threshold: float = 0.2) -> DataFrame:
+    """Gopher-style within-document repetition filter: the fraction of
+    duplicate word k-grams and the share of the single most frequent
+    k-gram. Highly repetitive documents (boilerplate, scraped spam,
+    degenerate generations) are the classic pre-training removal class.
+
+    One explode -> two-level hash aggregation (per-(doc, gram) counts,
+    then per-doc rollup) — all map-side-combining codegen, no windows,
+    no Python; cost is corpus-linear and shuffles only (doc_id, gram)
+    pairs. The repetitive flag compares UNROUNDED doubles (the reported
+    fractions round to 6 dp for display/hashing only)."""
+    toks = documents.select("doc_id", F.split("text", " ").alias("__toks"))
+    raw = F.expr(
+        f"transform(sequence(1, greatest(size(__toks) - {k - 1}, 1)),"
+        f" i -> concat_ws(' ', slice(__toks, CAST(i AS INT), {k})))")
+    per = (toks.select("doc_id", F.explode(raw).alias("sh"))
+           .groupBy("doc_id", "sh").agg(F.count("*").alias("c")))
+    agg = per.groupBy("doc_id").agg(
+        F.sum("c").alias("n_ngrams"),
+        F.count("*").alias("n_distinct"),
+        F.max("c").alias("top_c"))
+    n = F.col("n_ngrams").cast("double")
+    dup_frac = 1.0 - F.col("n_distinct").cast("double") / n
+    top_frac = F.col("top_c").cast("double") / n
+    return agg.select(
+        "doc_id", "n_ngrams",
+        F.round(dup_frac, 6).alias("dup_ngram_frac"),
+        F.round(top_frac, 6).alias("top_ngram_frac"),
+        ((dup_frac >= dup_threshold) | (top_frac >= top_threshold))
+        .alias("repetitive"))

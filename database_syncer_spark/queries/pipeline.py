@@ -170,6 +170,23 @@ def text_tfidf_topk(spark, sf_dir):
     return T.tfidf_topk(load_table(spark, sf_dir, "documents"))
 
 
+#: deterministic eval-set slice for the decontamination key (~2.5%)
+_EVAL_MOD, _EVAL_REM = 40, 7
+
+
+def text_decontaminate(spark, sf_dir):
+    """Benchmark decontamination over a deterministic eval slice
+    (doc_id % 40 == 7): one row per TRAINING doc with its eval 3-gram
+    overlap count and contaminated flag."""
+    docs = load_table(spark, sf_dir, "documents")
+    is_eval = F.col("doc_id") % _EVAL_MOD == _EVAL_REM
+    return T.decontaminate(docs.where(~is_eval), docs.where(is_eval))
+
+
+def text_repetition(spark, sf_dir):
+    return T.repetition_score(load_table(spark, sf_dir, "documents"))
+
+
 # --- multimodal ------------------------------------------------------------------
 
 def multimodal_columns(spark, sf_dir):
@@ -263,6 +280,8 @@ QUERIES = {
     "text_fingerprint": text_fingerprint,
     "text_langid": text_langid,                  # exact-SQL oracle
     "text_tfidf_topk": text_tfidf_topk,
+    "text_decontaminate": text_decontaminate,
+    "text_repetition": text_repetition,
     "multimodal_columns": multimodal_columns,
     "multimodal_decode": multimodal_decode,
     "udf_tokenizer": udf_tokenizer,
@@ -480,7 +499,56 @@ FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
 """
 
 
+_DECONTAMINATE_SQL = f"""
+WITH ev AS (
+  SELECT DISTINCT sh FROM (
+    SELECT unnest({_SHINGLE_SQL}) AS sh FROM documents
+    WHERE doc_id % 40 = 7)
+),
+tr AS (SELECT doc_id, {_SHINGLE_SQL} AS shingles FROM documents
+       WHERE doc_id % 40 <> 7),
+hits AS (
+  SELECT doc_id, count(*) AS n
+  FROM (SELECT doc_id, unnest(shingles) AS sh FROM tr) d
+  JOIN ev USING (sh) GROUP BY doc_id
+)
+SELECT t.doc_id, CAST(coalesce(h.n, 0) AS INT) AS n_eval_shingles,
+       coalesce(h.n, 0) > 0 AS contaminated
+FROM tr t LEFT JOIN hits h USING (doc_id)
+"""
+
+# Non-distinct k-gram multiset (repetition needs frequencies, unlike the
+# dedup shingle SETS).
+_RAW_SHINGLE_SQL = (
+    "list_transform("
+    "generate_series(1, greatest(len(string_split(text,' '))-2, 1)),"
+    " i -> array_to_string(string_split(text,' ')[i:i+2], ' '))"
+)
+
+_REPETITION_SQL = f"""
+WITH per AS (
+  SELECT doc_id, sh, count(*) AS c FROM (
+    SELECT doc_id, unnest({_RAW_SHINGLE_SQL}) AS sh FROM documents)
+  GROUP BY doc_id, sh
+),
+agg AS (
+  SELECT doc_id, sum(c) AS n_ngrams, count(*) AS n_distinct,
+         max(c) AS top_c
+  FROM per GROUP BY doc_id
+)
+SELECT doc_id, CAST(n_ngrams AS BIGINT) AS n_ngrams,
+       round(1.0 - CAST(n_distinct AS DOUBLE) / n_ngrams, 6)
+         AS dup_ngram_frac,
+       round(CAST(top_c AS DOUBLE) / n_ngrams, 6) AS top_ngram_frac,
+       (1.0 - CAST(n_distinct AS DOUBLE) / n_ngrams) >= 0.3
+         OR CAST(top_c AS DOUBLE) / n_ngrams >= 0.2 AS repetitive
+FROM agg
+"""
+
+
 ORACLES = {
+    "text_decontaminate": _DECONTAMINATE_SQL,
+    "text_repetition": _REPETITION_SQL,
     "text_langid": _LANGID_SQL,
     "dedup_minhash_lsh": _MINHASH_SQL,
     "dedup_simhash": _simhash_sql(),

@@ -47,6 +47,8 @@ _KEY_ORDER = [
     "stream_stateful_custom",      # 2.42  never checked
     "sync_catalog_ddl",            # 2.73  never checked
     "stream_transform_with_state", # 3.98  never checked
+    "text_decontaminate",          # new in r3 (eval-overlap removal)
+    "text_repetition",             # new in r3 (repetition filter)
     "sim_ivfpq_ann",               # new in r3 (composed IVF-PQ path)
     "stream_stream_join",          # 5.07  never checked (trimmed r3)
     "dedup_cluster_components",    # 6.44  never checked

@@ -399,3 +399,39 @@ def test_ivfpq_composition(spark, sf_dir):
     per_q = {q: sum(1 for r in got if r.query_id == q) for q in thr}
     assert all(n <= 10 for n in per_q.values())
     assert hits / total >= 0.3
+
+
+def test_decontaminate_flags_planted_overlap(spark):
+    """A training doc sharing a 3-gram with the eval set is contaminated;
+    disjoint docs are clean; counts are exact."""
+    from database_syncer_spark.pipeline.text import decontaminate
+
+    train = spark.createDataFrame(
+        [(1, "the quick brown fox jumps high"),       # shares "quick brown fox"
+         (2, "completely different words entirely here"),
+         (3, "quick brown fox quick brown fox pads")],  # two hits, same gram
+        "doc_id long, text string")
+    evals = spark.createDataFrame(
+        [(100, "a quick brown fox appeared")],
+        "doc_id long, text string")
+    got = {r.doc_id: (r.n_eval_shingles, r.contaminated)
+           for r in decontaminate(train, evals).collect()}
+    assert got[1] == (1, True)
+    assert got[2] == (0, False)
+    # doc 3: with_shingles is DISTINCT per doc -> one matching shingle
+    assert got[3] == (1, True)
+
+
+def test_repetition_score_flags_degenerate_docs(spark):
+    """A degenerate repeated-phrase doc is flagged; a varied doc is not;
+    fractions are exact."""
+    from database_syncer_spark.pipeline.text import repetition_score
+
+    docs = spark.createDataFrame(
+        [(1, "spam ham eggs " * 40),        # one 3-gram ~1/3 of the doc
+         (2, "one two three four five six seven eight nine ten")],
+        "doc_id long, text string")
+    got = {r.doc_id: r for r in repetition_score(docs).collect()}
+    assert got[1].repetitive and got[1].dup_ngram_frac > 0.9
+    assert not got[2].repetitive and got[2].dup_ngram_frac == 0.0
+    assert got[2].n_ngrams == 8  # 10 tokens -> 8 tri-grams
