@@ -35,27 +35,28 @@ _MODULES = [
 # the generator snippet in git history, commit 5889b8b).
 _KEY_ORDER = [
     # --- no green driver row after r2: the 4 fail-then-fixed keys lead
-    # (highest correctness value), then never-checked cheapest-first by
-    # the r3 profile (sf0.01 sec, Spark+oracle, cold caches; the first
-    # key's figure carries JVM warmup, true warm cost ~0.3s) ---
-    "tpch_q12_priority_classes",   # 4.96* r1-fail, fixed r2 (*warmup)
-    "agg_mode_histogram",          # 1.37  r1-fail, fixed in r2
-    "scan_sql_dump_composite",     # 4.28  r2 hash-fail, boundary cast r3
-    "sink_sync_script",            # 1.67  r1-fail, fixed in r2
-    "sink_merge_executor",         # 1.97  never checked (sliced r3)
-    "diff_bucketed_zeroshuffle",   # 2.25  never checked
-    "stream_stateful_custom",      # 2.42  never checked
-    "sync_catalog_ddl",            # 2.73  never checked
-    "stream_transform_with_state", # 3.98  never checked
-    "text_decontaminate",          # new in r3 (eval-overlap removal)
-    "text_repetition",             # new in r3 (repetition filter)
-    "sim_ivfpq_ann",               # new in r3 (composed IVF-PQ path)
-    "stream_stream_join",          # 5.07  never checked (trimmed r3)
-    "dedup_cluster_components",    # 6.44  never checked
-    "sim_ivf_ann",                 # 7.26  never checked (recall oracle r3)
-    "sim_lsh_ann",                 # 7.39  never checked (recall oracle r3)
-    "dedup_corpus_keep",           # 7.47  never checked
-    "sim_pq_ann",                  # 12.2  never checked (recall oracle r3)
+    # (highest correctness value), then the keys new in r3, then
+    # never-checked (sf0.01 sec from the final r3 profile — Spark +
+    # oracle, warm caches; the first key's figure carries JVM warmup,
+    # true warm cost ~0.3s). First-50 subtotal: 87.9s. ---
+    "tpch_q12_priority_classes",   # 5.08* r1-fail, fixed r2 (*warmup)
+    "agg_mode_histogram",          # 1.31  r1-fail, fixed in r2
+    "scan_sql_dump_composite",     # 4.59  r2 hash-fail, boundary cast r3
+    "sink_sync_script",            # 2.04  r1-fail, fixed in r2
+    "sink_merge_executor",         # 2.95  never checked (sliced+gated r3)
+    "diff_bucketed_zeroshuffle",   # 2.54  never checked
+    "stream_stateful_custom",      # 4.80  never checked
+    "sync_catalog_ddl",            # 2.86  never checked
+    "stream_transform_with_state", # 2.79  never checked
+    "text_decontaminate",          # 1.64  new in r3 (eval-overlap removal)
+    "text_repetition",             # 0.85  new in r3 (repetition filter)
+    "sim_ivfpq_ann",               # 8.49  new in r3 (composed IVF-PQ path)
+    "stream_stream_join",          # 3.69  never checked (trimmed r3)
+    "dedup_cluster_components",    # 4.16  never checked
+    "sim_ivf_ann",                 # 5.32  never checked (recall oracle r3)
+    "sim_lsh_ann",                 # 8.29  never checked (recall oracle r3)
+    "dedup_corpus_keep",           # 4.29  never checked
+    "sim_pq_ann",                  # 5.83  never checked (recall oracle r3)
     # --- driver-green in r1, least-recently verified — refresh ---
     "diff_cdc_fullouter", "diff_composite_pk", "diff_stats_by_type",
     "diff_scd2_history", "win_row_number_dedup", "sink_cdc_table",
