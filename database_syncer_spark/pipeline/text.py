@@ -213,7 +213,8 @@ def decontaminate(documents: DataFrame, eval_docs: DataFrame,
 
 def repetition_score(documents: DataFrame, k: int = 3,
                      dup_threshold: float = 0.3,
-                     top_threshold: float = 0.2) -> DataFrame:
+                     top_threshold: float = 0.2,
+                     min_ngrams: int = 5) -> DataFrame:
     """Gopher-style within-document repetition filter: the fraction of
     duplicate word k-grams and the share of the single most frequent
     k-gram. Highly repetitive documents (boilerplate, scraped spam,
@@ -223,7 +224,11 @@ def repetition_score(documents: DataFrame, k: int = 3,
     then per-doc rollup) — all map-side-combining codegen, no windows,
     no Python; cost is corpus-linear and shuffles only (doc_id, gram)
     pairs. The repetitive flag compares UNROUNDED doubles (the reported
-    fractions round to 6 dp for display/hashing only)."""
+    fractions round to 6 dp for display/hashing only). Documents with
+    fewer than ``min_ngrams`` k-grams are never flagged — a one-gram doc
+    trivially has top_frac 1.0, and repetition statistics on a handful
+    of grams are noise, not signal (length gates are standard in the
+    Gopher-family filters)."""
     toks = documents.select("doc_id", F.split("text", " ").alias("__toks"))
     raw = F.expr(
         f"transform(sequence(1, greatest(size(__toks) - {k - 1}, 1)),"
@@ -241,5 +246,34 @@ def repetition_score(documents: DataFrame, k: int = 3,
         "doc_id", "n_ngrams",
         F.round(dup_frac, 6).alias("dup_ngram_frac"),
         F.round(top_frac, 6).alias("top_ngram_frac"),
-        ((dup_frac >= dup_threshold) | (top_frac >= top_threshold))
+        ((F.col("n_ngrams") >= min_ngrams)
+         & ((dup_frac >= dup_threshold) | (top_frac >= top_threshold)))
         .alias("repetitive"))
+
+
+#: Dialect-portable PII patterns (same semantics in Java regex and
+#: DuckDB's RE2: plain char classes, no lookaround, no backrefs).
+EMAIL_PATTERN = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+PHONE_PATTERN = "[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}"
+
+
+def pii_scrub(documents: DataFrame) -> DataFrame:
+    """PII detection + redaction: count emails/phones per doc and emit
+    the md5 of the redacted text (emails -> <EMAIL>, phones -> <PHONE>),
+    so the driver hash verifies the REDACTION itself, not just counts —
+    on clean docs the md5 is the identity, on dirty docs any wrong
+    replacement changes it. All built-in regexp expressions, one codegen
+    pass, corpus-linear; the patterns are deliberately conservative and
+    portable (a production scrubber would add locale-specific families
+    the same way)."""
+    redacted = F.regexp_replace(
+        F.regexp_replace("text", EMAIL_PATTERN, "<EMAIL>"),
+        PHONE_PATTERN, "<PHONE>")
+    n_emails = F.regexp_count("text", F.lit(EMAIL_PATTERN))
+    n_phones = F.regexp_count("text", F.lit(PHONE_PATTERN))
+    return documents.select(
+        "doc_id",
+        n_emails.cast("int").alias("n_emails"),
+        n_phones.cast("int").alias("n_phones"),
+        ((n_emails > 0) | (n_phones > 0)).alias("has_pii"),
+        F.md5(redacted).alias("redacted_md5"))

@@ -187,6 +187,10 @@ def text_repetition(spark, sf_dir):
     return T.repetition_score(load_table(spark, sf_dir, "documents"))
 
 
+def text_pii_scrub(spark, sf_dir):
+    return T.pii_scrub(load_table(spark, sf_dir, "documents"))
+
+
 # --- multimodal ------------------------------------------------------------------
 
 def multimodal_columns(spark, sf_dir):
@@ -282,6 +286,7 @@ QUERIES = {
     "text_tfidf_topk": text_tfidf_topk,
     "text_decontaminate": text_decontaminate,
     "text_repetition": text_repetition,
+    "text_pii_scrub": text_pii_scrub,
     "multimodal_columns": multimodal_columns,
     "multimodal_decode": multimodal_decode,
     "udf_tokenizer": udf_tokenizer,
@@ -540,13 +545,31 @@ SELECT doc_id, CAST(n_ngrams AS BIGINT) AS n_ngrams,
        round(1.0 - CAST(n_distinct AS DOUBLE) / n_ngrams, 6)
          AS dup_ngram_frac,
        round(CAST(top_c AS DOUBLE) / n_ngrams, 6) AS top_ngram_frac,
-       (1.0 - CAST(n_distinct AS DOUBLE) / n_ngrams) >= 0.3
-         OR CAST(top_c AS DOUBLE) / n_ngrams >= 0.2 AS repetitive
+       n_ngrams >= 5 AND (
+         (1.0 - CAST(n_distinct AS DOUBLE) / n_ngrams) >= 0.3
+         OR CAST(top_c AS DOUBLE) / n_ngrams >= 0.2) AS repetitive
 FROM agg
 """
 
 
+_PII_SQL = f"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '{T.EMAIL_PATTERN}')) AS INT)
+         AS n_emails,
+       CAST(len(regexp_extract_all(text, '{T.PHONE_PATTERN}')) AS INT)
+         AS n_phones,
+       len(regexp_extract_all(text, '{T.EMAIL_PATTERN}')) > 0
+         OR len(regexp_extract_all(text, '{T.PHONE_PATTERN}')) > 0
+         AS has_pii,
+       md5(regexp_replace(
+             regexp_replace(text, '{T.EMAIL_PATTERN}', '<EMAIL>', 'g'),
+             '{T.PHONE_PATTERN}', '<PHONE>', 'g')) AS redacted_md5
+FROM documents
+"""
+
+
 ORACLES = {
+    "text_pii_scrub": _PII_SQL,
     "text_decontaminate": _DECONTAMINATE_SQL,
     "text_repetition": _REPETITION_SQL,
     "text_langid": _LANGID_SQL,

@@ -435,3 +435,37 @@ def test_repetition_score_flags_degenerate_docs(spark):
     assert got[1].repetitive and got[1].dup_ngram_frac > 0.9
     assert not got[2].repetitive and got[2].dup_ngram_frac == 0.0
     assert got[2].n_ngrams == 8  # 10 tokens -> 8 tri-grams
+
+
+def test_repetition_min_length_gate(spark):
+    """Docs below the min_ngrams gate are never flagged — a one-gram doc
+    trivially has top_frac 1.0 and must not count as repetitive."""
+    from database_syncer_spark.pipeline.text import repetition_score
+
+    docs = spark.createDataFrame(
+        [(1, "short text"), (2, "spam ham eggs spam ham eggs spam ham eggs spam")],
+        "doc_id long, text string")
+    got = {r.doc_id: r for r in repetition_score(docs).collect()}
+    assert got[1].top_ngram_frac == 1.0 and not got[1].repetitive
+    assert got[2].repetitive
+
+
+def test_pii_scrub_detects_and_redacts(spark):
+    """Planted emails/phones are counted and redacted; clean docs hash to
+    their own text (identity redaction)."""
+    import hashlib
+
+    from database_syncer_spark.pipeline.text import pii_scrub
+
+    docs = spark.createDataFrame(
+        [(1, "contact bob.smith+x@example.co.uk or 555-123-4567 today"),
+         (2, "no personal data in this sentence at all")],
+        "doc_id long, text string")
+    got = {r.doc_id: r for r in pii_scrub(docs).collect()}
+    assert got[1].n_emails == 1 and got[1].n_phones == 1 and got[1].has_pii
+    expect1 = hashlib.md5(
+        b"contact <EMAIL> or <PHONE> today").hexdigest()
+    assert got[1].redacted_md5 == expect1
+    assert not got[2].has_pii
+    assert got[2].redacted_md5 == hashlib.md5(
+        b"no personal data in this sentence at all").hexdigest()
