@@ -38,7 +38,7 @@ _KEY_ORDER = [
     # (highest correctness value), then the keys new in r3, then
     # never-checked (sf0.01 sec from the final r3 profile — Spark +
     # oracle, warm caches; the first key's figure carries JVM warmup,
-    # true warm cost ~0.3s). First-50 subtotal: 87.9s. ---
+    # true warm cost ~0.3s). First-50 subtotal: 94.5s. ---
     "tpch_q12_priority_classes",   # 5.08* r1-fail, fixed r2 (*warmup)
     "agg_mode_histogram",          # 1.31  r1-fail, fixed in r2
     "scan_sql_dump_composite",     # 4.59  r2 hash-fail, boundary cast r3
@@ -50,7 +50,7 @@ _KEY_ORDER = [
     "stream_transform_with_state", # 2.79  never checked
     "text_decontaminate",          # 1.64  new in r3 (eval-overlap removal)
     "text_repetition",             # 0.85  new in r3 (repetition filter)
-    "text_pii_scrub",              # ~0.5  new in r3 (PII redaction)
+    "text_pii_scrub",              # 0.30  new in r3 (PII redaction)
     "sim_ivfpq_ann",               # 8.49  new in r3 (composed IVF-PQ path)
     "stream_stream_join",          # 3.69  never checked (trimmed r3)
     "dedup_cluster_components",    # 4.16  never checked

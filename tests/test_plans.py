@@ -227,3 +227,14 @@ def test_runtime_bloom_filter_reaches_fact_scan(spark, sf_dir):
     assert spark.conf.get("spark.sql.autoBroadcastJoinThreshold") != "-1"
     # the cached physical plan must survive conf restoration
     assert df.count() > 0
+
+
+def test_decontaminate_broadcasts_eval_side(spark, sf_dir):
+    """The eval shingle set must broadcast (eval sets are tiny against
+    the corpus); a SortMergeJoin here would shuffle the whole corpus'
+    exploded shingles."""
+    from database_syncer_spark.registry import all_queries
+
+    plan = _plan(all_queries()["text_decontaminate"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
