@@ -478,8 +478,41 @@ def join_runtime_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def win_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user conversion funnel over the event stream: earliest signup,
+    the earliest click AT OR AFTER it, the earliest purchase at or after
+    that click, and the number of steps completed — the product-analytics
+    staple (sequence matching with ordered constraints).
+
+    Shape: three per-user min-aggregations chained by user_id joins —
+    every stage keys on user_id, so one hash partitioning serves the
+    whole pipeline (exchange reuse); no windows, no per-user sorting, no
+    event-history state. At 100 TB the filters (event_type pushdown)
+    reach the scan and each stage's shuffle carries only user-level
+    aggregates after the first."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts")
+    s = (ev.where(F.col("event_type") == "signup")
+         .groupBy("user_id").agg(F.min("ts").alias("signup_ts")))
+    c = (ev.where(F.col("event_type") == "click")
+         .join(s, "user_id")
+         .where(F.col("ts") >= F.col("signup_ts"))
+         .groupBy("user_id").agg(F.min("ts").alias("click_ts")))
+    p = (ev.where(F.col("event_type") == "purchase")
+         .join(c, "user_id")
+         .where(F.col("ts") >= F.col("click_ts"))
+         .groupBy("user_id").agg(F.min("ts").alias("purchase_ts")))
+    steps = (F.lit(1)
+             + F.when(F.col("click_ts").isNotNull(), 1).otherwise(0)
+             + F.when(F.col("purchase_ts").isNotNull(), 1).otherwise(0))
+    return (s.join(c, "user_id", "left").join(p, "user_id", "left")
+            .select("user_id", "signup_ts", "click_ts", "purchase_ts",
+                    steps.cast("int").alias("steps_completed")))
+
+
 QUERIES = {
     "join_runtime_bloom": join_runtime_bloom,
+    "win_funnel_steps": win_funnel_steps,
     "join_range_banded": join_range_banded,
     "join_skew_salted": join_skew_salted,
     "win_ntile_cume": win_ntile_cume,
@@ -506,6 +539,23 @@ QUERIES = {
 }
 
 ORACLES = {
+    "win_funnel_steps": """
+WITH s AS (SELECT user_id, min(ts) AS signup_ts FROM events
+           WHERE event_type = 'signup' GROUP BY user_id),
+c AS (SELECT e.user_id, min(e.ts) AS click_ts
+      FROM events e JOIN s USING (user_id)
+      WHERE e.event_type = 'click' AND e.ts >= s.signup_ts
+      GROUP BY e.user_id),
+p AS (SELECT e.user_id, min(e.ts) AS purchase_ts
+      FROM events e JOIN c USING (user_id)
+      WHERE e.event_type = 'purchase' AND e.ts >= c.click_ts
+      GROUP BY e.user_id)
+SELECT s.user_id, s.signup_ts, c.click_ts, p.purchase_ts,
+       CAST(1 + (CASE WHEN c.click_ts IS NULL THEN 0 ELSE 1 END)
+              + (CASE WHEN p.purchase_ts IS NULL THEN 0 ELSE 1 END)
+            AS INT) AS steps_completed
+FROM s LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)
+""",
     "join_runtime_bloom": """
 SELECT o_orderstatus, count(*) AS n_lines,
        CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty

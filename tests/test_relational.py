@@ -37,3 +37,43 @@ def test_asof_join_semantics(spark, sf_dir):
         expect = max((t for t in signups.get(r.user_id, []) if t <= r.ts),
                      default=None)
         assert r.asof_signup_ts == expect, (r, expect)
+
+
+def test_funnel_steps_ordering_constraints(spark):
+    """Funnel steps only count events in sequence: clicks before the
+    signup and purchases before the qualifying click are ignored."""
+    import datetime as dt
+
+    from database_syncer_spark.queries.extended import win_funnel_steps
+
+    t = lambda m: dt.datetime(2026, 1, 1, 0, m)
+    rows = [
+        # user 1: full ordered journey
+        (1, "signup", t(0)), (1, "click", t(1)), (1, "purchase", t(2)),
+        # user 2: click precedes signup -> only step 1
+        (2, "click", t(0)), (2, "signup", t(1)),
+        # user 3: purchase precedes the post-signup click -> 2 steps
+        (3, "signup", t(0)), (3, "purchase", t(1)), (3, "click", t(2)),
+        # user 4: never signed up -> absent from the funnel
+        (4, "click", t(0)), (4, "purchase", t(1)),
+    ]
+    ev = spark.createDataFrame(
+        rows, "user_id long, event_type string, ts timestamp")
+    ev.write.mode("overwrite").parquet("/tmp/dss_funnel_events")
+
+    import database_syncer_spark.catalog as cat
+    orig = cat.load_table
+    try:
+        cat.load_table = lambda sp, sf, name: sp.read.parquet(
+            "/tmp/dss_funnel_events")
+        import database_syncer_spark.queries.extended as ext
+        ext_load = ext.load_table
+        ext.load_table = cat.load_table
+        try:
+            got = {r.user_id: r.steps_completed
+                   for r in win_funnel_steps(spark, "ignored").collect()}
+        finally:
+            ext.load_table = ext_load
+    finally:
+        cat.load_table = orig
+    assert got == {1: 3, 2: 1, 3: 2}
