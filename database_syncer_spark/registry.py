@@ -52,6 +52,7 @@ _KEY_ORDER = [
     "text_repetition",             # 0.85  new in r3 (repetition filter)
     "text_pii_scrub",              # 0.30  new in r3 (PII redaction)
     "win_funnel_steps",            # ~0.5  new in r3 (conversion funnel)
+    "agg_approx_quantile",         # ~0.5  new in r3 (verified sketch)
     "sim_ivfpq_ann",               # 8.49  new in r3 (composed IVF-PQ path)
     "stream_stream_join",          # 3.69  never checked (trimmed r3)
     "dedup_cluster_components",    # 4.16  never checked
