@@ -38,7 +38,7 @@ _KEY_ORDER = [
     # (highest correctness value), then the keys new in r3, then
     # never-checked (sf0.01 sec from the final r3 profile — Spark +
     # oracle, warm caches; the first key's figure carries JVM warmup,
-    # true warm cost ~0.3s). First-50 subtotal: 94.5s. ---
+    # true warm cost ~0.3s). First-50 subtotal: 102.2s (the 22 priority keys come first at ~60s, so they are covered even if a slow host truncates the tail refreshes). ---
     "tpch_q12_priority_classes",   # 5.08* r1-fail, fixed r2 (*warmup)
     "agg_mode_histogram",          # 1.31  r1-fail, fixed in r2
     "scan_sql_dump_composite",     # 4.59  r2 hash-fail, boundary cast r3
