@@ -112,11 +112,25 @@ def sync_via_executor(
     from database_syncer_spark.core.script import generate_sync_script
 
     changes = snapshot_diff(prod, backup, pk_cols)
-    n_changes = changes.count()
-    if n_changes > max_script_statements or backup.count() > max_backup_rows:
+    if backup.count() > max_backup_rows:
         merged = apply_changes(backup.select(*backup.columns), changes, pk_cols)
         return merged.select(*backup.columns)
+    # The statement-count gate comes from a limit(max+1) collect, NOT a
+    # separate changes.count(): a count would execute the O(|P|+|B|)
+    # full-outer diff twice on the common script path (count, then
+    # script collect), and caching it across the two would pollute the
+    # session-wide plan cache (identical diff plans elsewhere silently
+    # become InMemoryTableScans). The limit caps driver residency to
+    # max+1 statements; when the script is within bound the limited
+    # collect IS the full script (per-PK statements are independent, so
+    # apply order across keys is immaterial), so the diff runs exactly
+    # once end-to-end.
     script = generate_sync_script(changes, table, pk_cols, ident_quote='"')
-    stmts = [r.statement for r in script.select("statement").collect()]
+    stmts = [r.statement for r in
+             script.select("statement")
+             .limit(max_script_statements + 1).collect()]
+    if len(stmts) > max_script_statements:
+        merged = apply_changes(backup.select(*backup.columns), changes, pk_cols)
+        return merged.select(*backup.columns)
     synced = apply_script_duckdb(backup, table, stmts, pk_cols=pk_cols)
     return spark.createDataFrame(synced.to_pandas(), schema=backup.schema)

@@ -86,9 +86,17 @@ def check_dim(embeddings: DataFrame, col: str = "embedding") -> int:
     assert_true in the norm projection measured +25% on the sf0.1
     brute-force scan). One size-only columnar scan, no data movement."""
     row = embeddings.select(
-        F.min(F.size(col)).alias("lo"), F.max(F.size(col)).alias("hi")).first()
+        F.min(F.size(col)).alias("lo"), F.max(F.size(col)).alias("hi"),
+        F.count(F.lit(1)).alias("n"), F.count(col).alias("nn")).first()
     if row is None or row["lo"] is None:
         raise ValueError(f"cannot probe embedding dim from column {col!r}")
+    if row["n"] != row["nn"]:
+        # min/max(size) skip NULLs, so without this a NULL-bearing corpus
+        # would pass validation yet NULL its norms downstream — the exact
+        # failure class this function exists to prevent.
+        raise ValueError(
+            f"column {col!r} has {row['n'] - row['nn']} NULL embedding "
+            f"rows (of {row['n']})")
     if row["lo"] != row["hi"] or row["lo"] <= 0:
         raise ValueError(
             f"ragged embedding dim in column {col!r}: "

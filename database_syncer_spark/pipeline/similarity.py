@@ -88,13 +88,21 @@ def ann_recall(embeddings: DataFrame, ann: DataFrame, n_queries: int = 10,
     tests/test_pipeline.py)."""
     exact = brute_force_topk(embeddings, n_queries=n_queries, k=k, dim=dim)
     thr = exact.groupBy("query_id").agg(F.min("cosine").alias("__thr"))
-    return (
+    hits = (
         ann.join(thr, "query_id")
         .groupBy("query_id")
         .agg(F.sum(F.when(F.col("cosine") >= F.col("__thr"), 1)
-                   .otherwise(0)).cast("int").alias("n_hits"))
-        .select("query_id", F.lit(k).alias("k"), "n_hits",
-                (F.col("n_hits") / F.lit(float(k))).alias("recall"))
+                   .otherwise(0)).cast("int").alias("__raw_hits"))
+    )
+    # Left-join from the exact-side query set so a query with ZERO
+    # retrieved neighbors reports recall 0 instead of vanishing from the
+    # output (which would only surface as an oracle row-count mismatch).
+    n_hits = F.coalesce(F.col("__raw_hits"), F.lit(0)).cast("int")
+    return (
+        thr.select("query_id")
+        .join(hits, "query_id", "left")
+        .select("query_id", F.lit(k).alias("k"), n_hits.alias("n_hits"),
+                (n_hits / F.lit(float(k))).alias("recall"))
     )
 
 
@@ -252,6 +260,28 @@ def _with_pq_codes(df: DataFrame, books: list, m: int, dim: int,
     return df.mapInPandas(assign, out_schema)
 
 
+def _topk_cols_deterministic(approx, vids, keep):
+    """Per-row top-`keep` column indices ordered by (adc desc, vec_id
+    asc). Plain argpartition resolves ties in the 9-dp-rounded score at
+    the keep boundary arbitrarily, so which tied candidate survives
+    could vary with Arrow batch composition and flip a pinned recall
+    row on a different host/batch size. Keeps the O(nb) argpartition as
+    a prefilter, then lexsorts only the >=boundary superset (all
+    boundary ties included), so the deterministic pass is ~keep-sized.
+    Rows (queries) are few; the loop is driver-free executor numpy."""
+    import numpy as np
+
+    nq = approx.shape[0]
+    out = np.empty((nq, keep), dtype=np.int64)
+    for i in range(nq):
+        a = approx[i]
+        part = np.argpartition(-a, keep - 1)[:keep]
+        cand = np.flatnonzero(a >= a[part].min())
+        order = np.lexsort((vids[cand], -a[cand]))
+        out[i] = cand[order[:keep]]
+    return out
+
+
 def pq_ann_topk(embeddings: DataFrame, n_queries: int = 10, k: int = 10,
                 m: int = 8, dim: int = 64, k_sub: int = 16,
                 refine: int = 8) -> DataFrame:
@@ -324,7 +354,9 @@ def pq_ann_topk(embeddings: DataFrame, n_queries: int = 10, k: int = 10,
                 # a subset of every batch's top-k, so pruning here is
                 # lossless and keeps the downstream shuffle
                 # batch-count-proportional instead of corpus-sized.
-                idx = np.argpartition(-approx, keep - 1, axis=1)[:, :keep]
+                # Boundary ties break on vec_id (batch-composition-
+                # independent), not argpartition order.
+                idx = _topk_cols_deterministic(approx, vids, keep)
                 yield pd.DataFrame({
                     "query_id": np.repeat(qarr, keep),
                     "vec_id": vids[idx].reshape(-1),
@@ -442,7 +474,7 @@ def ivfpq_ann_topk(embeddings: DataFrame, n_queries: int = 10, k: int = 10,
             nq, nb = approx.shape
             vids = pdf["vec_id"].to_numpy()
             if nb > keep:
-                idx = np.argpartition(-approx, keep - 1, axis=1)[:, :keep]
+                idx = _topk_cols_deterministic(approx, vids, keep)
                 yield pd.DataFrame({
                     "query_id": np.repeat(qarr, keep),
                     "vec_id": vids[idx].reshape(-1),

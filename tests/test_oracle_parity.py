@@ -29,7 +29,16 @@ def test_oracle_parity(key, spark, duck, sf_dir):
     assert res.ok, res.message()
 
 
-@pytest.mark.parametrize("key", sorted(set(QUERIES) - set(ORACLES)))
-def test_rows_only_keys_run(key, spark, sf_dir):
-    df = QUERIES[key](spark, sf_dir)
-    assert df.count() >= 0
+_ROWS_ONLY = sorted(set(QUERIES) - set(ORACLES))
+
+if _ROWS_ONLY:  # every key currently has an oracle; an empty parametrize
+    # set would otherwise report a permanent phantom skip.
+    @pytest.mark.parametrize("key", _ROWS_ONLY)
+    def test_rows_only_keys_run(key, spark, sf_dir):
+        df = QUERIES[key](spark, sf_dir)
+        assert df.count() >= 0
+else:
+    def test_no_rows_only_keys():
+        """Pin the invariant the registry currently holds: every query
+        key ships a DuckDB value oracle (COVERAGE.md's headline)."""
+        assert set(QUERIES) == set(ORACLES)
