@@ -18,9 +18,12 @@ inside quoted strings (SURVEY §1.2 [verified]). This rebuild:
 - casts raw SQL literals to typed columns JVM-side.
 
 Known format assumptions (same family as mysqldump defaults): statements
-end with ``;`` at end of line; a literal ``;\\n`` inside a quoted value
-would mis-split (the reference's whole-file regex has the analogous
-limitation on ``);``).
+end with ``;`` at end of line. A literal ``;\\n`` inside a quoted value
+(never emitted by conforming mysqldump, which escapes ``\\n``) is
+detected by a codegen quote-parity check and either fails loudly
+(default) or is repaired distributedly — see ``read_dump_statements``'s
+``on_split_string``; the reference's whole-file regex silently
+mis-parses the analogous ``);`` case.
 """
 
 from __future__ import annotations
@@ -364,7 +367,104 @@ _INSERT_RE = re.compile(
 _ROW_IN_PARTITION_MASK = (1 << 33) - 1
 
 
-def read_dump_statements(spark: SparkSession, path: str) -> DataFrame:
+#: One COMPLETE quoted string of either family, escape-aware ('' "" \x),
+#: with possessive quantifiers (*+) so matching is linear — no regex
+#: backtracking blowup on megabyte INSERT statements.
+_COMPLETE_STRING_RE = (
+    r"'(?:[^'\\]|\\.|'')*+'|\"(?:[^\"\\]|\\.|\"\")*+\"")
+
+
+def _has_unterminated_string(col):
+    """True when a quote char survives after every complete quoted
+    string (single- OR double-quoted) is stripped — i.e. the fragment
+    ends (or begins) inside a string literal, which is exactly what a
+    ``lineSep`` split inside a dumped value produces. A complete
+    statement strips clean: its literals are whole and bare quote chars
+    don't occur outside literals in dump SQL (identifiers use
+    backticks). One JVM regex pass + a char-class probe."""
+    return F.regexp_replace(col, _COMPLETE_STRING_RE, "").rlike("['\"]")
+
+
+def _fragment_quote_parity(col):
+    """Escape-aware single-quote parity of a statement fragment, for the
+    stitcher's cross-fragment state model.
+
+    ``\\\\`` pairs removed first (so ``\\'`` detection can't be fooled),
+    then ``\\'``, then complete DOUBLE-quoted strings (an apostrophe
+    inside ``"..."`` is content, not a delimiter); ``''`` doubling
+    contributes 2 — parity unchanged. A fragment cut inside a
+    single-quoted literal then has odd parity, and parity XORs across
+    fragments, which is what makes the two-level stitch scan work.
+    Scope: literals containing the separator are assumed single-quoted
+    (mysqldump's convention); a ``;\\n`` inside a double-quoted literal
+    is not stitchable under this model and is caught by the
+    post-stitch ``_has_unterminated_string`` check instead."""
+    eff = F.regexp_replace(
+        F.replace(F.replace(col, F.lit("\\\\"), F.lit("")),
+                  F.lit("\\'"), F.lit("")),
+        r'"(?:[^"\\]|\\.|"")*+"', "")
+    return (F.length(eff) - F.length(F.replace(eff, F.lit("'"), F.lit("")))
+            ).bitwiseAND(F.lit(1)).cast("int")
+
+
+def _stitch_fragments(frags: DataFrame, line_sep: str) -> DataFrame:
+    """Re-join fragments that a ``lineSep`` split cut apart inside a
+    string literal (a dumped text column containing ``;\\n``).
+
+    Two-level reconstruction — NO global window, so it scales like the
+    read itself: (1) per-file-block window gives each fragment its
+    in-block cumulative parity and start-flag prefix counts; (2) the
+    block-level carry (incoming parity + statement-group base per block)
+    is a prefix scan over ONE small row per file block, done driver-side
+    (model-state scale: ~800k rows at 100 TB / 128 MB splits) and
+    broadcast back. A fragment starts a new statement iff the cumulative
+    parity before it is even; group = base + running start count; the
+    group's fragments are re-joined with the separator the split
+    consumed. Costs one extra scan (the block aggregate) and one shuffle
+    (the regroup) — the price of a malformed dump, paid only in
+    ``on_split_string="repair"`` mode."""
+    from pyspark.sql import Window
+
+    w = (Window.partitionBy("seq_hi").orderBy("seq_lo")
+         .rowsBetween(Window.unboundedPreceding, -1))
+    w0 = (Window.partitionBy("seq_hi").orderBy("seq_lo")
+          .rowsBetween(Window.unboundedPreceding, 0))
+    frag = (frags.withColumn("__par", _fragment_quote_parity(F.col("frag")))
+            .withColumn("__cumb",
+                        F.coalesce(F.sum("__par").over(w), F.lit(0))
+                        .bitwiseAND(F.lit(1))))
+    blk = (frag.groupBy("seq_hi").agg(
+        F.sum("__par").bitwiseAND(F.lit(1)).alias("p"),
+        F.sum(F.when(F.col("__cumb") == 0, 1).otherwise(0)).alias("s0"),
+        F.sum(F.when(F.col("__cumb") == 1, 1).otherwise(0)).alias("s1"),
+    ).collect())
+    run_off, run_base, meta_rows = 0, 0, []
+    for r in sorted(blk, key=lambda r: r.seq_hi):
+        meta_rows.append((r.seq_hi, run_off, run_base))
+        run_base += int(r.s0 if run_off == 0 else r.s1)
+        run_off = (run_off + int(r.p)) % 2
+    meta = frags.sparkSession.createDataFrame(
+        meta_rows, "seq_hi long, __off int, __base long")
+    is_start = (((F.col("__cumb") + F.col("__off")) % 2) == 0).cast("long")
+    ordered = F.array_sort(F.collect_list(F.struct("seq_hi", "seq_lo", "frag")))
+    return (
+        frag.join(F.broadcast(meta), "seq_hi")
+        .withColumn("__gid",
+                    F.col("__base") + F.sum(is_start).over(w0))
+        .groupBy("__gid")
+        .agg(ordered.alias("__frags"))
+        .select(
+            F.concat_ws(line_sep,
+                        F.transform(F.col("__frags"),
+                                    lambda s: s["frag"])).alias("frag"),
+            F.col("__frags")[0]["seq_hi"].alias("seq_hi"),
+            F.col("__frags")[0]["seq_lo"].alias("seq_lo"),
+        )
+    )
+
+
+def read_dump_statements(spark: SparkSession, path: str,
+                         on_split_string: str = "error") -> DataFrame:
     """One row per SQL statement, split distributedly on ``;\\n``.
 
     Uses the native text source with a custom ``lineSep`` so a multi-GB
@@ -386,7 +486,27 @@ def read_dump_statements(spark: SparkSession, path: str) -> DataFrame:
     reference reads exactly one file per side, sync.py:566-573); a
     multi-file glob would additionally need ``_metadata.file_path`` in
     the key.
+
+    ``on_split_string`` guards the one input the separator split cannot
+    handle: a string literal that itself contains ``;\\n`` (real
+    mysqldump escapes ``\\n`` so this never occurs in conforming dumps,
+    but the engine ingests third-party dumps). Modes:
+
+    - ``"error"`` (default): a codegen unterminated-string check on
+      each fragment raises at execution time with the offending text
+      instead of silently mis-parsing — zero extra scans, one linear
+      regex pass per statement.
+    - ``"repair"``: fragments are stitched back into whole statements
+      (``_stitch_fragments``) at the cost of one extra scan + one
+      shuffle, then re-checked (a split the stitcher's single-quote
+      model can't represent still fails loudly). Whitespace INSIDE the
+      re-joined literal is preserved (trim happens after stitching).
+    - ``"ignore"``: the pre-hardening behavior, for callers that have
+      already validated the dump.
     """
+    if on_split_string not in ("error", "repair", "ignore"):
+        raise ValueError(f"on_split_string={on_split_string!r}: expected "
+                         "'error', 'repair' or 'ignore'")
     # CRLF dumps (Windows mysqldump/editors) end statements with ";\r\n",
     # which a ";\n" lineSep never matches — the whole file would arrive
     # as ONE statement. Sniff the head driver-side (KBs, not a scan) and
@@ -407,17 +527,41 @@ def read_dump_statements(spark: SparkSession, path: str) -> DataFrame:
     except OSError:
         pass
 
-    stmt = F.btrim(F.col("value"), F.lit(" \t\r\n"))
-    return (
+    frags = (
         spark.read.option("lineSep", line_sep).text(path)
         .select(
-            stmt.alias("stmt"),
+            F.col("value").alias("frag"),
             F.col("_metadata.file_block_start").alias("seq_hi"),
             F.monotonically_increasing_id()
              .bitwiseAND(_ROW_IN_PARTITION_MASK).alias("seq_lo"),
         )
-        .where((F.length("stmt") > 0) & ~F.col("stmt").startswith("--"))
     )
+    if on_split_string == "repair":
+        frags = _stitch_fragments(frags, line_sep)
+    stmt = F.btrim(F.col("frag"), F.lit(" \t\r\n"))
+    out = frags.select("frag", "seq_hi", "seq_lo").select(
+        stmt.alias("stmt"), "seq_hi", "seq_lo",
+    ).where((F.length("stmt") > 0) & ~F.col("stmt").startswith("--"))
+    if on_split_string != "ignore":
+        # "error" mode catches the split; "repair" keeps the same check
+        # AFTER stitching as a belt (a split the stitcher's single-quote
+        # model can't represent must still fail loudly, never parse
+        # garbage). assert_true is NULL on pass, so the filter keeps
+        # every valid row, and being a filter (not an unused projection)
+        # it cannot be pruned by the optimizer. Comment fragments may
+        # legitimately hold an odd quote count ("-- don't edit");
+        # exempt them IN the predicate itself so optimizer predicate
+        # reordering can't run the assert first.
+        out = out.where(F.assert_true(
+            F.col("stmt").startswith("--")
+            | ~_has_unterminated_string(F.col("stmt")),
+            F.concat(
+                F.lit("unterminated string literal in dump statement (a "
+                      "literal containing ';\\n' splits mid-string; "
+                      "re-read with on_split_string='repair'): "),
+                F.substring("stmt", 1, 120)),
+        ).isNull())
+    return out
 
 
 def _parse_insert_batches(schemas: dict[str, TableSchema]):
@@ -649,7 +793,8 @@ def _parse_inserts_jvm(inserts: DataFrame, schemas: dict[str, TableSchema]):
 def read_sql_dump(spark: SparkSession, path: str, typed: bool = True,
                   dedup_pk: bool = True,
                   tokenizer: str = "python",
-                  tables: list[str] | None = None) -> dict[str, DataFrame]:
+                  tables: list[str] | None = None,
+                  on_split_string: str = "error") -> dict[str, DataFrame]:
     """Ingest a SQL dump into a dict of DataFrames (one per table).
 
     The reference's parse_sql_dump (sync.py:29-72), distributed: DDL is
@@ -667,7 +812,8 @@ def read_sql_dump(spark: SparkSession, path: str, typed: bool = True,
     """
     out, _ = read_sql_dump_with_schemas(spark, path, typed=typed,
                                         dedup_pk=dedup_pk,
-                                        tokenizer=tokenizer, tables=tables)
+                                        tokenizer=tokenizer, tables=tables,
+                                        on_split_string=on_split_string)
     return out
 
 
@@ -675,6 +821,7 @@ def read_sql_dump_with_schemas(
     spark: SparkSession, path: str, typed: bool = True, dedup_pk: bool = True,
     tokenizer: str = "python", keep_seq: bool = False,
     tables: list[str] | None = None, ignore_missing: bool = False,
+    on_split_string: str = "error",
 ) -> tuple[dict[str, DataFrame], dict[str, TableSchema]]:
     """`read_sql_dump` plus the parsed DDL, from ONE statement scan.
 
@@ -703,7 +850,8 @@ def read_sql_dump_with_schemas(
     """
     from database_syncer_spark.core.diff import dedup_last_wins
 
-    stmts = read_dump_statements(spark, path)
+    stmts = read_dump_statements(spark, path,
+                                 on_split_string=on_split_string)
     create_stmts = [
         r.stmt for r in
         stmts.where(F.upper(F.col("stmt")).startswith("CREATE TABLE")).collect()

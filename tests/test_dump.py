@@ -387,8 +387,11 @@ def test_jvm_tokenizer_matches_python_on_adversarial_dump(spark, tmp_path, seed)
     path = _write(tmp_path, f"adv{seed}.sql", text)
     out = {}
     for tok in ("python", "jvm"):
+        # the generator plants deliberately-malformed "'stray" tails to
+        # force the scanner fallback; the default unterminated-string
+        # guard would (correctly) refuse those, so opt out here.
         tables = read_sql_dump(spark, path, typed=False, dedup_pk=False,
-                               tokenizer=tok)
+                               tokenizer=tok, on_split_string="ignore")
         out[tok] = sorted(
             (tuple(r) for r in tables["adv"].collect()),
             key=lambda t: tuple((v is None, v) for v in t))
@@ -477,3 +480,68 @@ def test_sync_dumps_table_restriction(spark, tmp_path):
     assert set(changes1) == {"t1"} and catalog1["create"] == []
     with _pytest.raises(ValueError, match="neither"):
         sync_dumps(spark, pp, bp, tables=["ghost"])
+
+
+# --- embedded ';\n' inside string literals (SURVEY §7.5 risk 1) --------------
+
+SPLIT_DDL = textwrap.dedent("""\
+    CREATE TABLE notes (
+      id int NOT NULL,
+      body text,
+      tag varchar(10),
+      PRIMARY KEY (id)
+    ) ENGINE=InnoDB;
+""")
+
+
+def test_embedded_stmt_separator_errors_loudly_by_default(spark, tmp_path):
+    """A dumped text column containing ';\\n' splits a statement
+    mid-string; the default mode must FAIL LOUDLY (quote-parity check),
+    never silently mis-parse (VERDICT r3 item 4)."""
+    from pyspark.errors import PySparkRuntimeError
+
+    dump = SPLIT_DDL + (
+        "INSERT INTO notes VALUES (1,'first line;\nsecond line','a');\n"
+    )
+    path = _write(tmp_path, "split.sql", dump)
+    with pytest.raises(Exception) as ei:
+        read_sql_dump(spark, path)["notes"].collect()
+    assert "on_split_string" in str(ei.value)
+
+
+def test_embedded_stmt_separator_repair_mode(spark, tmp_path):
+    """repair mode stitches the fragments back, preserving the embedded
+    ';\\n' and the whitespace around it inside the literal."""
+    dump = SPLIT_DDL + (
+        "INSERT INTO notes VALUES (0,'plain','x');\n"
+        "INSERT INTO notes VALUES (1,'first line;\n  second line','a');\n"
+        "INSERT INTO notes VALUES (2,'a;\nb;\nc','b');\n"
+        "INSERT INTO notes VALUES (3,'after','c');\n"
+    )
+    path = _write(tmp_path, "split_repair.sql", dump)
+    got = {r.id: (r.body, r.tag)
+           for r in read_sql_dump(
+               spark, path, on_split_string="repair")["notes"].collect()}
+    assert got == {
+        0: ("plain", "x"),
+        1: ("first line;\n  second line", "a"),
+        2: ("a;\nb;\nc", "b"),
+        3: ("after", "c"),
+    }
+
+
+def test_clean_dump_identical_across_split_modes(spark, tmp_path):
+    """On a conforming dump all three modes agree (repair is the
+    identity when no fragment has odd quote parity), including quoted
+    values with escaped quotes and semicolons NOT at line ends."""
+    dump = USERS_DDL + (
+        "INSERT INTO `users` VALUES (1,'o''brien; esq.',1.50);\n"
+        "INSERT INTO `users` VALUES (2,'b\\'c',2.25);\n"
+        "INSERT INTO `users` VALUES (3,NULL,0.00);\n"
+    )
+    path = _write(tmp_path, "clean.sql", dump)
+    frames = [read_sql_dump(spark, path, on_split_string=m)["users"]
+              for m in ("error", "repair", "ignore")]
+    rows = [sorted((r.id, r.name) for r in f.collect()) for f in frames]
+    assert rows[0] == rows[1] == rows[2]
+    assert rows[0] == [(1, "o'brien; esq."), (2, "b'c"), (3, None)]
