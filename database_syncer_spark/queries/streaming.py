@@ -130,7 +130,7 @@ def stream_transform_with_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     # fallback path keeps the default provider.
     conf_key = "spark.sql.streaming.stateStore.providerClass"
     prev = spark.conf.get(conf_key, None)
-    if tws_available():
+    if tws_available(spark):
         spark.conf.set(
             conf_key,
             "org.apache.spark.sql.execution.streaming.state."

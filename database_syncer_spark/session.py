@@ -25,6 +25,11 @@ from pyspark.sql import SparkSession
 def get_spark(app_name: str = "database_syncer_spark",
               shuffle_partitions: int | None = None) -> SparkSession:
     """Build (or reuse) the SparkSession used by the engine and tests."""
+    # Engage the protobuf shim (if the machine has a copy) BEFORE the JVM
+    # launches: Python workers inherit PYTHONPATH from the JVM, which
+    # inherits it from this process at gateway launch. No-op afterwards.
+    from database_syncer_spark.compat import ensure_protobuf
+    ensure_protobuf()
     cpus = os.environ.get("SPARK_GRAFT_CPUS") or os.cpu_count() or 4
     if shuffle_partitions is None:
         # Core-count default suits the small/medium queries; the big-data

@@ -120,16 +120,21 @@ def _lazy_type_counter():
     return TypeCounter()
 
 
-def tws_available() -> bool:
+def tws_available(spark=None) -> bool:
     """transformWithState's Python worker speaks protobuf to the JVM;
     without the google.protobuf package the worker crashes at startup.
-    (This container has no protobuf and installs are not allowed, so the
-    operator gates on it and falls back — SURVEY env rules.)"""
-    try:
-        from google.protobuf import descriptor  # noqa: F401
-        return True
-    except ImportError:
-        return False
+    The container ships no protobuf wheel and installs are banned, but
+    `compat.ensure_protobuf` discovers a usable system copy and shims it
+    onto PYTHONPATH, so on this machine the typed-state path actually
+    runs; the applyInPandasWithState fallback remains for hosts with no
+    copy at all. Pass the session so worker env injection also covers
+    JVMs launched WITHOUT the shim (the round driver builds its own
+    session — see compat.ensure_protobuf_workers)."""
+    from database_syncer_spark.compat import (
+        ensure_protobuf, ensure_protobuf_workers)
+    if spark is None:
+        return ensure_protobuf()
+    return ensure_protobuf_workers(spark)
 
 
 _FALLBACK_STATE = T.StructType([
@@ -167,7 +172,7 @@ def user_type_profile_tws(events: DataFrame) -> DataFrame:
     """Per-user type profile: transformWithStateInPandas where the
     runtime supports it, applyInPandasWithState (same semantics,
     verified by the shared oracle) where protobuf is unavailable."""
-    if tws_available():
+    if tws_available(events.sparkSession):
         return events.groupBy("user_id").transformWithStateInPandas(
             statefulProcessor=_lazy_type_counter(),
             outputStructType=TWS_OUTPUT_SCHEMA,

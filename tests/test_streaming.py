@@ -129,6 +129,49 @@ def test_stateful_running_profile(spark, staged_events):
     assert _rows(final) == _rows(batch)
 
 
+def test_transform_with_state_typed_path(spark, staged_events):
+    """The Spark-4 typed-state API (transformWithStateInPandas) must
+    ACTUALLY run on this host — the protobuf shim (compat.ensure_protobuf)
+    exists precisely so this key stops falling back — and its end-of-stream
+    per-user profile must equal the batch aggregate (every fold is
+    order-independent)."""
+    from database_syncer_spark.compat import ensure_protobuf
+    from database_syncer_spark.streaming.stateful import (
+        tws_available, user_type_profile_tws)
+    from pyspark.sql import Window as W
+
+    if not ensure_protobuf():
+        pytest.skip("no usable google.protobuf anywhere on this machine")
+    assert tws_available()
+
+    path, df = staged_events
+    conf_key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(conf_key, None)
+    spark.conf.set(
+        conf_key,
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider")
+    try:
+        sink = run_stream_to_memory(
+            spark, path, df.schema, user_type_profile_tws, "t_tws_typed",
+            output_mode="update", shuffle_partitions=8)
+    finally:
+        if prev is None:
+            spark.conf.unset(conf_key)
+        else:
+            spark.conf.set(conf_key, prev)
+
+    w = W.partitionBy("user_id").orderBy(F.col("n_events").desc())
+    final = (sink.withColumn("rn", F.row_number().over(w))
+             .where("rn = 1")
+             .select("user_id", "n_events", "n_types", "max_value"))
+    batch = df.groupBy("user_id").agg(
+        F.count("*").alias("n_events"),
+        F.countDistinct("event_type").alias("n_types"),
+        F.max("value").alias("max_value"))
+    assert _rows(final) == _rows(batch)
+
+
 def test_staging_publish_survives_concurrent_winner(spark, tmp_path):
     """_publish_staging must accept a complete staging that appeared
     concurrently (rename loses the race) and clean up its own tmp dir —
