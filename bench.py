@@ -185,7 +185,11 @@ def main() -> None:
                         "keys time serving + brute-force verify + recall "
                         "join and so overstate serving cost by design; "
                         "r4 also adds a codegen unterminated-string guard "
-                        "to the dump statement path (scan_sql_dump)"),
+                        "to the dump statement path (scan_sql_dump); "
+                        "r3's +45%-uniform regression was adjudicated r4 "
+                        "on a quiet host: 12-key total 7.37s (r2 6.99, r3 "
+                        "10.13), scan_sql_dump 0.45s (r3 0.80) — host "
+                        "load, not plan regression; no bisect needed"),
     }))
 
 
