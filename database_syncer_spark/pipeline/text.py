@@ -77,6 +77,37 @@ def token_count_bpe(documents: DataFrame) -> DataFrame:
     )
 
 
+def chunk_split(documents: DataFrame, chunk_tokens: int = 16) -> DataFrame:
+    """Context-window chunking: split each document's token stream into
+    fixed-size non-overlapping chunks (the sequence-slicing step every
+    training pipeline runs before packing/batching). Chunk i of a doc
+    with n tokens covers token positions [i*C, min((i+1)*C, n)) —
+    n_chunks = ceil(n/C), the tail chunk may be short.
+
+    Scale: doc-local (tokenize → sequence-explode → slice), zero
+    shuffles; output volume is ~n/C rows per doc, each carrying only its
+    own slice — no duplication of the full text. All codegen built-ins
+    (split/sequence/explode/slice/concat_ws), no Python."""
+    d = (documents
+         .select("doc_id", tokens(F.col("text")).alias("toks"))
+         .withColumn("n_tokens", F.size("toks"))
+         .where(F.col("n_tokens") > 0))
+    n_chunks = F.ceil(F.col("n_tokens") / F.lit(chunk_tokens)).cast("int")
+    d = d.withColumn(
+        "chunk_id", F.explode(F.sequence(F.lit(0), n_chunks - F.lit(1))))
+    start = (F.col("chunk_id") * chunk_tokens).cast("int")
+    length = F.least(F.lit(chunk_tokens),
+                     F.col("n_tokens") - start).cast("int")
+    return d.select(
+        "doc_id",
+        F.col("chunk_id").cast("int").alias("chunk_id"),
+        start.alias("tok_start"),
+        length.alias("n_chunk_tokens"),
+        F.concat_ws(" ", F.slice("toks", start + F.lit(1), length))
+         .alias("chunk_text"),
+    )
+
+
 def fingerprint(documents: DataFrame) -> DataFrame:
     """Order-insensitive document fingerprint: md5 of the sorted distinct
     token set — near-free dedup key for bag-of-words-identical docs."""

@@ -510,9 +510,48 @@ def win_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
                     steps.cast("int").alias("steps_completed")))
 
 
+#: sessionization gap (micros): 12 h — the fixture's median per-user
+#: inter-event gap is ~7 h and p90 ~25 h, so real splits occur.
+_SESSION_GAP_US = 12 * 3600 * 1_000_000
+
+
+def win_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization of the event log: a user's events belong to
+    one session until an inter-event gap exceeds 12 h, then a new session
+    starts — the gap-based log-analytics staple (the batch analog of
+    `stream_session_window`, which uses Spark's session_window; this is
+    the classic lag + cumulative-sum window construction, exact-SQL
+    oracle-able). Output: one row per session with bounds and size.
+
+    Scale: everything partitions by user_id — the lag window, the
+    running-sum window, and the final groupBy all reuse ONE hash
+    partitioning (single Exchange); no global window, no state. Gap
+    arithmetic is exact int64 micros (no float time math)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "value")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    # ts arrives NTZ (plain micros parquet) or LTZ (the nanos->micros
+    # path); session tz is pinned UTC, so the cast is an identity that
+    # just satisfies unix_micros' type check.
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    gap = us - F.lag(us).over(w)
+    is_new = F.when(gap.isNull() | (gap > _SESSION_GAP_US), 1).otherwise(0)
+    sess = (ev.withColumn("__new", is_new)
+            .withColumn("session_seq",
+                        F.sum("__new").over(
+                            w.rowsBetween(W.unboundedPreceding, W.currentRow))))
+    return (sess.groupBy("user_id", "session_seq")
+            .agg(F.count("*").alias("n_events"),
+                 F.min("ts").alias("session_start"),
+                 F.max("ts").alias("session_end"),
+                 F.sum(F.col("value").cast("decimal(18,2)"))
+                  .cast("double").alias("session_value")))
+
+
 QUERIES = {
     "join_runtime_bloom": join_runtime_bloom,
     "win_funnel_steps": win_funnel_steps,
+    "win_sessionize": win_sessionize,
     "join_range_banded": join_range_banded,
     "join_skew_salted": join_skew_salted,
     "win_ntile_cume": win_ntile_cume,
@@ -539,6 +578,27 @@ QUERIES = {
 }
 
 ORACLES = {
+    # exact int64-micros gap arithmetic both sides; session_seq cast to
+    # BIGINT (DuckDB sum(int) is HUGEINT — the r2 canonicalization trap)
+    "win_sessionize": f"""
+WITH g AS (
+  SELECT user_id, ts, event_id, value,
+         CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                   OR epoch_us(ts) - lag(epoch_us(ts)) OVER w
+                      > {_SESSION_GAP_US}
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), s AS (
+  SELECT *, sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS session_seq
+  FROM g)
+SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+       count(*) AS n_events,
+       min(ts) AS session_start, max(ts) AS session_end,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS session_value
+FROM s GROUP BY user_id, session_seq
+""",
     "win_funnel_steps": """
 WITH s AS (SELECT user_id, min(ts) AS signup_ts FROM events
            WHERE event_type = 'signup' GROUP BY user_id),

@@ -183,6 +183,13 @@ def text_decontaminate(spark, sf_dir):
     return T.decontaminate(docs.where(~is_eval), docs.where(is_eval))
 
 
+def text_chunk_split(spark, sf_dir):
+    """Context-window chunking (pipeline/text.py:chunk_split): each doc's
+    token stream cut into fixed 16-token chunks with offsets + the chunk
+    text itself — the pre-packing step of sequence preparation."""
+    return T.chunk_split(load_table(spark, sf_dir, "documents"))
+
+
 def text_repetition(spark, sf_dir):
     return T.repetition_score(load_table(spark, sf_dir, "documents"))
 
@@ -286,6 +293,7 @@ QUERIES = {
     "text_tfidf_topk": text_tfidf_topk,
     "text_decontaminate": text_decontaminate,
     "text_repetition": text_repetition,
+    "text_chunk_split": text_chunk_split,
     "text_pii_scrub": text_pii_scrub,
     "multimodal_columns": multimodal_columns,
     "multimodal_decode": multimodal_decode,
@@ -572,6 +580,28 @@ ORACLES = {
     "text_pii_scrub": _PII_SQL,
     "text_decontaminate": _DECONTAMINATE_SQL,
     "text_repetition": _REPETITION_SQL,
+    # 1-based inclusive DuckDB list slice == Spark slice(toks, start+1, len)
+    "text_chunk_split": """
+WITH d AS (
+  SELECT doc_id, string_split(text, ' ') AS toks,
+         len(string_split(text, ' ')) AS n_tokens
+  FROM documents
+), e AS (
+  SELECT doc_id, toks, n_tokens,
+         CAST(unnest(range(0, CAST(ceil(n_tokens / 16.0) AS BIGINT)))
+              AS INT) AS chunk_id
+  FROM d
+  WHERE n_tokens > 0
+)
+SELECT doc_id, chunk_id,
+       CAST(chunk_id * 16 AS INT) AS tok_start,
+       CAST(least(16, n_tokens - chunk_id * 16) AS INT) AS n_chunk_tokens,
+       array_to_string(
+         toks[chunk_id * 16 + 1 :
+              chunk_id * 16 + least(16, n_tokens - chunk_id * 16)],
+         ' ') AS chunk_text
+FROM e
+""",
     "text_langid": _LANGID_SQL,
     "dedup_minhash_lsh": _MINHASH_SQL,
     "dedup_simhash": _simhash_sql(),

@@ -42,6 +42,9 @@ _KEY_ORDER = [
     "dedup_minhash_lsh",     # banded LSH, exact-SQL oracle added r3
     "dedup_simhash",         # 6-block pigeonhole, pinned-rows oracle r3
     "text_langid",           # n-gram heuristic, exact-SQL oracle r3
+    # --- NEW in r4 (never driver-checked) — verify this round ---
+    "win_sessionize",        # gap-based batch sessionization
+    "text_chunk_split",      # fixed-size context-window chunking
     # --- driver-green in r1 only, least-recently verified — refresh ---
     "agg_argmax_minby", "agg_collect_sorted", "subq_exists_sql",
     "subq_scalar_agg", "scan_csv_roundtrip", "scan_jsonl_roundtrip",

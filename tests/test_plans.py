@@ -238,3 +238,23 @@ def test_decontaminate_broadcasts_eval_side(spark, sf_dir):
     plan = _plan(all_queries()["text_decontaminate"](spark, sf_dir))
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_sessionize_single_exchange(spark, sf_dir):
+    """win_sessionize's lag window, running-sum window, and final rollup
+    must all reuse ONE user_id hash partitioning — a second Exchange
+    would re-shuffle the event log per stage at 100 TB."""
+    from database_syncer_spark.registry import all_queries
+
+    plan = _plan(all_queries()["win_sessionize"](spark, sf_dir))
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_chunk_split_zero_shuffle(spark, sf_dir):
+    """text_chunk_split is doc-local (tokenize -> explode -> slice):
+    any Exchange in its plan means a scale bug."""
+    from database_syncer_spark.registry import all_queries
+
+    plan = _plan(all_queries()["text_chunk_split"](spark, sf_dir))
+    assert "Exchange" not in plan, plan
+    assert "BatchEvalPython" not in plan  # codegen built-ins only
