@@ -1,0 +1,157 @@
+#!/usr/bin/env python
+"""sf1+-scale probe (VERDICT r3 item 5): the plan guards prove SHAPE, this
+proves the shapes survive 10-500x the driver fixtures without memory or
+skew cliffs.
+
+Builds a synthetic big fixture dir by replicating /root/testdata/sf0.1
+with key shifts and CONTENT perturbation (a naive copy would make every
+doc an exact near-dup of its replicas and every embedding a duplicate
+point — trivializing dedup and ANN instead of stressing them):
+
+- orders   x ORDERS_MULT  (o_orderkey shifted per replica)          ~1.5M
+- documents x DOCS_MULT   (doc_id shifted; ~half the tokens of each
+  replica get a replica-specific suffix via xxhash64, pushing
+  cross-replica Jaccard to ~1/3 — organic near-dups within a replica
+  survive, replicas don't collapse into one giant cluster)          ~1M
+- embeddings x EMB_MULT   (vec_id shifted; each component scaled by a
+  deterministic +-5% factor keyed on (vec_id, pos, replica), so
+  replicas are nearby-but-distinct points — cells stay balanced)    ~1M
+
+Then runs the three 100-TB-story keys END TO END through the registry
+(same code the driver grades): diff_bucketed_zeroshuffle,
+dedup_minhash_lsh, sim_ivfpq_ann. Records wall seconds and the JVM's
+peak RSS (VmHWM — cumulative, so per-key values are monotone; the delta
+is what a key added). Prints one JSON line; SCALE.md carries the table.
+
+Usage: python scripts/scale_probe.py [--out /tmp/dss_sf1] [--skip-gen]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SRC = "/root/testdata/sf0.1"
+ORDERS_MULT = 10    # 150k -> 1.5M rows/side in the diff
+DOCS_MULT = 200     # 5k   -> 1M docs through MinHash-LSH
+EMB_MULT = 500      # 2k   -> 1M vectors through IVF-PQ
+
+KEYS = ["diff_bucketed_zeroshuffle", "dedup_minhash_lsh", "sim_ivfpq_ann"]
+
+
+def _jvm_peak_rss_kb() -> int | None:
+    """VmHWM of the py4j-launched JVM (a direct child 'java' process)."""
+    me = os.getpid()
+    for pid in os.listdir("/proc"):
+        if not pid.isdigit():
+            continue
+        try:
+            with open(f"/proc/{pid}/stat") as fh:
+                parts = fh.read().split()
+            if parts[1] == "(java)" and int(parts[3]) == me:
+                with open(f"/proc/{pid}/status") as fh:
+                    for line in fh:
+                        if line.startswith("VmHWM:"):
+                            return int(line.split()[1])
+        except (OSError, IndexError, ValueError):
+            continue
+    return None
+
+
+def _generate(spark, out: str) -> None:
+    from pyspark.sql import functions as F
+    from database_syncer_spark.catalog import load_table
+
+    def reps(n):
+        return F.explode(F.sequence(F.lit(0), F.lit(n - 1))).alias("rep")
+
+    orders = load_table(spark, SRC, "orders")
+    (orders.select("*", reps(ORDERS_MULT))
+     .withColumn("o_orderkey",
+                 F.col("o_orderkey") + F.col("rep").cast("long") * 1_000_000_000)
+     .drop("rep")
+     .repartition(32)
+     .write.mode("overwrite").parquet(os.path.join(out, "orders.parquet")))
+
+    docs = load_table(spark, SRC, "documents")
+    toks = F.split(F.col("text"), " ")
+    perturbed = F.transform(
+        toks,
+        lambda t, pos: F.when(
+            F.pmod(F.xxhash64(F.col("doc_id"), pos, F.col("rep")), F.lit(2)) == 0,
+            F.concat(t, F.lit("_r"), F.col("rep").cast("string"))
+        ).otherwise(t))
+    (docs.select("*", reps(DOCS_MULT))
+     .withColumn("doc_id",
+                 F.col("doc_id") + F.col("rep").cast("long") * 100_000_000)
+     .withColumn("text", F.when(F.col("rep") == 0, F.col("text"))
+                 .otherwise(F.concat_ws(" ", perturbed)))
+     .withColumn("n_chars", F.length("text"))
+     .drop("rep")
+     .repartition(32)
+     .write.mode("overwrite").parquet(os.path.join(out, "documents.parquet")))
+
+    emb = load_table(spark, SRC, "embeddings")
+
+    def scaled(v, pos):
+        f = (1.0 + 0.05 * (
+            F.pmod(F.xxhash64(F.col("vec_id"), pos, F.col("rep")),
+                   F.lit(7)).cast("double") - 3.0) / 3.0)
+        return (v.cast("double") * f).cast("float")
+
+    (emb.select("*", reps(EMB_MULT))
+     .withColumn("vec_id",
+                 F.col("vec_id") + F.col("rep").cast("long") * 100_000_000)
+     .withColumn("embedding", F.transform("embedding", scaled))
+     .drop("rep")
+     .repartition(32)
+     .write.mode("overwrite").parquet(os.path.join(out, "embeddings.parquet")))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", default="/tmp/dss_sf1")
+    ap.add_argument("--skip-gen", action="store_true")
+    ap.add_argument("--keys", default=",".join(KEYS))
+    args = ap.parse_args()
+
+    from database_syncer_spark.session import get_spark
+    from database_syncer_spark.registry import all_queries
+
+    spark = get_spark("scale_probe", shuffle_partitions=64)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    gen_sec = None
+    if not args.skip_gen or not os.path.isdir(args.out):
+        t0 = time.perf_counter()
+        _generate(spark, args.out)
+        gen_sec = round(time.perf_counter() - t0, 1)
+
+    queries = all_queries()
+    results = {}
+    for key in args.keys.split(","):
+        t0 = time.perf_counter()
+        queries[key](spark, args.out).write.format("noop").mode("overwrite").save()
+        results[key] = {
+            "wall_sec": round(time.perf_counter() - t0, 1),
+            "jvm_peak_rss_gb": round((_jvm_peak_rss_kb() or 0) / 1e6, 2),
+        }
+        print(key, results[key], file=sys.stderr)
+
+    print(json.dumps({
+        "metric": "sf1_scale_probe",
+        "src": SRC,
+        "mults": {"orders": ORDERS_MULT, "documents": DOCS_MULT,
+                  "embeddings": EMB_MULT},
+        "gen_sec": gen_sec,
+        "results": results,
+    }))
+
+
+if __name__ == "__main__":
+    main()
