@@ -136,13 +136,41 @@ def main() -> None:
 
     emb = load_table(spark, sf_dir, "embeddings")
     dim = _emb_dim(sf_dir, emb)
+
+    # Train-once/serve-many (r4): a deployment builds each index ONCE
+    # (model training + corpus coding — ann_index_build below), stores
+    # the coded corpus at rest (persist+count here stands in for the
+    # partitioned parquet), and serves queries against it. Serving
+    # latency — the number ANN work should improve — is the index= path.
+    ann_index_build: dict[str, float] = {}
+    indexes: dict[str, dict] = {}
+    corpus_keys = {"lsh": "bucketed", "ivf": "assigned",
+                   "pq": "coded", "ivfpq": "coded"}
+    builders = {
+        "lsh": lambda: S.build_lsh_index(emb, dim=dim),
+        "ivf": lambda: S.build_ivf_index(emb, dim=dim),
+        "pq": lambda: S.build_pq_index(emb, dim=dim),
+        "ivfpq": lambda: S.build_ivfpq_index(emb, dim=dim),
+    }
+    for name, build in builders.items():
+        t0 = time.perf_counter()
+        idx = build()
+        corpus = idx[corpus_keys[name]].persist()
+        corpus.count()          # materialize the at-rest artifact
+        ann_index_build[name] = round(time.perf_counter() - t0, 3)
+        indexes[name] = idx
+
     serving_fns = {
         "sim_topk_cosine_serve":
             lambda: S.brute_force_topk(emb, dim=dim),
-        "sim_lsh_ann_serve": lambda: S.lsh_ann_topk(emb, dim=dim),
-        "sim_ivf_ann_serve": lambda: S.ivf_ann_topk(emb, dim=dim),
-        "sim_pq_ann_serve": lambda: S.pq_ann_topk(emb, dim=dim),
-        "sim_ivfpq_ann_serve": lambda: S.ivfpq_ann_topk(emb, dim=dim),
+        "sim_lsh_ann_serve":
+            lambda: S.lsh_ann_topk(emb, dim=dim, index=indexes["lsh"]),
+        "sim_ivf_ann_serve":
+            lambda: S.ivf_ann_topk(emb, dim=dim, index=indexes["ivf"]),
+        "sim_pq_ann_serve":
+            lambda: S.pq_ann_topk(emb, dim=dim, index=indexes["pq"]),
+        "sim_ivfpq_ann_serve":
+            lambda: S.ivfpq_ann_topk(emb, dim=dim, index=indexes["ivfpq"]),
     }
     ann_serving: dict[str, float] = {}
     for skey, build in serving_fns.items():
@@ -152,6 +180,10 @@ def main() -> None:
             return time.perf_counter() - t0
         srun()  # warmup
         ann_serving[skey] = round(sorted(srun() for _ in range(3))[1], 3)
+    for idx in indexes.values():
+        for name in corpus_keys.values():
+            if name in idx:
+                idx[name].unpersist()
 
     # Previous-round totals, so the regression gate is visible in the
     # artifact itself (BENCH_r01: 12-key headline total 8.13s at sf0.1).
@@ -174,6 +206,7 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "secondary": secondary,
+        "ann_index_build": ann_index_build,
         "ann_serving": ann_serving,
         "prev_totals": prev,
         "sf": sf,
@@ -181,9 +214,12 @@ def main() -> None:
                         "(r01 used median of 3); "
                         "secondary (not in value): 1 warmup, median of 3; "
                         "ann_serving (new r4): the *_ann_topk serving call "
-                        "alone, 1 warmup median of 3 — the sim_* secondary "
-                        "keys time serving + brute-force verify + recall "
-                        "join and so overstate serving cost by design; "
+                        "against a PREBUILT persisted index (train-once/"
+                        "serve-many; ann_index_build is the one-time "
+                        "train+code cost), 1 warmup median of 3 — the "
+                        "sim_* secondary keys time inline-build serving + "
+                        "brute-force verify + recall join and so overstate "
+                        "serving cost by design; "
                         "r4 also adds a codegen unterminated-string guard "
                         "to the dump statement path (scan_sql_dump); "
                         "r3's +45%-uniform regression was adjudicated r4 "

@@ -130,13 +130,13 @@ def _bucket_expr(planes: list[list[float]]):
     return bucket
 
 
-def lsh_ann_topk(embeddings: DataFrame, n_queries: int = 10, k: int = 10,
-                 n_planes: int = 4, n_tables: int = 2,
-                 dim: int = 64) -> DataFrame:
-    """Approximate top-k: union of per-table bucket matches, exact re-rank.
-
-    Returns the same schema as brute_force_topk (rank within retrieved
-    candidates); tests measure recall against the exact path."""
+def build_lsh_index(embeddings: DataFrame, n_planes: int = 4,
+                    n_tables: int = 2, dim: int = 64) -> dict:
+    """The at-rest LSH layout: the corpus with per-table bucket ids —
+    what a 100-TB deployment precomputes once and stores partitioned by
+    (tbl, bucket). Pass the result as ``index=`` to :func:`lsh_ann_topk`
+    to time/serve queries without re-bucketing the corpus per call
+    (persist it first to actually pin the at-rest state)."""
     e = embeddings.select("vec_id", "embedding",
                           V.norm("embedding", dim).alias("nrm"))
     per_table = []
@@ -148,6 +148,23 @@ def lsh_ann_topk(embeddings: DataFrame, n_queries: int = 10, k: int = 10,
     bucketed = per_table[0]
     for p in per_table[1:]:
         bucketed = bucketed.unionByName(p)
+    return {"bucketed": bucketed}
+
+
+def lsh_ann_topk(embeddings: DataFrame, n_queries: int = 10, k: int = 10,
+                 n_planes: int = 4, n_tables: int = 2,
+                 dim: int = 64, index: dict | None = None) -> DataFrame:
+    """Approximate top-k: union of per-table bucket matches, exact re-rank.
+
+    Returns the same schema as brute_force_topk (rank within retrieved
+    candidates); tests measure recall against the exact path. ``index``:
+    a prebuilt :func:`build_lsh_index` result (train-once/serve-many);
+    built inline when absent — results are identical either way (the
+    build is deterministic), pinned by test."""
+    if index is None:
+        index = build_lsh_index(embeddings, n_planes=n_planes,
+                                n_tables=n_tables, dim=dim)
+    bucketed = index["bucketed"]
 
     q = (bucketed.where(F.col("vec_id") < n_queries)
          .select(F.col("vec_id").alias("query_id"),
@@ -282,9 +299,25 @@ def _topk_cols_deterministic(approx, vids, keep):
     return out
 
 
+def build_pq_index(embeddings: DataFrame, m: int = 8, dim: int = 64,
+                   k_sub: int = 16) -> dict:
+    """The at-rest PQ artifact: trained codebooks (model state,
+    m×k_sub×(dim/m) floats) + the coded corpus (m uint8 codes per row —
+    the 32× compression that IS the point of PQ). A deployment builds
+    this once per corpus version; pass as ``index=`` to
+    :func:`pq_ann_topk` to serve without retraining/recoding."""
+    if dim % m:
+        raise ValueError(f"dim={dim} not divisible by m={m}")
+    books = train_pq_codebooks(embeddings, m=m, dim=dim, k_sub=k_sub)
+    coded = _with_pq_codes(
+        embeddings.select("vec_id", "embedding"), books, m, dim
+    ).select("vec_id", "pq_codes")
+    return {"books": books, "coded": coded}
+
+
 def pq_ann_topk(embeddings: DataFrame, n_queries: int = 10, k: int = 10,
                 m: int = 8, dim: int = 64, k_sub: int = 16,
-                refine: int = 8) -> DataFrame:
+                refine: int = 8, index: dict | None = None) -> DataFrame:
     """Approximate top-k via product quantization + asymmetric distance
     (ADC): corpus vectors live as m uint8 codes (8 bytes vs 256 — the
     32× memory compression that fits a 100-TB embedding corpus in a
@@ -305,12 +338,9 @@ def pq_ann_topk(embeddings: DataFrame, n_queries: int = 10, k: int = 10,
     import numpy as np
     import pandas as pd
 
-    if dim % m:
-        raise ValueError(f"dim={dim} not divisible by m={m}")
-    books = train_pq_codebooks(embeddings, m=m, dim=dim, k_sub=k_sub)
-    coded = _with_pq_codes(
-        embeddings.select("vec_id", "embedding"), books, m, dim
-    ).select("vec_id", "pq_codes")
+    if index is None:
+        index = build_pq_index(embeddings, m=m, dim=dim, k_sub=k_sub)
+    books, coded = index["books"], index["coded"]
 
     d_sub = dim // m
     qrows = (embeddings.where(F.col("vec_id") < n_queries)
@@ -404,10 +434,26 @@ def _exact_rerank(embeddings: DataFrame, scored: DataFrame, n_queries: int,
     )
 
 
+def build_ivfpq_index(embeddings: DataFrame, n_cells: int = 16, m: int = 8,
+                      dim: int = 64, k_sub: int = 16) -> dict:
+    """The at-rest IVF-PQ artifact: IVF centroids + PQ codebooks (model
+    state) and the corpus coded in ONE Arrow pass with (cell, pq_codes)
+    — exactly what a 100-TB deployment stores ``partitionBy("cell")``.
+    Pass as ``index=`` to :func:`ivfpq_ann_topk` to serve without
+    retraining or re-coding."""
+    if dim % m:
+        raise ValueError(f"dim={dim} not divisible by m={m}")
+    centroids = train_ivf_centroids(embeddings, n_cells=n_cells, dim=dim)
+    books = train_pq_codebooks(embeddings, m=m, dim=dim, k_sub=k_sub)
+    coded = _with_cell_and_codes(
+        embeddings.select("vec_id", "embedding"), centroids, books, m, dim)
+    return {"centroids": centroids, "books": books, "coded": coded}
+
+
 def ivfpq_ann_topk(embeddings: DataFrame, n_queries: int = 10, k: int = 10,
                    n_cells: int = 16, n_probe: int = 4, m: int = 8,
                    dim: int = 64, k_sub: int = 16,
-                   refine: int = 8) -> DataFrame:
+                   refine: int = 8, index: dict | None = None) -> DataFrame:
     """IVF-PQ: the composed 100-TB serving shape — IVF prunes WHICH rows
     are scanned (each query touches n_probe/n_cells of the corpus; at
     rest the code table partitions by cell so the pruning happens at the
@@ -424,12 +470,11 @@ def ivfpq_ann_topk(embeddings: DataFrame, n_queries: int = 10, k: int = 10,
     import numpy as np
     import pandas as pd
 
-    if dim % m:
-        raise ValueError(f"dim={dim} not divisible by m={m}")
-    centroids = train_ivf_centroids(embeddings, n_cells=n_cells, dim=dim)
-    books = train_pq_codebooks(embeddings, m=m, dim=dim, k_sub=k_sub)
-    coded = _with_cell_and_codes(
-        embeddings.select("vec_id", "embedding"), centroids, books, m, dim)
+    if index is None:
+        index = build_ivfpq_index(embeddings, n_cells=n_cells, m=m,
+                                  dim=dim, k_sub=k_sub)
+    centroids, books, coded = (
+        index["centroids"], index["books"], index["coded"])
 
     d_sub = dim // m
     qrows = (embeddings.where(F.col("vec_id") < n_queries)
@@ -630,9 +675,25 @@ def train_ivf_centroids(embeddings: DataFrame, n_cells: int = 16,
     return centroids
 
 
+def build_ivf_index(embeddings: DataFrame, n_cells: int = 16,
+                    dim: int = 64) -> dict:
+    """The at-rest IVF artifact: trained centroids (C×dim model state) +
+    the corpus with its nearest-cell assignment — what a deployment
+    stores ``partitionBy("cell")`` so probes prune at the scan. Pass as
+    ``index=`` to :func:`ivf_ann_topk` to serve without retraining or
+    re-assigning."""
+    centroids = train_ivf_centroids(embeddings, n_cells=n_cells, dim=dim)
+    assigned = (_with_probe_cells(
+        embeddings.select("vec_id", "embedding"), centroids, n_probe=1)
+        .select("vec_id", "embedding",
+                V.norm("embedding", dim).alias("nrm"),
+                F.col("probe_cells")[0].alias("cell")))
+    return {"centroids": centroids, "assigned": assigned}
+
+
 def ivf_ann_topk(embeddings: DataFrame, n_queries: int = 10, k: int = 10,
                  n_cells: int = 16, n_probe: int = 4,
-                 dim: int = 64) -> DataFrame:
+                 dim: int = 64, index: dict | None = None) -> DataFrame:
     """Approximate top-k via IVF cells: assign corpus rows to their nearest
     centroid, probe each query's n_probe nearest cells, exact re-rank of
     the candidates. Same output schema as brute_force_topk.
@@ -641,12 +702,9 @@ def ivf_ann_topk(embeddings: DataFrame, n_queries: int = 10, k: int = 10,
     (df.write.partitionBy("cell")) so a probe prunes to n_probe/n_cells of
     the data at the parquet-scan level; the candidate join below then
     shuffles only candidates, never the corpus."""
-    centroids = train_ivf_centroids(embeddings, n_cells=n_cells, dim=dim)
-    e = (_with_probe_cells(
-            embeddings.select("vec_id", "embedding"), centroids, n_probe=1)
-         .select("vec_id", "embedding",
-                 V.norm("embedding", dim).alias("nrm"),
-                 F.col("probe_cells")[0].alias("cell")))
+    if index is None:
+        index = build_ivf_index(embeddings, n_cells=n_cells, dim=dim)
+    centroids, e = index["centroids"], index["assigned"]
     q = (_with_probe_cells(
             embeddings.select("vec_id", "embedding")
             .where(F.col("vec_id") < n_queries), centroids, n_probe=n_probe)

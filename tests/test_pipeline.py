@@ -469,3 +469,28 @@ def test_pii_scrub_detects_and_redacts(spark):
     assert not got[2].has_pii
     assert got[2].redacted_md5 == hashlib.md5(
         b"no personal data in this sentence at all").hexdigest()
+
+
+def test_prebuilt_index_serving_identical(spark, sf_dir):
+    """Train-once/serve-many: serving against a prebuilt (persisted)
+    index must return EXACTLY the rows the inline-build path returns,
+    for every ANN family — the at-rest artifact is a pure
+    factoring-out of the build, not a different algorithm."""
+    from database_syncer_spark.pipeline import similarity as S
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cases = [
+        (S.build_lsh_index, S.lsh_ann_topk, "bucketed"),
+        (S.build_ivf_index, S.ivf_ann_topk, "assigned"),
+        (S.build_pq_index, S.pq_ann_topk, "coded"),
+        (S.build_ivfpq_index, S.ivfpq_ann_topk, "coded"),
+    ]
+    for build, serve, corpus_key in cases:
+        idx = build(emb)
+        idx[corpus_key].persist().count()
+        try:
+            got = sorted(map(tuple, serve(emb, index=idx).collect()))
+            inline = sorted(map(tuple, serve(emb).collect()))
+            assert got == inline, serve.__name__
+        finally:
+            idx[corpus_key].unpersist()
