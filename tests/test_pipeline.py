@@ -190,7 +190,9 @@ def test_lsh_ann_recall(spark, sf_dir):
         len(true_sets[q] & got_sets.get(q, set())) / len(true_sets[q])
         for q in true_sets
     ]
-    assert sum(recalls) / len(recalls) >= 0.15  # 4 planes x 2 tables on random data
+    # fully deterministic path on a fixed fixture: measured 0.18 exactly
+    # (r4), so the bound is tight — a real recall bug fails, noise can't
+    assert sum(recalls) / len(recalls) >= 0.17
     # every ANN cosine must match the exact cosine for that pair
     exact_cos = {(r.query_id, r.neighbor_id): r.cosine for r in exact.collect()}
     for r in approx.collect():
@@ -222,8 +224,9 @@ def test_ivf_ann_recall(spark, sf_dir):
         len(true_sets[q] & got_sets.get(q, set())) / len(true_sets[q])
         for q in true_sets
     ]
-    # probing 4/16 cells on random data: recall well above the 25% mass scanned
-    assert sum(recalls) / len(recalls) >= 0.3
+    # probing 4/16 cells on random data: recall well above the 25% mass
+    # scanned; deterministic path, measured 0.53 exactly (r4) — tight bound
+    assert sum(recalls) / len(recalls) >= 0.5
     # ANN cosines are exact for retrieved pairs (re-rank is exact)
     exact_cos = {(r.query_id, r.neighbor_id): r.cosine for r in exact.collect()}
     for r in rows:
@@ -339,7 +342,8 @@ def test_pq_ann_recall_and_compression(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
     bf = {(r.query_id, r.neighbor_id) for r in brute_force_topk(emb).collect()}
     pq = {(r.query_id, r.neighbor_id) for r in pq_ann_topk(emb).collect()}
-    assert len(bf & pq) / len(bf) >= 0.6, f"recall {len(bf & pq)/len(bf)}"
+    # deterministic path on the fixed fixture: measured 0.81 exactly (r4)
+    assert len(bf & pq) / len(bf) >= 0.75, f"recall {len(bf & pq)/len(bf)}"
 
     books = train_pq_codebooks(emb, m=8, dim=64, k_sub=16)
     assert len(books) == 8 and all(len(b) == 16 for b in books)
@@ -398,7 +402,9 @@ def test_ivfpq_composition(spark, sf_dir):
     thr = {r.query_id for r in got}
     per_q = {q: sum(1 for r in got if r.query_id == q) for q in thr}
     assert all(n <= 10 for n in per_q.values())
-    assert hits / total >= 0.3
+    # deterministic: every retrieved pair sat in the exact top-100 on
+    # the fixture (measured 1.0, r4); 0.9 leaves margin for fixture regen
+    assert hits / total >= 0.9
 
 
 def test_decontaminate_flags_planted_overlap(spark):
