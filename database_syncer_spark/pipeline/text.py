@@ -77,6 +77,44 @@ def token_count_bpe(documents: DataFrame) -> DataFrame:
     )
 
 
+def ngram_lm_score(documents: DataFrame,
+                   flag_below: float = -6.0) -> DataFrame:
+    """Corpus-LM fluency scoring: train a bigram MLE model ON the corpus
+    itself and score each doc by its mean log2 P(w2|w1) — the in-engine
+    analog of the KenLM-perplexity filters every pre-training pipeline
+    runs (docs whose word transitions are atypical for the corpus score
+    low). Output: (doc_id, n_bigrams, lm_score, flagged).
+
+    Shape: one bigram explode over the corpus (zip_with of two slices,
+    pure codegen), two hash aggregations for the model counts — both
+    VOCABULARY²-bounded, i.e. sublinear in corpus size by Heaps' law —
+    then a model⋈bigrams join that is broadcast/AQE territory at scale
+    (same argument as tfidf_topk's df join), and one per-doc mean.
+    Docs with <2 tokens have no bigrams and are excluded (no LM
+    evidence either way). Determinism: per-bigram log2(c12)-log2(c1)
+    rounds to 9 dp (integer-arg log2 may differ in the last ulp between
+    engines), the per-doc mean to 6 dp — the tfidf discipline."""
+    toks = tokens(F.col("text"))
+    d = (documents.select("doc_id", toks.alias("t"))
+         .withColumn("n", F.size("t"))
+         .where(F.col("n") >= 2))
+    pair = F.zip_with(
+        F.slice("t", 1, F.col("n") - 1),
+        F.slice("t", 2, F.col("n") - 1),
+        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")))
+    big = d.select("doc_id", F.explode(pair).alias("bg")).select(
+        "doc_id", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+    c12 = big.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
+    c1 = big.groupBy("w1").agg(F.count("*").alias("c1"))
+    lp = F.round(F.log2("c12") - F.log2("c1"), 9)
+    scored = (big.join(c12, ["w1", "w2"]).join(c1, "w1")
+              .select("doc_id", lp.alias("lp")))
+    return (scored.groupBy("doc_id")
+            .agg(F.count("*").alias("n_bigrams"),
+                 F.round(F.avg("lp"), 6).alias("lm_score"))
+            .withColumn("flagged", F.col("lm_score") < flag_below))
+
+
 def chunk_split(documents: DataFrame, chunk_tokens: int = 16) -> DataFrame:
     """Context-window chunking: split each document's token stream into
     fixed-size non-overlapping chunks (the sequence-slicing step every

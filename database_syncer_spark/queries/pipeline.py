@@ -183,6 +183,13 @@ def text_decontaminate(spark, sf_dir):
     return T.decontaminate(docs.where(~is_eval), docs.where(is_eval))
 
 
+def text_ngram_lm_score(spark, sf_dir):
+    """Corpus-bigram-LM fluency score per doc (pipeline/text.py:
+    ngram_lm_score) — the KenLM-style perplexity filter re-expressed as
+    two vocabulary-bounded aggs + one join."""
+    return T.ngram_lm_score(load_table(spark, sf_dir, "documents"))
+
+
 def text_chunk_split(spark, sf_dir):
     """Context-window chunking (pipeline/text.py:chunk_split): each doc's
     token stream cut into fixed 16-token chunks with offsets + the chunk
@@ -294,6 +301,7 @@ QUERIES = {
     "text_decontaminate": text_decontaminate,
     "text_repetition": text_repetition,
     "text_chunk_split": text_chunk_split,
+    "text_ngram_lm_score": text_ngram_lm_score,
     "text_pii_scrub": text_pii_scrub,
     "multimodal_columns": multimodal_columns,
     "multimodal_decode": multimodal_decode,
@@ -580,6 +588,33 @@ ORACLES = {
     "text_pii_scrub": _PII_SQL,
     "text_decontaminate": _DECONTAMINATE_SQL,
     "text_repetition": _REPETITION_SQL,
+    # integer-arg log2 rounds to 9dp before the mean (ulp-portable),
+    # mean to 6dp — the tfidf discipline
+    "text_ngram_lm_score": """
+WITH d AS (
+  SELECT doc_id, string_split(text, ' ') AS toks,
+         len(string_split(text, ' ')) AS n_tokens
+  FROM documents
+), b0 AS (
+  SELECT doc_id, toks,
+         CAST(unnest(range(1, n_tokens)) AS INT) AS i
+  FROM d
+  WHERE n_tokens >= 2
+), b AS (
+  SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2 FROM b0
+), cb AS (
+  SELECT w1, w2, count(*) AS c12 FROM b GROUP BY w1, w2
+), cu AS (
+  SELECT w1, count(*) AS c1 FROM b GROUP BY w1
+), scored AS (
+  SELECT b.doc_id, round(log2(cb.c12) - log2(cu.c1), 9) AS lp
+  FROM b JOIN cb USING (w1, w2) JOIN cu USING (w1)
+)
+SELECT doc_id, count(*) AS n_bigrams,
+       round(avg(lp), 6) AS lm_score,
+       round(avg(lp), 6) < -6.0 AS flagged
+FROM scored GROUP BY doc_id
+""",
     # 1-based inclusive DuckDB list slice == Spark slice(toks, start+1, len)
     "text_chunk_split": """
 WITH d AS (

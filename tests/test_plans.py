@@ -258,3 +258,15 @@ def test_chunk_split_zero_shuffle(spark, sf_dir):
     plan = _plan(all_queries()["text_chunk_split"](spark, sf_dir))
     assert "Exchange" not in plan, plan
     assert "BatchEvalPython" not in plan  # codegen built-ins only
+
+
+def test_lm_score_model_joins_broadcast(spark, sf_dir):
+    """text_ngram_lm_score's model counts are vocabulary-bounded, so the
+    model⋈bigrams joins must resolve to broadcast (a SortMergeJoin here
+    would shuffle the full exploded bigram stream twice), and the whole
+    path stays JVM-side."""
+    from database_syncer_spark.registry import all_queries
+
+    plan = _plan(all_queries()["text_ngram_lm_score"](spark, sf_dir))
+    assert "BatchEvalPython" not in plan
+    assert "SortMergeJoin" not in plan, plan
