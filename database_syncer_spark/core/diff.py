@@ -299,6 +299,51 @@ def diff_stats(changes: DataFrame) -> DataFrame:
     return changes.groupBy(CHANGE_TYPE).agg(F.count("*").alias("n"))
 
 
+def compact_cdc_log(log: DataFrame, pk_cols: list[str],
+                    seq_col: str = "seq") -> DataFrame:
+    """Net consecutive CDC batches into at most ONE change per PK —
+    Debezium/Kafka-log-compaction semantics, the step a consumer runs
+    before MERGEing a multi-batch backlog (applying a compacted log is
+    ~batch-count× cheaper and order-insensitive):
+
+    =========  =========  =========
+    first      last       net
+    =========  =========  =========
+    INSERT     DELETE     (dropped — never existed for the consumer)
+    INSERT     any else   INSERT with the LAST image
+    any        DELETE     DELETE
+    DELETE     INSERT     UPDATE (re-insert of a deleted key)
+    else                  UPDATE with the last image
+    =========  =========  =========
+
+    Single-change keys pass through unchanged. ``log`` must hold at most
+    one change per (pk, seq) — the invariant snapshot-diff batches
+    satisfy by construction.
+
+    Scale: ONE hash aggregation keyed on the PK over the change log —
+    O(changes), never O(table); arg-min/max by seq are partial-aggregable
+    so the map side combines before the shuffle."""
+    value_cols = [c for c in log.columns
+                  if c not in (*pk_cols, CHANGE_TYPE, seq_col)]
+    g = log.groupBy(*pk_cols).agg(
+        F.min_by(CHANGE_TYPE, seq_col).alias("__first_t"),
+        F.max_by(CHANGE_TYPE, seq_col).alias("__last_t"),
+        F.count(F.lit(1)).alias("__n"),
+        *[F.max_by(c, seq_col).alias(c) for c in value_cols],
+    )
+    first_t, last_t = F.col("__first_t"), F.col("__last_t")
+    net = (
+        F.when(F.col("__n") == 1, first_t)
+        .when((first_t == "INSERT") & (last_t == "DELETE"), F.lit(None))
+        .when(first_t == "INSERT", F.lit("INSERT"))
+        .when(last_t == "DELETE", F.lit("DELETE"))
+        .otherwise(F.lit("UPDATE"))  # U→U, D→I, U→I(degenerate)
+    )
+    return (g.withColumn(CHANGE_TYPE, net)
+            .where(F.col(CHANGE_TYPE).isNotNull())
+            .select(*pk_cols, CHANGE_TYPE, *value_cols))
+
+
 def catalog_diff(prod_tables: dict, backup_tables: dict) -> dict[str, list[str]]:
     """Table-level DDL diff (reference sync.py:245-253).
 

@@ -206,6 +206,28 @@ def sink_cdc_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def sink_cdc_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC log compaction (core/diff.py:compact_cdc_log): two consecutive
+    snapshot-diff batches (v0→v1, v1→v2 over deterministic evolutions of
+    orders) netted into at most one change per PK — the Debezium-style
+    compaction a MERGE consumer runs on a multi-batch backlog. The
+    evolutions are engineered so every net case occurs: I→U, I→D
+    (annihilation), U→D, D→I (re-insert), plus untouched single-batch
+    changes. Scale: one PK-keyed hash agg over the change LOG (O(changes),
+    never O(table))."""
+    from database_syncer_spark.core.diff import compact_cdc_log
+    from database_syncer_spark.core.snapshots import derive_next_version
+
+    prod = load_table(spark, sf_dir, "orders").select(*ORDERS_COLS)  # v1
+    v0 = derive_backup(prod, "o_orderkey", "o_totalprice")
+    v2 = derive_next_version(prod, "o_orderkey", "o_custkey")
+    b1 = snapshot_diff(prod, v0, pk_cols=["o_orderkey"]).withColumn(
+        "seq", F.lit(1))
+    b2 = snapshot_diff(v2, prod, pk_cols=["o_orderkey"]).withColumn(
+        "seq", F.lit(2))
+    return compact_cdc_log(b1.unionByName(b2), ["o_orderkey"])
+
+
 def _backup_cte() -> str:
     return derive_backup_sql("orders", "o_orderkey", "o_totalprice", ORDERS_COLS)
 
@@ -307,6 +329,64 @@ FROM j WHERE change_type IN ('UPDATE', 'INSERT')
 """
 
 
+def _diff_pair_sql(new_rel: str, old_rel: str, seq: int) -> str:
+    """Diff CTE body between two relations (same shape as _diff_sql),
+    tagged with a batch seq — building block for the compaction oracle."""
+    post_image = ",\n  ".join(
+        f"CASE WHEN p.o_orderkey IS NULL THEN b.{c} ELSE p.{c} END AS {c}"
+        for c in _NON_PK
+    )
+    unchanged = " AND ".join(
+        f"p.{c} IS NOT DISTINCT FROM b.{c}" for c in _NON_PK
+    )
+    return f"""
+SELECT
+  coalesce(p.o_orderkey, b.o_orderkey) AS o_orderkey,
+  CASE WHEN b.o_orderkey IS NULL THEN 'INSERT'
+       WHEN p.o_orderkey IS NULL THEN 'DELETE'
+       ELSE 'UPDATE' END AS change_type,
+  {post_image},
+  {seq} AS seq
+FROM {new_rel} p
+FULL OUTER JOIN {old_rel} b ON p.o_orderkey = b.o_orderkey
+WHERE b.o_orderkey IS NULL OR p.o_orderkey IS NULL OR NOT ({unchanged})
+"""
+
+
+def _compact_sql() -> str:
+    from database_syncer_spark.core.snapshots import derive_next_version_sql
+
+    v2_cte = derive_next_version_sql(
+        "orders", "o_orderkey", "o_custkey", ORDERS_COLS)
+    last_images = ",\n    ".join(
+        f"arg_max({c}, seq) AS {c}" for c in _NON_PK)
+    return f"""
+WITH backup AS ({_backup_cte()}),
+v2 AS ({v2_cte}),
+b1 AS ({_diff_pair_sql('orders', 'backup', 1)}),
+b2 AS ({_diff_pair_sql('v2', 'orders', 2)}),
+log AS (SELECT * FROM b1 UNION ALL SELECT * FROM b2),
+agg AS (
+  SELECT o_orderkey,
+    arg_min(change_type, seq) AS first_t,
+    arg_max(change_type, seq) AS last_t,
+    count(*) AS n,
+    {last_images}
+  FROM log GROUP BY o_orderkey
+), netted AS (
+  SELECT o_orderkey,
+    CASE WHEN n = 1 THEN first_t
+         WHEN first_t = 'INSERT' AND last_t = 'DELETE' THEN NULL
+         WHEN first_t = 'INSERT' THEN 'INSERT'
+         WHEN last_t = 'DELETE' THEN 'DELETE'
+         ELSE 'UPDATE' END AS change_type,
+    {', '.join(_NON_PK)}
+  FROM agg
+)
+SELECT * FROM netted WHERE change_type IS NOT NULL
+"""
+
+
 QUERIES = {
     "diff_cdc_fullouter": diff_cdc_fullouter,
     "diff_bucketed_zeroshuffle": diff_bucketed_zeroshuffle,
@@ -317,9 +397,11 @@ QUERIES = {
     "sink_sync_script": sink_sync_script,
     "sink_merge_executor": sink_merge_executor,
     "sink_cdc_table": sink_cdc_table,
+    "sink_cdc_compact": sink_cdc_compact,
 }
 
 ORACLES = {
+    "sink_cdc_compact": _compact_sql(),
     "sink_sync_script": _script_sql(),
     "sink_merge_executor": (
         "SELECT " + ", ".join(ORDERS_COLS)

@@ -324,3 +324,54 @@ def test_scd2_history_semantics(spark):
     assert rows[(4, True)].change_type == "INSERT"
     assert rows[(3, False)].change_type == "DELETE"
     assert rows[(3, False)].val == "del"
+
+
+def test_compact_cdc_log_nets_to_direct_diff(spark):
+    """Metamorphic invariant: compacting the v0→v1 and v1→v2 batches must
+    agree with the DIRECT diff(v2, v0) on which keys changed and how —
+    modulo the two cases where compaction is deliberately richer:
+    a D→I re-insert nets to UPDATE (direct diff calls it UPDATE too when
+    values differ, but NOTHING when the re-inserted image equals v0's),
+    and DELETE images come from the last batch (v1 state), not v0."""
+    from pyspark.sql import functions as F
+
+    from database_syncer_spark.core.diff import compact_cdc_log, snapshot_diff
+
+    rows = [(i, i * 10.0, f"s{i % 7}") for i in range(1, 300)]
+    v0 = spark.createDataFrame(rows, "pk long, val double, tag string")
+    # v1: update pk%3==0, delete pk%11==0, insert fresh 1000+pk%13==0
+    v1 = (v0.where(F.col("pk") % 11 != 0)
+          .withColumn("val", F.when(F.col("pk") % 3 == 0,
+                                    F.col("val") + 1).otherwise(F.col("val")))
+          .unionByName(v0.where(F.col("pk") % 13 == 0)
+                       .withColumn("pk", F.col("pk") + 1000)))
+    # v2: update pk%5==0, delete pk%7==0 (hits v1 updates AND inserts),
+    # re-insert one v1-deleted key verbatim (pk=11) and one mutated (22)
+    v2 = (v1.where(F.col("pk") % 7 != 0)
+          .withColumn("val", F.when(F.col("pk") % 5 == 0,
+                                    F.col("val") + 100).otherwise(F.col("val")))
+          .unionByName(v0.where(F.col("pk") == 11))
+          .unionByName(v0.where(F.col("pk") == 22)
+                       .withColumn("val", F.col("val") + 7)))
+    b1 = snapshot_diff(v1, v0, ["pk"]).withColumn("seq", F.lit(1))
+    b2 = snapshot_diff(v2, v1, ["pk"]).withColumn("seq", F.lit(2))
+    compact = {r.pk: r for r in
+               compact_cdc_log(b1.unionByName(b2), ["pk"]).collect()}
+    direct = {r.pk: r for r in snapshot_diff(v2, v0, ["pk"]).collect()}
+
+    re_inserted_unchanged = {11}    # D→I with v0's exact image
+    assert set(compact) - set(direct) == re_inserted_unchanged
+    assert compact[11].change_type == "UPDATE"
+    for pk, d in direct.items():
+        c = compact.get(pk)
+        assert c is not None, f"direct diff has {pk}, compaction dropped it"
+        if d.change_type == "DELETE":
+            assert c.change_type == "DELETE"   # images may differ (v1 vs v0)
+        else:
+            assert (c.change_type, c.val, c.tag) == \
+                   (d.change_type, d.val, d.tag), pk
+    # applying the compacted log to v0 must reproduce v2 exactly
+    from database_syncer_spark.core.diff import apply_changes
+    final = apply_changes(v0, compact_cdc_log(
+        b1.unionByName(b2), ["pk"]), ["pk"])
+    assert snapshot_diff(v2, final, ["pk"]).count() == 0
