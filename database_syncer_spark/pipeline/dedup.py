@@ -90,14 +90,13 @@ def minhash_signatures(documents: DataFrame, k: int = 3) -> DataFrame:
         F.collect_set("shingle").alias("shingles"), *aggs)
 
 
-def lsh_candidate_pairs(signed: DataFrame) -> DataFrame:
-    """Band the signature (B bands × R rows), bucket-join within bands.
-
-    Rows that agree on all R minhashes of any band collide; the join key
-    (band_id, band_hash) keeps the shuffle proportional to data, not N².
-    """
+def _band_structs() -> F.Column:
+    """The B banded bucket keys of a signature row: array of
+    (band_id, band_hash) structs, band_hash = xxhash64 of the band's R
+    minhash columns. One definition, used by the self-join, the
+    incremental batch-vs-corpus join, and the candidate generator."""
     rows_per_band = N_HASHES // N_BANDS
-    bands = F.array(*[
+    return F.array(*[
         F.struct(
             F.lit(b).alias("band_id"),
             F.xxhash64(*[F.col(f"mh_{b * rows_per_band + r}")
@@ -105,6 +104,15 @@ def lsh_candidate_pairs(signed: DataFrame) -> DataFrame:
         )
         for b in range(N_BANDS)
     ])
+
+
+def lsh_candidate_pairs(signed: DataFrame) -> DataFrame:
+    """Band the signature (B bands × R rows), bucket-join within bands.
+
+    Rows that agree on all R minhashes of any band collide; the join key
+    (band_id, band_hash) keeps the shuffle proportional to data, not N².
+    """
+    bands = _band_structs()
     exploded = (
         signed.select("doc_id", F.explode(bands).alias("band"))
         .select("doc_id", "band.band_id", "band.band_hash")
@@ -131,16 +139,8 @@ def minhash_lsh_dedup(documents: DataFrame, threshold: float = 0.5,
     ships the banded arrays through a single shuffle; per-band array
     duplication is B× (=4), bounded and scale-proportional, never N².
     """
-    rows_per_band = N_HASHES // N_BANDS
     signed = minhash_signatures(documents, k)
-    bands = F.array(*[
-        F.struct(
-            F.lit(b).alias("band_id"),
-            F.xxhash64(*[F.col(f"mh_{b * rows_per_band + r}")
-                         for r in range(rows_per_band)]).alias("band_hash"),
-        )
-        for b in range(N_BANDS)
-    ])
+    bands = _band_structs()
     exploded = (
         signed.select("doc_id", "shingles", F.explode(bands).alias("band"))
         .select("doc_id", "shingles", "band.band_id", "band.band_hash")
@@ -164,6 +164,53 @@ def minhash_lsh_dedup(documents: DataFrame, threshold: float = 0.5,
         pairs.select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
         .where(F.col("jaccard") >= threshold)
     )
+
+
+def incremental_near_dups(batch: DataFrame, corpus: DataFrame,
+                          threshold: float = 0.5, k: int = 3) -> DataFrame:
+    """Ingest-time dedup: every BATCH doc checked for near-dups against
+    the EXISTING corpus only — the daily-ingest question ("is this new
+    doc a duplicate of anything we already have?") without recomputing
+    any corpus self-pairs (yesterday's work). Output: one verdict row
+    per batch doc — (doc_id, n_dups, max_jaccard, novel); novel docs
+    report n_dups = 0 / NULL max (a LEFT join from the batch side, so a
+    doc with zero collisions cannot silently vanish — the ann_recall
+    lesson from r3's advice).
+
+    Scale: the band join is batch×corpus, and at rest the corpus's
+    banded signatures are PRECOMPUTED and bucketed by (band_id,
+    band_hash) — a daily batch then shuffles only its own bands and
+    probes the bucket layout, so ingest cost scales with the batch and
+    its collision volume, never the corpus. Recall is the LSH family's
+    (same bands as minhash_lsh_dedup); verification is exact Jaccard."""
+    sb = minhash_signatures(batch, k)
+    sc = minhash_signatures(corpus, k)
+    bands = _band_structs()
+    eb = (sb.select("doc_id", "shingles", F.explode(bands).alias("band"))
+          .select("doc_id", "shingles", "band.band_id", "band.band_hash"))
+    ec = (sc.select(F.col("doc_id").alias("corpus_id"),
+                    F.col("shingles").alias("sh_c"),
+                    F.explode(bands).alias("band"))
+          .select("corpus_id", "sh_c", "band.band_id", "band.band_hash"))
+    pairs = (
+        eb.join(ec, ["band_id", "band_hash"])
+        # a pair colliding in several bands appears once per band
+        .groupBy("doc_id", "corpus_id")
+        .agg(F.first("shingles").alias("sh_b"), F.first("sh_c").alias("sh_c"))
+    )
+    jac = F.round(
+        F.size(F.array_intersect("sh_b", "sh_c")).cast("double")
+        / F.size(F.array_union("sh_b", "sh_c")), 6)
+    verified = (pairs.select("doc_id", jac.alias("jaccard"))
+                .where(F.col("jaccard") >= threshold))
+    per_doc = verified.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_dups"),
+        F.max("jaccard").alias("max_jaccard"))
+    return (batch.select("doc_id").join(per_doc, "doc_id", "left")
+            .select("doc_id",
+                    F.coalesce("n_dups", F.lit(0)).alias("n_dups"),
+                    "max_jaccard",
+                    (F.coalesce("n_dups", F.lit(0)) == 0).alias("novel")))
 
 
 # --- SimHash ---------------------------------------------------------------------

@@ -46,6 +46,21 @@ def dedup_simhash(spark, sf_dir):
     return D.simhash_dedup(load_table(spark, sf_dir, "documents"))
 
 
+#: deterministic ingest-batch slice for the incremental-dedup key (~6%)
+_BATCH_MOD, _BATCH_REM = 16, 5
+
+
+def dedup_incremental(spark, sf_dir):
+    """Ingest-time dedup (pipeline/dedup.py:incremental_near_dups): the
+    doc_id % 16 == 5 slice plays the daily batch, the rest the existing
+    corpus; one verdict row per batch doc (n_dups / max_jaccard /
+    novel). No corpus self-join anywhere in the plan."""
+    docs = load_table(spark, sf_dir, "documents")
+    is_batch = F.col("doc_id") % _BATCH_MOD == _BATCH_REM
+    return D.incremental_near_dups(docs.where(is_batch),
+                                   docs.where(~is_batch))
+
+
 def dedup_ngram_jaccard(spark, sf_dir):
     return D.ngram_jaccard_pairs(load_table(spark, sf_dir, "documents"))
 
@@ -281,6 +296,7 @@ QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_minhash_lsh": dedup_minhash_lsh,      # exact-SQL oracle (recall total)
     "dedup_simhash": dedup_simhash,              # pinned-rows oracle
+    "dedup_incremental": dedup_incremental,      # exact-SQL oracle
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_ngram_containment": dedup_ngram_containment,
     "dedup_cluster_components": dedup_cluster_components,
@@ -639,6 +655,34 @@ FROM e
 """,
     "text_langid": _LANGID_SQL,
     "dedup_minhash_lsh": _MINHASH_SQL,
+    # same honesty argument as _MINHASH_SQL: LSH recall is verified total
+    # at 0.5 on the fixtures, and batch×corpus pairs are a subset of the
+    # self-join pair set, so the exact batch-vs-corpus SQL is a complete
+    # value oracle; the LEFT JOIN keeps zero-collision batch docs.
+    "dedup_incremental": f"""
+WITH t AS (SELECT doc_id, {_SHINGLE_SQL} AS shingles FROM documents),
+bt AS (SELECT * FROM t WHERE doc_id % {_BATCH_MOD} = {_BATCH_REM}),
+ct AS (SELECT * FROM t WHERE doc_id % {_BATCH_MOD} <> {_BATCH_REM}),
+shb AS (SELECT doc_id, len(shingles) AS n_sh, unnest(shingles) AS sh FROM bt),
+shc AS (SELECT doc_id AS corpus_id, len(shingles) AS n_sh_c,
+               unnest(shingles) AS sh FROM ct),
+inter AS (
+  SELECT b.doc_id, c.corpus_id, b.n_sh AS na, c.n_sh_c AS nb, count(*) AS c
+  FROM shb b JOIN shc c USING (sh)
+  GROUP BY 1, 2, 3, 4
+),
+ver AS (
+  SELECT doc_id, round(CAST(c AS DOUBLE) / (na + nb - c), 6) AS jaccard
+  FROM inter WHERE round(CAST(c AS DOUBLE) / (na + nb - c), 6) >= 0.5
+),
+agg AS (
+  SELECT doc_id, count(*) AS n_dups, max(jaccard) AS max_jaccard
+  FROM ver GROUP BY doc_id
+)
+SELECT bt.doc_id, coalesce(agg.n_dups, 0) AS n_dups, agg.max_jaccard,
+       coalesce(agg.n_dups, 0) = 0 AS novel
+FROM bt LEFT JOIN agg USING (doc_id)
+""",
     "dedup_simhash": _simhash_sql(),
     "sim_lsh_ann": _LSH_RECALL_SQL,
     "sim_ivfpq_ann": _IVFPQ_RECALL_SQL,
