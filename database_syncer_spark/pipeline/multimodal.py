@@ -66,6 +66,52 @@ def extract_features(with_payload: DataFrame) -> DataFrame:
     )
 
 
+FRAME_SCHEMA = ("doc_id bigint, frame_id int, byte_offset int, "
+                "n_frame_bytes int, frame_md5 string")
+
+
+def frame_sample(with_payload: DataFrame, frame_bytes: int = 64,
+                 stride: int = 3) -> DataFrame:
+    """Frame sampling over binary payloads — the video-pipeline shape
+    (decode container -> sample every Nth frame -> per-frame feature)
+    with the codec stubbed: a "frame" is a fixed-size byte window of the
+    payload, sampling keeps every ``stride``-th frame, and the per-frame
+    feature is its md5. The Spark-side plumbing is exactly what a real
+    ffmpeg-backed sampler uses: Arrow-batched ``mapInPandas`` over
+    (doc_id, payload), frame fan-out INSIDE the worker (no row explosion
+    before the Python crossing), fixed output schema.
+
+    Scale: doc-local, zero shuffles; output rows ~ len/(frame_bytes·
+    stride) per doc. The DuckDB oracle recomputes frames from the TEXT
+    the payload encodes — byte-exact because the fixture text is ASCII
+    (one byte per char); a non-ASCII corpus would fail parity loudly,
+    not silently."""
+    def sample(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            out = {"doc_id": [], "frame_id": [], "byte_offset": [],
+                   "n_frame_bytes": [], "frame_md5": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                data = bytes(payload)
+                for f in range(0, -(-len(data) // frame_bytes)):
+                    if f % stride:
+                        continue
+                    chunk = data[f * frame_bytes:(f + 1) * frame_bytes]
+                    out["doc_id"].append(doc_id)
+                    out["frame_id"].append(f)
+                    out["byte_offset"].append(f * frame_bytes)
+                    out["n_frame_bytes"].append(len(chunk))
+                    out["frame_md5"].append(hashlib.md5(chunk).hexdigest())
+            yield pd.DataFrame(out).astype(
+                {"frame_id": "int32", "byte_offset": "int32",
+                 "n_frame_bytes": "int32"})
+
+    return (with_payload.select("doc_id", "payload")
+            .where(F.length("payload") > 0)
+            .mapInPandas(sample, FRAME_SCHEMA))
+
+
 def probe_dim(embeddings: DataFrame, col: str = "embedding") -> int:
     """Embedding dimensionality from one sampled row (one-row driver
     read — model-state scale, not data scale). The unrolled vector

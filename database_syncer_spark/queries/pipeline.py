@@ -233,6 +233,14 @@ def multimodal_decode(spark, sf_dir):
     return M.extract_features(M.attach_binary_payload(docs))
 
 
+def multimodal_frame_sample(spark, sf_dir):
+    """Every-3rd-frame sampling over 64-byte frames of the binary
+    payload (pipeline/multimodal.py:frame_sample) — the video-sampling
+    plumbing with a stubbed codec, Arrow-batched end to end."""
+    docs = load_table(spark, sf_dir, "documents")
+    return M.frame_sample(M.attach_binary_payload(docs))
+
+
 # --- UDF / UDAF / UDTF (B10) ------------------------------------------------------
 
 def udf_tokenizer(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -321,6 +329,7 @@ QUERIES = {
     "text_pii_scrub": text_pii_scrub,
     "multimodal_columns": multimodal_columns,
     "multimodal_decode": multimodal_decode,
+    "multimodal_frame_sample": multimodal_frame_sample,
     "udf_tokenizer": udf_tokenizer,
     "udaf_pandas_grouped": udaf_pandas_grouped,
     "udtf_statement_split": udtf_statement_split,
@@ -805,6 +814,24 @@ SELECT doc_id,
        md5(text) AS payload_md5,
        lower(hex(substr(text, 1, 4))) AS header_hex
 FROM documents
+""",
+    # frames recomputed from the text the payload encodes — byte-exact
+    # because fixture text is ASCII (1 byte/char); non-ASCII would fail
+    # parity loudly
+    "multimodal_frame_sample": """
+WITH d AS (
+  SELECT doc_id, text, strlen(text) AS n FROM documents WHERE strlen(text) > 0
+), f AS (
+  SELECT doc_id, text, n,
+         CAST(unnest(range(0, CAST(ceil(n / 64.0) AS BIGINT))) AS INT)
+           AS frame_id
+  FROM d
+)
+SELECT doc_id, frame_id,
+       CAST(frame_id * 64 AS INT) AS byte_offset,
+       CAST(least(64, n - frame_id * 64) AS INT) AS n_frame_bytes,
+       md5(substr(text, frame_id * 64 + 1, 64)) AS frame_md5
+FROM f WHERE frame_id % 3 = 0
 """,
     "udf_tokenizer": """
 SELECT doc_id, CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
