@@ -39,9 +39,13 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 SRC = "/root/testdata/sf0.1"
 ORDERS_MULT = 10    # 150k -> 1.5M rows/side in the diff
 DOCS_MULT = 200     # 5k   -> 1M docs through MinHash-LSH
-EMB_MULT = 500      # 2k   -> 1M vectors through IVF-PQ
+EMB_MULT = 500     # 2k   -> 1M vectors through IVF-PQ
+EVENTS_MULT = 100   # 100k -> 10M events through sessionization
 
-KEYS = ["diff_bucketed_zeroshuffle", "dedup_minhash_lsh", "sim_ivfpq_ann"]
+KEYS = ["diff_bucketed_zeroshuffle", "dedup_minhash_lsh", "sim_ivfpq_ann",
+        # r4 additions
+        "win_sessionize", "text_ngram_lm_score", "text_chunk_split",
+        "sink_cdc_compact", "dedup_incremental", "multimodal_frame_sample"]
 
 
 def _jvm_peak_rss_kb() -> int | None:
@@ -70,6 +74,28 @@ def _generate(spark, out: str) -> None:
     def reps(n):
         return F.explode(F.sequence(F.lit(0), F.lit(n - 1))).alias("rep")
 
+    def missing(name):
+        return not os.path.isdir(os.path.join(out, f"{name}.parquet"))
+
+    if missing("events"):
+        # replicas shift user_id (fresh users) and event_id; ts jitters
+        # +rep seconds so replica sessions don't stack on identical
+        # timestamps (gap structure per user is preserved).
+        events = load_table(spark, SRC, "events")
+        (events.select("*", reps(EVENTS_MULT))
+         .withColumn("event_id",
+                     F.col("event_id") + F.col("rep").cast("long") * 1_000_000_000)
+         .withColumn("user_id",
+                     F.col("user_id") + F.col("rep").cast("long") * 1_000_000)
+         .withColumn("ts", F.col("ts") + F.make_interval(
+             secs=F.col("rep").cast("double")))
+         .drop("rep")
+         .repartition(32)
+         .write.mode("overwrite").parquet(os.path.join(out, "events.parquet")))
+
+    if not missing("orders") and not missing("documents") \
+            and not missing("embeddings"):
+        return
     orders = load_table(spark, SRC, "orders")
     (orders.select("*", reps(ORDERS_MULT))
      .withColumn("o_orderkey",
