@@ -66,6 +66,11 @@ SECONDARY = [
     "sim_ivfpq_ann",               # composed IVF-PQ (probe + ADC + re-rank)
     "stream_stream_join",          # watermarked stream-stream join replay
     "dedup_corpus_keep",           # exact + near-dup + components keep-list
+    # r4 additions, tracked from birth so their first regression is visible
+    "win_sessionize",              # gap sessionization, single Exchange
+    "text_ngram_lm_score",         # corpus-bigram LM scoring
+    "sink_cdc_compact",            # two diffs + pk-keyed compaction agg
+    "dedup_incremental",           # batch-vs-corpus banded LSH
 ]
 
 

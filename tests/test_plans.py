@@ -166,7 +166,9 @@ def test_bench_headline_keys_exist():
     import bench
     from database_syncer_spark.registry import all_queries
 
-    missing = [k for k in bench.HEADLINE if k not in all_queries()]
+    qs = all_queries()
+    missing = [k for k in (*bench.HEADLINE, *bench.SECONDARY)
+               if k not in qs]
     assert not missing, missing
 
 
