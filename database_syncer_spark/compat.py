@@ -81,11 +81,23 @@ def ensure_protobuf() -> bool:
         _resolved = False
         return False
 
-    shim = os.path.join(tempfile.gettempdir(), "dss_protobuf_shim")
+    # Per-uid shim dir: /tmp is world-writable, so a fixed shared path
+    # would let any local user pre-plant a symlink that we'd then put on
+    # every worker's import path (code injection) — and the target is
+    # re-validated even for our own dir, so a stale/dangling link from a
+    # previous environment is repaired instead of trusted (r4 review).
+    shim = os.path.join(tempfile.gettempdir(),
+                        f"dss_protobuf_shim_{os.getuid()}")
     link = os.path.join(shim, "google", "protobuf")
     try:
         os.makedirs(os.path.dirname(link), exist_ok=True)
+        if os.path.islink(link) and os.path.realpath(link) != \
+                os.path.realpath(src):
+            os.remove(link)
         if not os.path.islink(link):
+            if os.path.exists(link):  # a real dir/file squatting there
+                _resolved = False
+                return False
             os.symlink(src, link)
     except OSError:
         _resolved = False
@@ -107,8 +119,19 @@ def ensure_protobuf() -> bool:
         _shim_dir = shim
     else:  # unusable copy — leave nothing half-engaged
         sys.path.remove(shim)
-        os.environ["PYTHONPATH"] = prev_pp
+        if prev_pp:
+            os.environ["PYTHONPATH"] = prev_pp
+        else:  # don't leave an empty var that didn't exist before
+            os.environ.pop("PYTHONPATH", None)
         os.environ.pop("TEMPORARILY_DISABLE_PROTOBUF_VERSION_CHECK", None)
+        # evict modules the probe imported from the now-removed path:
+        # a cached google.protobuf backed by an unreachable dir would
+        # make later imports half-work (parent from cache, fresh
+        # submodules failing)
+        for name in [m for m in sys.modules
+                     if m == "google" or m.startswith("google.")
+                     or m.startswith("pyspark.sql.streaming.proto")]:
+            sys.modules.pop(name, None)
     return _resolved
 
 

@@ -317,14 +317,27 @@ def compact_cdc_log(log: DataFrame, pk_cols: list[str],
     =========  =========  =========
 
     Single-change keys pass through unchanged. ``log`` must hold at most
-    one change per (pk, seq) — the invariant snapshot-diff batches
-    satisfy by construction.
+    one change per (non-null pk, seq) — the invariant snapshot-diff
+    batches satisfy by construction. NULL-PK changes BYPASS compaction
+    and pass through verbatim: a NULL key identifies nothing, so two
+    NULL-PK changes are distinct rows about distinct entities, never a
+    history of one entity — grouping them (SQL GROUP BY treats NULLs as
+    equal) would net a NULL-PK INSERT against an unrelated NULL-PK
+    DELETE and silently drop both (r4 review; snapshot_diff emits
+    exactly such same-batch pairs under its pinned NULL-PK contract).
 
     Scale: ONE hash aggregation keyed on the PK over the change log —
     O(changes), never O(table); arg-min/max by seq are partial-aggregable
     so the map side combines before the shuffle."""
     value_cols = [c for c in log.columns
                   if c not in (*pk_cols, CHANGE_TYPE, seq_col)]
+    some_null = None
+    for c in pk_cols:
+        cond = F.col(c).isNull()
+        some_null = cond if some_null is None else (some_null | cond)
+    passthrough = (log.where(some_null)
+                   .select(*pk_cols, CHANGE_TYPE, *value_cols))
+    log = log.where(~some_null)
     g = log.groupBy(*pk_cols).agg(
         F.min_by(CHANGE_TYPE, seq_col).alias("__first_t"),
         F.max_by(CHANGE_TYPE, seq_col).alias("__last_t"),
@@ -341,7 +354,8 @@ def compact_cdc_log(log: DataFrame, pk_cols: list[str],
     )
     return (g.withColumn(CHANGE_TYPE, net)
             .where(F.col(CHANGE_TYPE).isNotNull())
-            .select(*pk_cols, CHANGE_TYPE, *value_cols))
+            .select(*pk_cols, CHANGE_TYPE, *value_cols)
+            .unionByName(passthrough))
 
 
 def catalog_diff(prod_tables: dict, backup_tables: dict) -> dict[str, list[str]]:

@@ -390,19 +390,28 @@ def _fragment_quote_parity(col):
     stitcher's cross-fragment state model.
 
     ``\\\\`` pairs removed first (so ``\\'`` detection can't be fooled),
-    then ``\\'``, then complete DOUBLE-quoted strings (an apostrophe
-    inside ``"..."`` is content, not a delimiter); ``''`` doubling
-    contributes 2 — parity unchanged. A fragment cut inside a
-    single-quoted literal then has odd parity, and parity XORs across
-    fragments, which is what makes the two-level stitch scan work.
-    Scope: literals containing the separator are assumed single-quoted
-    (mysqldump's convention); a ``;\\n`` inside a double-quoted literal
-    is not stitchable under this model and is caught by the
-    post-stitch ``_has_unterminated_string`` check instead."""
+    then ``\\'``; then complete quoted literals of BOTH families are
+    consumed in ONE left-to-right alternation pass — the first quote
+    char encountered owns its literal, so a ``"`` that is content
+    inside ``'...'`` can never start a bogus double-quoted match that
+    swallows the single quotes between two literals (r4 review: the
+    old strip-doubles-first order mis-counted ``'5" x','don''t','3"'``
+    and glued two conforming statements). Stripping a complete
+    single-quoted literal removes 2 quotes — parity unchanged — so the
+    surviving quote count's parity is exactly the open/closed state.
+    Finally, COMMENT lines are dropped: ``-- don't edit`` holds an odd
+    apostrophe count that is not a literal delimiter, and without this
+    a single comment line flipped the cumulative parity and glued every
+    later statement into one dropped group (r4 review).
+
+    Scope: a fragment cut inside a literal whose dangling text contains
+    ``"`` or ``\\n--`` can still mis-count — those stitches are caught
+    by the post-stitch ``_has_unterminated_string`` belt instead."""
     eff = F.regexp_replace(
         F.replace(F.replace(col, F.lit("\\\\"), F.lit("")),
                   F.lit("\\'"), F.lit("")),
-        r'"(?:[^"\\]|\\.|"")*+"', "")
+        r"'(?:[^']|'')*+'|\"(?:[^\"]|\"\")*+\"", "")
+    eff = F.regexp_replace(eff, r"(?m)^\s*--[^\n]*", "")
     return (F.length(eff) - F.length(F.replace(eff, F.lit("'"), F.lit("")))
             ).bitwiseAND(F.lit(1)).cast("int")
 
@@ -538,23 +547,31 @@ def read_dump_statements(spark: SparkSession, path: str,
     )
     if on_split_string == "repair":
         frags = _stitch_fragments(frags, line_sep)
-    stmt = F.btrim(F.col("frag"), F.lit(" \t\r\n"))
-    out = frags.select("frag", "seq_hi", "seq_lo").select(
+    # A fragment carries the comment BLOCK that precedes its statement
+    # ("-- Dumping data for table t\nINSERT INTO t ..."): comments don't
+    # end with ";\n", so they glue onto the next statement. STRIP leading
+    # comment lines rather than dropping comment-prefixed fragments —
+    # dropping loses the statement behind the comment (real mysqldump
+    # interleaves comment blocks before every table's DDL and DML, so
+    # the old filter silently lost those statements on third-party
+    # dumps; caught by review r4).
+    raw = F.btrim(F.col("frag"), F.lit(" \t\r\n"))
+    stmt = F.btrim(F.regexp_replace(raw, r"\A(?:--[^\n]*\n?)+", ""),
+                   F.lit(" \t\r\n"))
+    out = frags.select(
         stmt.alias("stmt"), "seq_hi", "seq_lo",
-    ).where((F.length("stmt") > 0) & ~F.col("stmt").startswith("--"))
+    ).where(F.length("stmt") > 0)
     if on_split_string != "ignore":
         # "error" mode catches the split; "repair" keeps the same check
         # AFTER stitching as a belt (a split the stitcher's single-quote
         # model can't represent must still fail loudly, never parse
         # garbage). assert_true is NULL on pass, so the filter keeps
         # every valid row, and being a filter (not an unused projection)
-        # it cannot be pruned by the optimizer. Comment fragments may
-        # legitimately hold an odd quote count ("-- don't edit");
-        # exempt them IN the predicate itself so optimizer predicate
-        # reordering can't run the assert first.
+        # it cannot be pruned by the optimizer. Leading comment lines
+        # (which may hold odd quote counts — "-- don't edit") are
+        # already stripped above, so the check sees pure statement text.
         out = out.where(F.assert_true(
-            F.col("stmt").startswith("--")
-            | ~_has_unterminated_string(F.col("stmt")),
+            ~_has_unterminated_string(F.col("stmt")),
             F.concat(
                 F.lit("unterminated string literal in dump statement (a "
                       "literal containing ';\\n' splits mid-string; "

@@ -93,9 +93,18 @@ def _generate(spark, out: str) -> None:
          .repartition(32)
          .write.mode("overwrite").parquet(os.path.join(out, "events.parquet")))
 
-    if not missing("orders") and not missing("documents") \
-            and not missing("embeddings"):
-        return
+    if missing("orders"):
+        _gen_orders(spark, out, reps)
+    if missing("documents"):
+        _gen_documents(spark, out, reps)
+    if missing("embeddings"):
+        _gen_embeddings(spark, out, reps)
+
+
+def _gen_orders(spark, out, reps):
+    from pyspark.sql import functions as F
+    from database_syncer_spark.catalog import load_table
+
     orders = load_table(spark, SRC, "orders")
     (orders.select("*", reps(ORDERS_MULT))
      .withColumn("o_orderkey",
@@ -103,6 +112,11 @@ def _generate(spark, out: str) -> None:
      .drop("rep")
      .repartition(32)
      .write.mode("overwrite").parquet(os.path.join(out, "orders.parquet")))
+
+
+def _gen_documents(spark, out, reps):
+    from pyspark.sql import functions as F
+    from database_syncer_spark.catalog import load_table
 
     docs = load_table(spark, SRC, "documents")
     toks = F.split(F.col("text"), " ")
@@ -121,6 +135,11 @@ def _generate(spark, out: str) -> None:
      .drop("rep")
      .repartition(32)
      .write.mode("overwrite").parquet(os.path.join(out, "documents.parquet")))
+
+
+def _gen_embeddings(spark, out, reps):
+    from pyspark.sql import functions as F
+    from database_syncer_spark.catalog import load_table
 
     emb = load_table(spark, SRC, "embeddings")
 

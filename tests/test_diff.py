@@ -375,3 +375,21 @@ def test_compact_cdc_log_nets_to_direct_diff(spark):
     final = apply_changes(v0, compact_cdc_log(
         b1.unionByName(b2), ["pk"]), ["pk"])
     assert snapshot_diff(v2, final, ["pk"]).count() == 0
+
+
+def test_compact_cdc_log_null_pk_passthrough(spark):
+    """NULL PKs identify nothing, so NULL-PK changes must bypass
+    compaction verbatim: grouping them (GROUP BY treats NULLs as equal)
+    netted an unrelated INSERT/DELETE pair to nothing (r4 review)."""
+    from pyspark.sql import functions as F
+
+    from database_syncer_spark.core.diff import compact_cdc_log, snapshot_diff
+
+    prod = spark.createDataFrame([(None, "new"), (1, "x")],
+                                 "pk long, val string")
+    back = spark.createDataFrame([(None, "old"), (1, "x")],
+                                 "pk long, val string")
+    b1 = snapshot_diff(prod, back, ["pk"]).withColumn("seq", F.lit(1))
+    got = sorted([(r.pk, r.change_type, r.val)
+                  for r in compact_cdc_log(b1, ["pk"]).collect()], key=str)
+    assert got == [(None, "DELETE", "old"), (None, "INSERT", "new")]

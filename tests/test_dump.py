@@ -545,3 +545,57 @@ def test_clean_dump_identical_across_split_modes(spark, tmp_path):
     rows = [sorted((r.id, r.name) for r in f.collect()) for f in frames]
     assert rows[0] == rows[1] == rows[2]
     assert rows[0] == [(1, "o'brien; esq."), (2, "b'c"), (3, None)]
+
+
+def _stmts(spark, path, mode):
+    from database_syncer_spark.sources.dump import read_dump_statements
+
+    rows = read_dump_statements(spark, str(path), on_split_string=mode)
+    return [r.stmt for r in
+            sorted(rows.collect(), key=lambda r: (r.seq_hi, r.seq_lo))]
+
+
+def test_comment_block_before_statement_kept(spark, tmp_path):
+    """A fragment carries the comment block that precedes its statement
+    (comments don't end with ';\\n'); the statement behind the comment
+    must survive in EVERY mode — the old comment filter dropped the
+    whole fragment, silently losing every statement that followed a
+    mysqldump comment block (r4 review)."""
+    p = tmp_path / "c.sql"
+    p.write_text("CREATE TABLE t (id INT);\n"
+                 "-- Dumping data for table t\n--\n"
+                 "INSERT INTO t VALUES (1);\n"
+                 "INSERT INTO t VALUES (2);\n")
+    for mode in ("error", "repair", "ignore"):
+        got = _stmts(spark, p, mode)
+        assert got == ["CREATE TABLE t (id INT)",
+                       "INSERT INTO t VALUES (1)",
+                       "INSERT INTO t VALUES (2)"], (mode, got)
+
+
+def test_repair_survives_apostrophe_in_comment(spark, tmp_path):
+    """A comment line holding an odd apostrophe count must not flip the
+    stitcher's quote parity: pre-fix, '-- don't' glued every later
+    statement into one dropped group (r4 review)."""
+    p = tmp_path / "a.sql"
+    p.write_text("INSERT INTO t VALUES (1,'a');\n"
+                 "-- don't edit below\n"
+                 "INSERT INTO t VALUES (2,'b');\n"
+                 "INSERT INTO t VALUES (3,'c');\n")
+    assert _stmts(spark, p, "repair") == [
+        "INSERT INTO t VALUES (1,'a')",
+        "INSERT INTO t VALUES (2,'b')",
+        "INSERT INTO t VALUES (3,'c')"]
+
+
+def test_repair_survives_inch_marks_in_values(spark, tmp_path):
+    """Double-quote characters that are CONTENT inside single-quoted
+    literals must not pair across literals: pre-fix, the
+    strip-doubles-first parity deleted the single quotes between '5\"'
+    and '3\"' and glued two conforming statements (r4 review)."""
+    p = tmp_path / "i.sql"
+    stmt1 = "INSERT INTO t VALUES (1,'5\" x','don''t','3\"')"
+    p.write_text(stmt1 + ";\nINSERT INTO t VALUES (2,'y');\n")
+    for mode in ("error", "repair"):
+        assert _stmts(spark, p, mode) == [
+            stmt1, "INSERT INTO t VALUES (2,'y')"], mode
