@@ -548,10 +548,54 @@ def win_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
                   .cast("double").alias("session_value")))
 
 
+def win_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-row EXACT median of a customer's order totals in date
+    order — the windowed-percentile shape (anomaly baselines, smoothed
+    spend). Built-in `percentile` as a window aggregate over a ROWS
+    frame; the interpolated median for even counts matches DuckDB's
+    `median` exactly, and (o_orderdate, o_orderkey) is a total order so
+    the frame contents are engine-independent.
+
+    Scale: one hash partitioning by customer, frame evaluation is
+    partition-local; no global sort, no state beyond the 7-row frame."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+    w = (W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+         .rowsBetween(-6, W.currentRow))
+    med = F.expr("percentile(o_totalprice, 0.5)").over(w)
+    return o.select(
+        "o_custkey", "o_orderkey",
+        F.round(med, 6).alias("rolling_median"),
+        F.count(F.lit(1)).over(w).alias("n_in_window"))
+
+
+def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT distinct counting via bitmap aggregates — the scale path
+    between COUNT(DISTINCT) (shuffles the whole key universe) and HLL
+    (approximate): keys bucket into fixed 32k-bit bitmaps
+    (bitmap_bucket_number / bitmap_bit_position), bitmap_construct_agg
+    partial-ORs map-side, and the exact count is the sum of per-bucket
+    popcounts. Shuffle volume is #occupied-buckets × 4 KB, not #keys —
+    and unlike HLL the answer is exact, so the oracle is a plain
+    COUNT(DISTINCT)."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderpriority", "o_custkey")
+    b = (o.groupBy(
+            "o_orderpriority",
+            F.bitmap_bucket_number("o_custkey").alias("__bkt"))
+         .agg(F.bitmap_construct_agg(
+             F.bitmap_bit_position("o_custkey")).alias("__bm")))
+    return (b.groupBy("o_orderpriority")
+            .agg(F.sum(F.bitmap_count("__bm"))
+                 .alias("n_distinct_customers")))
+
+
 QUERIES = {
     "join_runtime_bloom": join_runtime_bloom,
     "win_funnel_steps": win_funnel_steps,
     "win_sessionize": win_sessionize,
+    "win_rolling_median": win_rolling_median,
+    "agg_bitmap_distinct": agg_bitmap_distinct,
     "join_range_banded": join_range_banded,
     "join_skew_salted": join_skew_salted,
     "win_ntile_cume": win_ntile_cume,
@@ -578,6 +622,21 @@ QUERIES = {
 }
 
 ORACLES = {
+    # ROWS frame + total order => identical frame contents; DuckDB's
+    # interpolated median == Spark percentile(0.5); round-6 both sides
+    "win_rolling_median": """
+SELECT o_custkey, o_orderkey,
+       round(median(o_totalprice) OVER w, 6) AS rolling_median,
+       count(*) OVER w AS n_in_window
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+""",
+    # bitmap exactness means the oracle is plain COUNT(DISTINCT)
+    "agg_bitmap_distinct": """
+SELECT o_orderpriority, count(DISTINCT o_custkey) AS n_distinct_customers
+FROM orders GROUP BY o_orderpriority
+""",
     # exact int64-micros gap arithmetic both sides; session_seq cast to
     # BIGINT (DuckDB sum(int) is HUGEINT — the r2 canonicalization trap)
     "win_sessionize": f"""

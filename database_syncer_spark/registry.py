@@ -49,6 +49,8 @@ _KEY_ORDER = [
     "sink_cdc_compact",      # Debezium-style CDC log compaction
     "dedup_incremental",     # ingest batch vs existing corpus, no self-join
     "multimodal_frame_sample",  # Arrow-batched frame sampling plumbing
+    "win_rolling_median",    # windowed exact percentile, ROWS frame
+    "agg_bitmap_distinct",   # exact distinct via bitmap aggregates
     # --- driver-green in r1 only, least-recently verified — refresh ---
     "agg_argmax_minby", "agg_collect_sorted", "subq_exists_sql",
     "subq_scalar_agg", "scan_csv_roundtrip", "scan_jsonl_roundtrip",
