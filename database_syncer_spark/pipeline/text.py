@@ -115,6 +115,51 @@ def ngram_lm_score(documents: DataFrame,
             .withColumn("flagged", F.col("lm_score") < flag_below))
 
 
+PACK_SCHEMA = "doc_id long, shard int, bin_id long, n_tokens int"
+
+
+def pack_greedy(documents: DataFrame, capacity: int = 64,
+                n_shards: int = 8) -> DataFrame:
+    """Greedy sequence packing: assign docs to fixed-capacity token bins
+    (the batching step after chunking — packing short sequences together
+    is what keeps training batches dense). Packing is inherently
+    SEQUENTIAL (each bin decision depends on the previous fill), which
+    is exactly why the distributed design matters: docs hash into
+    ``n_shards`` independent shards (doc_id % n_shards), each shard
+    packs greedily in doc_id order inside ONE applyInPandas group, and
+    bin ids are globalized as shard·10⁶ + local index. At 100 TB the
+    shard count is sized so a shard's doc METADATA fits one task —
+    parallelism × determinism, no global sequence.
+
+    Greedy rule: a doc joins the current bin iff fill + n ≤ capacity,
+    else it opens a new bin (an oversized doc owns its bin). The DuckDB
+    oracle replays the same rule with a recursive CTE per shard, so the
+    assignment is value-verified, not just shape-checked."""
+    import pandas as pd
+
+    d = (documents
+         .select("doc_id",
+                 (F.col("doc_id") % n_shards).cast("int").alias("shard"),
+                 F.size(tokens(F.col("text"))).cast("int").alias("n_tokens")))
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("doc_id").reset_index(drop=True)
+        bins, fill, local = [], 0, 0
+        for n in pdf["n_tokens"]:
+            n = int(n)
+            if local == 0 or fill + n > capacity:
+                local += 1
+                fill = n
+            else:
+                fill += n
+            bins.append(local)
+        pdf["bin_id"] = (pdf["shard"].astype("int64") * 1_000_000
+                         + pd.Series(bins, dtype="int64"))
+        return pdf[["doc_id", "shard", "bin_id", "n_tokens"]]
+
+    return d.groupBy("shard").applyInPandas(pack, PACK_SCHEMA)
+
+
 def chunk_split(documents: DataFrame, chunk_tokens: int = 16) -> DataFrame:
     """Context-window chunking: split each document's token stream into
     fixed-size non-overlapping chunks (the sequence-slicing step every

@@ -548,6 +548,47 @@ def win_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
                   .cast("double").alias("session_value")))
 
 
+def scan_binary_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``binaryFile`` source — the multimodal INGEST path: a directory
+    of opaque media blobs read as (path, modificationTime, length,
+    content) rows, content as a binary column (B1 breadth; the at-rest
+    form every image/audio corpus starts in before the pipeline packs
+    it into parquet). Stages a deterministic payload dir from the
+    documents fixture (doc_id < 40, one file per doc, utf-8 bytes of
+    the text — byte-exact vs the oracle because fixture text is ASCII),
+    atomically published so concurrent runs can't read a half-staged
+    dir; reads back with a pathGlobFilter (partition-style file
+    pruning); projects doc_id parsed from the file name, the source's
+    file length, and md5(content)."""
+    import os
+    import tempfile
+
+    tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+    d = os.path.join(tempfile.gettempdir(), f"dss_binfiles_{tag}")
+    if not os.path.isdir(d):
+        tmp = f"{d}.tmp{os.getpid()}"
+        os.makedirs(tmp, exist_ok=True)
+        rows = (load_table(spark, sf_dir, "documents")
+                .where(F.col("doc_id") < 40)
+                .select("doc_id", "text").collect())
+        for r in rows:
+            with open(os.path.join(tmp, f"doc_{int(r.doc_id):05d}.bin"),
+                      "wb") as fh:
+                fh.write(r.text.encode("utf-8"))
+        try:
+            os.rename(tmp, d)
+        except OSError:  # concurrent winner published first
+            import shutil
+            shutil.rmtree(tmp, ignore_errors=True)
+    b = (spark.read.format("binaryFile")
+         .option("pathGlobFilter", "*.bin").load(d))
+    return b.select(
+        F.regexp_extract("path", r"doc_(\d+)\.bin$", 1)
+         .cast("long").alias("doc_id"),
+        F.col("length"),
+        F.md5("content").alias("content_md5"))
+
+
 def win_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rolling 7-row EXACT median of a customer's order totals in date
     order — the windowed-percentile shape (anomaly baselines, smoothed
@@ -596,6 +637,7 @@ QUERIES = {
     "win_sessionize": win_sessionize,
     "win_rolling_median": win_rolling_median,
     "agg_bitmap_distinct": agg_bitmap_distinct,
+    "scan_binary_files": scan_binary_files,
     "join_range_banded": join_range_banded,
     "join_skew_salted": join_skew_salted,
     "win_ntile_cume": win_ntile_cume,
@@ -631,6 +673,13 @@ SELECT o_custkey, o_orderkey,
 FROM orders
 WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
              ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+""",
+    # binaryFile length/content recomputed from the text the files hold
+    # (ASCII fixture: one byte per char)
+    "scan_binary_files": """
+SELECT doc_id, CAST(strlen(text) AS BIGINT) AS length,
+       md5(text) AS content_md5
+FROM documents WHERE doc_id < 40
 """,
     # bitmap exactness means the oracle is plain COUNT(DISTINCT)
     "agg_bitmap_distinct": """

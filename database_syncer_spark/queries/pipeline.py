@@ -205,6 +205,12 @@ def text_ngram_lm_score(spark, sf_dir):
     return T.ngram_lm_score(load_table(spark, sf_dir, "documents"))
 
 
+def text_pack_greedy(spark, sf_dir):
+    """Shard-parallel greedy sequence packing (pipeline/text.py:
+    pack_greedy): 64-token bins, 8 shards, recursive-CTE oracle."""
+    return T.pack_greedy(load_table(spark, sf_dir, "documents"))
+
+
 def text_chunk_split(spark, sf_dir):
     """Context-window chunking (pipeline/text.py:chunk_split): each doc's
     token stream cut into fixed 16-token chunks with offsets + the chunk
@@ -326,6 +332,7 @@ QUERIES = {
     "text_repetition": text_repetition,
     "text_chunk_split": text_chunk_split,
     "text_ngram_lm_score": text_ngram_lm_score,
+    "text_pack_greedy": text_pack_greedy,
     "text_pii_scrub": text_pii_scrub,
     "multimodal_columns": multimodal_columns,
     "multimodal_decode": multimodal_decode,
@@ -613,6 +620,31 @@ ORACLES = {
     "text_pii_scrub": _PII_SQL,
     "text_decontaminate": _DECONTAMINATE_SQL,
     "text_repetition": _REPETITION_SQL,
+    # the oracle REPLAYS the sequential greedy rule with a recursive CTE
+    # per shard (join-per-step: iterations = max shard length), so the
+    # shard-parallel applyInPandas packing is value-verified
+    "text_pack_greedy": """
+WITH RECURSIVE d AS (
+  SELECT doc_id, CAST(doc_id % 8 AS INT) AS shard,
+         CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+         row_number() OVER (PARTITION BY doc_id % 8 ORDER BY doc_id)
+           AS rn
+  FROM documents
+), r AS (
+  SELECT shard, rn, doc_id, n_tokens, 1 AS bin_local, n_tokens AS fill
+  FROM d WHERE rn = 1
+  UNION ALL
+  SELECT d.shard, d.rn, d.doc_id, d.n_tokens,
+         CASE WHEN r.fill + d.n_tokens <= 64 THEN r.bin_local
+              ELSE r.bin_local + 1 END,
+         CASE WHEN r.fill + d.n_tokens <= 64 THEN r.fill + d.n_tokens
+              ELSE d.n_tokens END
+  FROM r JOIN d ON d.shard = r.shard AND d.rn = r.rn + 1
+)
+SELECT doc_id, shard,
+       CAST(shard AS BIGINT) * 1000000 + bin_local AS bin_id, n_tokens
+FROM r
+""",
     # integer-arg log2 rounds to 9dp before the mean (ulp-portable),
     # mean to 6dp — the tfidf discipline
     "text_ngram_lm_score": """

@@ -51,6 +51,8 @@ _KEY_ORDER = [
     "multimodal_frame_sample",  # Arrow-batched frame sampling plumbing
     "win_rolling_median",    # windowed exact percentile, ROWS frame
     "agg_bitmap_distinct",   # exact distinct via bitmap aggregates
+    "text_pack_greedy",      # shard-parallel greedy sequence packing
+    "scan_binary_files",     # binaryFile multimodal ingest source
     # --- driver-green in r1 only, least-recently verified — refresh ---
     "agg_argmax_minby", "agg_collect_sorted", "subq_exists_sql",
     "subq_scalar_agg", "scan_csv_roundtrip", "scan_jsonl_roundtrip",
