@@ -210,9 +210,51 @@ WHERE b.o_orderkey IS NULL OR p.o_orderkey IS NULL OR NOT ({unchanged})
 """
 
 
+def _orders_sharded_dump_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Render-if-missing: a SHARDED dump directory — part-000.sql holds
+    the full orders slice, part-001.sql holds overriding INSERTs (same
+    PKs for o_orderkey % 8 == 1, o_totalprice + 100) the way a later
+    shard of an append-style export supersedes an earlier one."""
+    dirpath = _dump_path(sf_dir, "orders_sharded")[:-4]  # strip .sql
+    if os.path.isdir(dirpath) and _cached(
+            os.path.join(dirpath, "part-001.sql")):
+        return dirpath
+    orders = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderkey") < _SLICE)
+    override = (orders.where(F.col("o_orderkey") % 8 == 1)
+                .withColumn("o_totalprice", F.col("o_totalprice") + 100.0))
+    tmp = f"{dirpath}.tmp{os.getpid()}"
+    os.makedirs(tmp, exist_ok=True)
+    write_sql_dump(orders, "orders", ["o_orderkey"],
+                   os.path.join(tmp, "part-000.sql"))
+    write_sql_dump(override, "orders", ["o_orderkey"],
+                   os.path.join(tmp, "part-001.sql"))
+    try:
+        os.rename(tmp, dirpath)
+    except OSError:  # concurrent winner
+        import shutil
+        shutil.rmtree(tmp, ignore_errors=True)
+    return dirpath
+
+
+def scan_sql_dump_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Third ingest shape: a MULTI-FILE (sharded) dump directory, the
+    form big databases actually export as. Last-wins PK resolution must
+    hold ACROSS shards — part-001's overriding rows (o_orderkey % 8 ==
+    1, totalprice + 100) supersede part-000's — which exercises the
+    composite (shard << 41 | block) ingest-order key; before r4 the
+    cross-file order was undefined. DDL is read from shard 0; both
+    shards flow through one statement scan."""
+    back = read_sql_dump(
+        spark, _orders_sharded_dump_dir(spark, sf_dir))["orders"]
+    return back.withColumn(
+        "o_orderdate", F.col("o_orderdate").cast("timestamp_ntz"))
+
+
 QUERIES = {
     "scan_sql_dump": scan_sql_dump,
     "scan_sql_dump_composite": scan_sql_dump_composite,
+    "scan_sql_dump_sharded": scan_sql_dump_sharded,
     "sync_dump_to_dump": sync_dump_to_dump,
     "sync_catalog_ddl": sync_catalog_ddl,
 }
@@ -231,6 +273,14 @@ SELECT l_orderkey, l_linenumber,
        nullif(l_returnflag, 'N') AS l_returnflag
 FROM lineitem WHERE l_orderkey < {_SLICE}
 QUALIFY count(*) OVER (PARTITION BY l_orderkey, l_linenumber) = 1
+""",
+    # last-wins across shards: %8==1 rows carry part-001's +100 price
+    "scan_sql_dump_sharded": f"""
+SELECT o_orderkey, o_custkey, o_orderstatus,
+       CASE WHEN o_orderkey % 8 = 1 THEN o_totalprice + 100.0
+            ELSE o_totalprice END AS o_totalprice,
+       o_orderdate, o_orderpriority
+FROM orders WHERE o_orderkey < {_SLICE}
 """,
     "sync_dump_to_dump": _dump_diff_sql(),
     "sync_catalog_ddl": f"""

@@ -491,10 +491,11 @@ def read_dump_statements(spark: SparkSession, path: str,
     (``_metadata.file_block_start``), ``seq_lo`` = the row's position
     within its scan partition (low bits of
     ``monotonically_increasing_id``) — strictly increasing in file order
-    within a block, no extra pass. Holds for a single input file (the
-    reference reads exactly one file per side, sync.py:566-573); a
-    multi-file glob would additionally need ``_metadata.file_path`` in
-    the key.
+    within a block, no extra pass. For a SHARDED dump (a directory of
+    several files) ``seq_hi`` composes (shard index << 41) | block
+    offset, shard order = lexicographic file name, so last-wins is
+    well-defined across shards too — a later shard's row overrides an
+    earlier shard's (r4; single-file reads keep the plain offset).
 
     ``on_split_string`` guards the one input the separator split cannot
     handle: a string literal that itself contains ``;\\n`` (real
@@ -522,10 +523,16 @@ def read_dump_statements(spark: SparkSession, path: str,
     # pick the separator; btrim below strips the stray \r either way.
     line_sep = ";\n"
     head_path = path
+    shard_names: list[str] | None = None
     if os.path.isdir(path):
         inner = sorted(
             f for f in os.listdir(path) if not f.startswith(("_", ".")))
         head_path = os.path.join(path, inner[0]) if inner else path
+        if len(inner) > 1:
+            # SHARDED dump (a big database dumped as part-*.sql files):
+            # file order = lexicographic file NAME, the convention shard
+            # writers follow — driver-side listing, model-state scale.
+            shard_names = inner
     try:
         with open(head_path, "rb") as fh:
             head = fh.read(65536)
@@ -536,15 +543,41 @@ def read_dump_statements(spark: SparkSession, path: str,
     except OSError:
         pass
 
-    frags = (
+    raw_cols = (
         spark.read.option("lineSep", line_sep).text(path)
         .select(
             F.col("value").alias("frag"),
-            F.col("_metadata.file_block_start").alias("seq_hi"),
+            F.col("_metadata.file_block_start").alias("__blk"),
+            F.col("_metadata.file_path").alias("__fp"),
             F.monotonically_increasing_id()
              .bitwiseAND(_ROW_IN_PARTITION_MASK).alias("seq_lo"),
         )
     )
+    if shard_names is None:
+        # single file: seq_hi = block offset, exactly as before
+        frags = raw_cols.select(
+            "frag", F.col("__blk").alias("seq_hi"), "seq_lo")
+    else:
+        # multi-file: seq_hi = (shard index << 41) | block offset, so
+        # the lexicographic (seq_hi, seq_lo) key is file-order ACROSS
+        # shards and last-wins PK semantics are well-defined for
+        # sharded dumps (a later shard's row overrides an earlier
+        # shard's). 41 bits of offset = files up to 2 TB; 22 bits of
+        # shard index = 4M files. The name->index map joins broadcast
+        # on the path's basename (scheme-agnostic).
+        idx_df = raw_cols.sparkSession.createDataFrame(
+            [(n, i) for i, n in enumerate(shard_names)],
+            "__name string, __fidx long")
+        frags = (
+            raw_cols
+            .withColumn("__name", F.element_at(F.split("__fp", "/"), -1))
+            .join(F.broadcast(idx_df), "__name")
+            .select(
+                "frag",
+                (F.shiftleft("__fidx", 41) + F.col("__blk")).alias("seq_hi"),
+                "seq_lo",
+            )
+        )
     if on_split_string == "repair":
         frags = _stitch_fragments(frags, line_sep)
     # A fragment carries the comment BLOCK that precedes its statement
