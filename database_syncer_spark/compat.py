@@ -86,11 +86,22 @@ def ensure_protobuf() -> bool:
     # every worker's import path (code injection) — and the target is
     # re-validated even for our own dir, so a stale/dangling link from a
     # previous environment is repaired instead of trusted (r4 review).
-    shim = os.path.join(tempfile.gettempdir(),
-                        f"dss_protobuf_shim_{os.getuid()}")
+    uid = os.getuid() if hasattr(os, "getuid") else 0
+    shim = os.path.join(tempfile.gettempdir(), f"dss_protobuf_shim_{uid}")
     link = os.path.join(shim, "google", "protobuf")
     try:
         os.makedirs(os.path.dirname(link), exist_ok=True)
+        # a uid-suffixed NAME alone is spoofable (anyone can pre-create
+        # it in world-writable /tmp and keep control — TOCTOU); require
+        # that we actually OWN both levels and close them to others
+        # before trusting anything inside (r4 review).
+        for d in (shim, os.path.dirname(link)):
+            st = os.lstat(d)
+            if getattr(st, "st_uid", uid) != uid:
+                _resolved = False
+                return False
+            if st.st_mode & 0o077:
+                os.chmod(d, 0o700)
         if os.path.islink(link) and os.path.realpath(link) != \
                 os.path.realpath(src):
             os.remove(link)
@@ -124,14 +135,24 @@ def ensure_protobuf() -> bool:
         else:  # don't leave an empty var that didn't exist before
             os.environ.pop("PYTHONPATH", None)
         os.environ.pop("TEMPORARILY_DISABLE_PROTOBUF_VERSION_CHECK", None)
-        # evict modules the probe imported from the now-removed path:
-        # a cached google.protobuf backed by an unreachable dir would
-        # make later imports half-work (parent from cache, fresh
-        # submodules failing)
-        for name in [m for m in sys.modules
-                     if m == "google" or m.startswith("google.")
-                     or m.startswith("pyspark.sql.streaming.proto")]:
-            sys.modules.pop(name, None)
+        # evict ONLY modules the probe imported from the now-removed
+        # shim path (a cached google.protobuf backed by an unreachable
+        # dir would make later imports half-work) — a blanket google.*
+        # purge would also evict site-packages modules like google.auth
+        # that were never shim-backed, invalidating live references
+        # (r4 review). The pyspark proto gencode is always evicted: it
+        # bound to the shim runtime during the probe.
+        for name, mod in list(sys.modules.items()):
+            if name.startswith("pyspark.sql.streaming.proto"):
+                sys.modules.pop(name, None)
+                continue
+            if name != "google" and not name.startswith("google."):
+                continue
+            f = getattr(mod, "__file__", None) or ""
+            paths = list(getattr(mod, "__path__", None) or [])
+            if f.startswith(shim) or any(
+                    str(p).startswith(shim) for p in paths):
+                sys.modules.pop(name, None)
     return _resolved
 
 

@@ -331,10 +331,9 @@ def compact_cdc_log(log: DataFrame, pk_cols: list[str],
     so the map side combines before the shuffle."""
     value_cols = [c for c in log.columns
                   if c not in (*pk_cols, CHANGE_TYPE, seq_col)]
-    some_null = None
+    some_null = F.lit(False)  # empty pk_cols degrades to a global group
     for c in pk_cols:
-        cond = F.col(c).isNull()
-        some_null = cond if some_null is None else (some_null | cond)
+        some_null = some_null | F.col(c).isNull()
     passthrough = (log.where(some_null)
                    .select(*pk_cols, CHANGE_TYPE, *value_cols))
     log = log.where(~some_null)

@@ -153,7 +153,10 @@ def pack_greedy(documents: DataFrame, capacity: int = 64,
             else:
                 fill += n
             bins.append(local)
-        pdf["bin_id"] = (pdf["shard"].astype("int64") * 1_000_000
+        # shard << 41 (not a decimal multiplier): a shard can exceed
+        # 1M bins long before 2^41, so a narrow base would collide bin
+        # ids ACROSS shards at exactly the scale this op exists for
+        pdf["bin_id"] = (pdf["shard"].astype("int64") * (1 << 41)
                          + pd.Series(bins, dtype="int64"))
         return pdf[["doc_id", "shard", "bin_id", "n_tokens"]]
 

@@ -215,10 +215,16 @@ def _orders_sharded_dump_dir(spark: SparkSession, sf_dir: str) -> str:
     the full orders slice, part-001.sql holds overriding INSERTs (same
     PKs for o_orderkey % 8 == 1, o_totalprice + 100) the way a later
     shard of an append-style export supersedes an earlier one."""
+    import shutil
+
     dirpath = _dump_path(sf_dir, "orders_sharded")[:-4]  # strip .sql
-    if os.path.isdir(dirpath) and _cached(
-            os.path.join(dirpath, "part-001.sql")):
-        return dirpath
+    if os.path.isdir(dirpath):
+        if _cached(os.path.join(dirpath, "part-001.sql")):
+            return dirpath
+        # stale/partial dir (crashed older writer): os.rename below
+        # cannot replace a non-empty dir, so clear it now or every call
+        # would silently keep serving the broken cache (r4 review)
+        shutil.rmtree(dirpath, ignore_errors=True)
     orders = load_table(spark, sf_dir, "orders").where(
         F.col("o_orderkey") < _SLICE)
     override = (orders.where(F.col("o_orderkey") % 8 == 1)
@@ -231,8 +237,7 @@ def _orders_sharded_dump_dir(spark: SparkSession, sf_dir: str) -> str:
                    os.path.join(tmp, "part-001.sql"))
     try:
         os.rename(tmp, dirpath)
-    except OSError:  # concurrent winner
-        import shutil
+    except OSError:  # concurrent winner published first
         shutil.rmtree(tmp, ignore_errors=True)
     return dirpath
 

@@ -564,7 +564,10 @@ def scan_binary_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
 
     tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
-    d = os.path.join(tempfile.gettempdir(), f"dss_binfiles_{tag}")
+    # v-token in the cache name (the queries/dump.py _DUMP_FMT
+    # discipline): bump it whenever staged content/layout changes so a
+    # stale dir from an older build can't shadow the current fixture
+    d = os.path.join(tempfile.gettempdir(), f"dss_binfiles_v2_{tag}")
     if not os.path.isdir(d):
         tmp = f"{d}.tmp{os.getpid()}"
         os.makedirs(tmp, exist_ok=True)

@@ -642,7 +642,8 @@ WITH RECURSIVE d AS (
   FROM r JOIN d ON d.shard = r.shard AND d.rn = r.rn + 1
 )
 SELECT doc_id, shard,
-       CAST(shard AS BIGINT) * 1000000 + bin_local AS bin_id, n_tokens
+       CAST(shard AS BIGINT) * 2199023255552 + bin_local AS bin_id,
+       n_tokens
 FROM r
 """,
     # integer-arg log2 rounds to 9dp before the mean (ulp-portable),

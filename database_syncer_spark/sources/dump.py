@@ -564,10 +564,23 @@ def read_dump_statements(spark: SparkSession, path: str,
         # sharded dumps (a later shard's row overrides an earlier
         # shard's). 41 bits of offset = files up to 2 TB; 22 bits of
         # shard index = 4M files. The name->index map joins broadcast
-        # on the path's basename (scheme-agnostic).
+        # on the path's basename (scheme-agnostic). _metadata.file_path
+        # is a URI, so names with URI-encodable characters arrive
+        # percent-ENCODED ("part 000.sql" -> "part%20000.sql") — the map
+        # carries raw AND encoded spellings of every name so no shard
+        # can silently miss the join (r4 review: an inner join on the
+        # raw name alone dropped the whole shard).
+        from urllib.parse import quote
+
+        name_idx: dict[str, int] = {}
+        for i, n in enumerate(shard_names):
+            for spelling in {n, quote(n), quote(n, safe="")}:
+                if name_idx.setdefault(spelling, i) != i:
+                    raise ValueError(
+                        f"ambiguous shard file names in {path!r}: "
+                        f"{spelling!r} maps to two shards")
         idx_df = raw_cols.sparkSession.createDataFrame(
-            [(n, i) for i, n in enumerate(shard_names)],
-            "__name string, __fidx long")
+            list(name_idx.items()), "__name string, __fidx long")
         frags = (
             raw_cols
             .withColumn("__name", F.element_at(F.split("__fp", "/"), -1))
@@ -589,7 +602,12 @@ def read_dump_statements(spark: SparkSession, path: str,
     # the old filter silently lost those statements on third-party
     # dumps; caught by review r4).
     raw = F.btrim(F.col("frag"), F.lit(" \t\r\n"))
-    stmt = F.btrim(F.regexp_replace(raw, r"\A(?:--[^\n]*\n?)+", ""),
+    # \s* before each comment line: mysqldump separates comment BLOCKS
+    # with blank lines, and third-party dumps indent — a strip that only
+    # ate one contiguous unindented block left a '--' prefix (statement
+    # silently unparseable) or tripped the unterminated-string check on
+    # a comment apostrophe after the gap (r4 review, reproduced).
+    stmt = F.btrim(F.regexp_replace(raw, r"\A(?:\s*--[^\n]*\n?)+", ""),
                    F.lit(" \t\r\n"))
     out = frags.select(
         stmt.alias("stmt"), "seq_hi", "seq_lo",

@@ -599,3 +599,32 @@ def test_repair_survives_inch_marks_in_values(spark, tmp_path):
     for mode in ("error", "repair"):
         assert _stmts(spark, p, mode) == [
             stmt1, "INSERT INTO t VALUES (2,'y')"], mode
+
+
+def test_multiblock_comments_with_blank_lines_and_apostrophe(spark, tmp_path):
+    """Two comment blocks separated by a blank line, one holding an
+    apostrophe, before the INSERT: the strip must clear ALL of it — a
+    single-block strip left a '--' prefix (row silently unparseable)
+    or tripped the unterminated-string check (r4 review, reproduced)."""
+    p = tmp_path / "mb.sql"
+    p.write_text("--\n-- Section A\n--\n\n--\n-- don't edit\n--\n"
+                 "INSERT INTO t VALUES (1,'a');\n"
+                 "INSERT INTO t VALUES (2,'b');\n")
+    for mode in ("error", "repair", "ignore"):
+        assert _stmts(spark, p, mode) == [
+            "INSERT INTO t VALUES (1,'a')",
+            "INSERT INTO t VALUES (2,'b')"], mode
+
+
+def test_sharded_dump_uri_encodable_file_name(spark, tmp_path):
+    """_metadata.file_path is a URI, so 'part 000.sql' arrives as
+    'part%20000.sql' — the shard-index join must still find it (an
+    inner join on the raw basename silently dropped the whole shard,
+    r4 review, reproduced). Order: lexicographic raw name."""
+    d = tmp_path / "sharded"
+    d.mkdir()
+    (d / "part 000.sql").write_text("INSERT INTO t VALUES (1,'a');\n")
+    (d / "part-001.sql").write_text("INSERT INTO t VALUES (2,'b');\n")
+    got = _stmts(spark, d, "error")
+    assert got == ["INSERT INTO t VALUES (1,'a')",
+                   "INSERT INTO t VALUES (2,'b')"]
