@@ -325,6 +325,11 @@ def compact_cdc_log(log: DataFrame, pk_cols: list[str],
     equal) would net a NULL-PK INSERT against an unrelated NULL-PK
     DELETE and silently drop both (r4 review; snapshot_diff emits
     exactly such same-batch pairs under its pinned NULL-PK contract).
+    The bypass is IN-AGGREGATION: each NULL-PK row gets a unique
+    synthetic group key, so it rides the same single hash agg as its own
+    n=1 group (net = its own change_type, its own image) — a
+    filter-and-union form was measured to re-execute the whole upstream
+    log lineage once per branch (2× the diffs in the plan).
 
     Scale: ONE hash aggregation keyed on the PK over the change log —
     O(changes), never O(table); arg-min/max by seq are partial-aggregable
@@ -334,10 +339,14 @@ def compact_cdc_log(log: DataFrame, pk_cols: list[str],
     some_null = F.lit(False)  # empty pk_cols degrades to a global group
     for c in pk_cols:
         some_null = some_null | F.col(c).isNull()
-    passthrough = (log.where(some_null)
-                   .select(*pk_cols, CHANGE_TYPE, *value_cols))
-    log = log.where(~some_null)
-    g = log.groupBy(*pk_cols).agg(
+    # unique-per-row for NULL-PK rows, constant otherwise; values never
+    # reach the output, so monotonically_increasing_id's run-to-run
+    # variation cannot leak — only its within-job uniqueness is used
+    log = log.withColumn(
+        "__nkey",
+        F.when(some_null, F.monotonically_increasing_id()).otherwise(
+            F.lit(-1)))
+    g = log.groupBy(*pk_cols, "__nkey").agg(
         F.min_by(CHANGE_TYPE, seq_col).alias("__first_t"),
         F.max_by(CHANGE_TYPE, seq_col).alias("__last_t"),
         F.count(F.lit(1)).alias("__n"),
@@ -353,8 +362,7 @@ def compact_cdc_log(log: DataFrame, pk_cols: list[str],
     )
     return (g.withColumn(CHANGE_TYPE, net)
             .where(F.col(CHANGE_TYPE).isNotNull())
-            .select(*pk_cols, CHANGE_TYPE, *value_cols)
-            .unionByName(passthrough))
+            .select(*pk_cols, CHANGE_TYPE, *value_cols))
 
 
 def catalog_diff(prod_tables: dict, backup_tables: dict) -> dict[str, list[str]]:

@@ -272,3 +272,14 @@ def test_lm_score_model_joins_broadcast(spark, sf_dir):
     plan = _plan(all_queries()["text_ngram_lm_score"](spark, sf_dir))
     assert "BatchEvalPython" not in plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_cdc_compact_executes_each_diff_once(spark, sf_dir):
+    """The NULL-PK bypass must ride the single compaction aggregation
+    (synthetic group key), NOT a filter-and-union that re-executes the
+    whole upstream log lineage per branch — caught once: the two
+    snapshot diffs appeared TWICE in the plan (8 SortMergeJoins)."""
+    from database_syncer_spark.registry import all_queries
+
+    plan = _plan(all_queries()["sink_cdc_compact"](spark, sf_dir))
+    assert plan.count("SortMergeJoin") <= 2, plan.count("SortMergeJoin")
