@@ -86,6 +86,24 @@ def fn_map_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def fn_json_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 VARIANT type end to end: props parsed ONCE into a binary
+    variant (try_parse_json — the open-schema semi-structured column
+    type that replaces string-JSON re-parsing per access), typed field
+    extraction with variant_get, then a per-event-type rollup. At scale
+    variant beats get_json_object because the parse cost is paid once
+    at ingest and extraction is a binary-offset lookup, not a JSON
+    re-parse per expression."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.variant_get(F.try_parse_json("props"), "$.k", "int")
+    return (ev.select("event_type", k.alias("k"))
+            .groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.count("k").alias("n_with_k"),
+                 F.sum("k").alias("sum_k"),
+                 F.max("k").alias("max_k")))
+
+
 def fn_case_when(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CASE classification — the diff change-type classifier as a pure
     expression (SURVEY §2 fn_case_when, cf. A12-A14)."""
@@ -120,10 +138,20 @@ QUERIES = {
     "fn_array": fn_array,
     "fn_map_json": fn_map_json,
     "fn_case_when": fn_case_when,
+    "fn_json_variant": fn_json_variant,
     "fn_hash": fn_hash,
 }
 
 ORACLES = {
+    # sum(int) cast to BIGINT (DuckDB HUGEINT trap)
+    "fn_json_variant": """
+SELECT event_type, count(*) AS n_events,
+       count(CAST(json_extract_string(props, '$.k') AS INT)) AS n_with_k,
+       CAST(sum(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT)
+         AS sum_k,
+       max(CAST(json_extract_string(props, '$.k') AS INT)) AS max_k
+FROM events GROUP BY event_type
+""",
     "fn_string": """
 SELECT c_custkey,
        upper(c_name) AS name_upper,
