@@ -142,6 +142,60 @@ def sync_dump_to_dump(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderdate", F.col("o_orderdate").cast("timestamp_ntz"))
 
 
+def sync_sharded_dumps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end sync where the PRODUCTION side is a SHARDED dump
+    directory: ingest must resolve cross-shard last-wins first (part-001
+    overrides %8==1 rows, +100 totalprice) and the diff then classifies
+    against the single-file backup — the composed real-world shape (big
+    prods export sharded; the backup is a point snapshot). One driver
+    hash covers shard ordering + last-wins + parse + typing + diff."""
+    from database_syncer_spark.core.diff import snapshot_diff
+
+    prod = read_sql_dump(
+        spark, _orders_sharded_dump_dir(spark, sf_dir))["orders"]
+    backup = read_sql_dump(
+        spark, _orders_backup_dump(spark, sf_dir))["orders"]
+    changes = snapshot_diff(prod, backup, pk_cols=["o_orderkey"])
+    return changes.withColumn(
+        "o_orderdate", F.col("o_orderdate").cast("timestamp_ntz"))
+
+
+def _sharded_diff_sql() -> str:
+    """Oracle for sync_sharded_dumps: the effective production snapshot
+    applies part-001's +100 override to %8==1 rows before the diff."""
+    from database_syncer_spark.core.snapshots import derive_backup_sql
+
+    cols = ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+            "o_orderdate", "o_orderpriority"]
+    non_pk = [c for c in cols if c != "o_orderkey"]
+    slice_sql = (f"(SELECT {', '.join(cols)} FROM orders "
+                 f"WHERE o_orderkey < {_SLICE})")
+    eff_cols = ", ".join(
+        "CASE WHEN o_orderkey % 8 = 1 THEN o_totalprice + 100.0 "
+        "ELSE o_totalprice END AS o_totalprice" if c == "o_totalprice"
+        else c for c in cols)
+    backup = derive_backup_sql(
+        slice_sql + " AS s", "o_orderkey", "o_totalprice", cols)
+    post_image = ",\n  ".join(
+        f"CASE WHEN p.o_orderkey IS NULL THEN b.{c} ELSE p.{c} END AS {c}"
+        for c in non_pk)
+    unchanged = " AND ".join(
+        f"p.{c} IS NOT DISTINCT FROM b.{c}" for c in non_pk)
+    return f"""
+WITH prod AS (SELECT {eff_cols} FROM {slice_sql} p0),
+backup AS ({backup})
+SELECT
+  coalesce(p.o_orderkey, b.o_orderkey) AS o_orderkey,
+  CASE WHEN b.o_orderkey IS NULL THEN 'INSERT'
+       WHEN p.o_orderkey IS NULL THEN 'DELETE'
+       ELSE 'UPDATE' END AS change_type,
+  {post_image}
+FROM prod p
+FULL OUTER JOIN backup b ON p.o_orderkey = b.o_orderkey
+WHERE b.o_orderkey IS NULL OR p.o_orderkey IS NULL OR NOT ({unchanged})
+"""
+
+
 def sync_catalog_ddl(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Table-LEVEL diff surface (reference missing/extra tables +
     CREATE/DROP emission, sync.py:245-253, :318-331) over a MULTI-table
@@ -261,6 +315,7 @@ QUERIES = {
     "scan_sql_dump_composite": scan_sql_dump_composite,
     "scan_sql_dump_sharded": scan_sql_dump_sharded,
     "sync_dump_to_dump": sync_dump_to_dump,
+    "sync_sharded_dumps": sync_sharded_dumps,
     "sync_catalog_ddl": sync_catalog_ddl,
 }
 
@@ -288,6 +343,7 @@ SELECT o_orderkey, o_custkey, o_orderstatus,
 FROM orders WHERE o_orderkey < {_SLICE}
 """,
     "sync_dump_to_dump": _dump_diff_sql(),
+    "sync_sharded_dumps": _sharded_diff_sql(),
     "sync_catalog_ddl": f"""
 SELECT 'lineitem_ck' AS table_name, 'CREATE' AS action, count(*) AS n_rows
 FROM (SELECT 1 FROM lineitem WHERE l_orderkey < {_SLICE}

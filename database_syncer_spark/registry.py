@@ -56,6 +56,7 @@ _KEY_ORDER = [
     "scan_binary_files",     # binaryFile multimodal ingest source
     "scan_sql_dump_sharded", # multi-file dump, cross-shard last-wins
     "fn_json_variant",       # Spark 4 VARIANT parse-once/extract-typed
+    "sync_sharded_dumps",    # sharded prod vs file backup, end to end
     # --- driver-green in r1 only, least-recently verified — refresh ---
     "agg_argmax_minby", "agg_collect_sorted", "subq_exists_sql",
     "subq_scalar_agg", "scan_csv_roundtrip", "scan_jsonl_roundtrip",
