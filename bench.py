@@ -218,19 +218,35 @@ def main() -> None:
         "methodology": ("noop-sink; headline: 2 warmups, median of 5 timed "
                         "(r01 used median of 3); "
                         "secondary (not in value): 1 warmup, median of 3; "
-                        "ann_serving (new r4): the *_ann_topk serving call "
+                        "ann_serving: the *_ann_topk serving call "
                         "against a PREBUILT persisted index (train-once/"
                         "serve-many; ann_index_build is the one-time "
                         "train+code cost), 1 warmup median of 3 — the "
                         "sim_* secondary keys time inline-build serving + "
                         "brute-force verify + recall join and so overstate "
-                        "serving cost by design; "
-                        "r4 also adds a codegen unterminated-string guard "
-                        "to the dump statement path (scan_sql_dump); "
-                        "r3's +45%-uniform regression was adjudicated r4 "
-                        "on a quiet host: 12-key total 7.37s (r2 6.99, r3 "
-                        "10.13), scan_sql_dump 0.45s (r3 0.80) — host "
-                        "load, not plan regression; no bisect needed"),
+                        "serving cost by design. "
+                        "r4 regressions adjudicated (r5): sim_pq_ann "
+                        "+27%/sim_ivfpq_ann +24% vs r3 were the r4 "
+                        "deterministic ADC tie-break (lexsort superset "
+                        "pass) plus driver-side Column-tree construction; "
+                        "sink_merge_executor +24% was the r4 no-persist "
+                        "limit-collect executor gate re-running the diff "
+                        "once more — correctness costs, all inside 2x. "
+                        "r5 changes: vector kernels (dot/norm/dot_lit) now "
+                        "construct via ONE F.expr SQL string instead of "
+                        "per-element Py4J Column ops — value-identical "
+                        "(asserted max-abs-diff 0.0 at sf0.1) but removes "
+                        "~2s/call of driver-side plan construction from "
+                        "every ANN/cosine key (pq_serve measured 2.04s -> "
+                        "~1.1s, at parity with brute force at sf0.1, and "
+                        "faster at scale — see SCALE.md crossover). "
+                        "sim_lsh_ann_serve rises vs r4 (0.92s -> ~1.9s) "
+                        "because serving now derives queries from the "
+                        "embeddings ARGUMENT (bucketing the Q query rows "
+                        "per call) instead of reusing pre-bucketed corpus "
+                        "rows — the r4 ADVICE API fix; the extra cost is "
+                        "one Q-row scan + bucket projection, "
+                        "corpus-size-independent"),
     }))
 
 

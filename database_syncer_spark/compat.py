@@ -118,22 +118,31 @@ def ensure_protobuf() -> bool:
     # not-yet-launched JVM will fork (PYTHONPATH + the version-check flag).
     os.environ["TEMPORARILY_DISABLE_PROTOBUF_VERSION_CHECK"] = "true"
     prev_pp = os.environ.get("PYTHONPATH", "")
-    if shim not in prev_pp.split(os.pathsep):
+    # Track what WE changed so rollback undoes only our additions: if
+    # the shim path was already present (inherited from a parent
+    # process's engaged env), an unconditional remove/restore would
+    # strip an entry we didn't add or re-insert the shim into the
+    # "restored" PYTHONPATH (r4 review).
+    added_pp = shim not in prev_pp.split(os.pathsep)
+    if added_pp:
         os.environ["PYTHONPATH"] = (
             shim + os.pathsep + prev_pp if prev_pp else shim)
-    if shim not in sys.path:
+    added_syspath = shim not in sys.path
+    if added_syspath:
         sys.path.append(shim)
 
     _resolved = _gencode_works()
     if _resolved:
         global _shim_dir
         _shim_dir = shim
-    else:  # unusable copy — leave nothing half-engaged
-        sys.path.remove(shim)
-        if prev_pp:
-            os.environ["PYTHONPATH"] = prev_pp
-        else:  # don't leave an empty var that didn't exist before
-            os.environ.pop("PYTHONPATH", None)
+    else:  # unusable copy — leave nothing half-engaged (of OUR changes)
+        if added_syspath:
+            sys.path.remove(shim)
+        if added_pp:
+            if prev_pp:
+                os.environ["PYTHONPATH"] = prev_pp
+            else:  # don't leave an empty var that didn't exist before
+                os.environ.pop("PYTHONPATH", None)
         os.environ.pop("TEMPORARILY_DISABLE_PROTOBUF_VERSION_CHECK", None)
         # evict ONLY modules the probe imported from the now-removed
         # shim path (a cached google.protobuf backed by an unreachable

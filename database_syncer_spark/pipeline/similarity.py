@@ -148,7 +148,10 @@ def build_lsh_index(embeddings: DataFrame, n_planes: int = 4,
     bucketed = per_table[0]
     for p in per_table[1:]:
         bucketed = bucketed.unionByName(p)
-    return {"bucketed": bucketed}
+    # carry the build params: serving must bucket queries with the SAME
+    # planes the corpus was bucketed with, whatever the caller passes
+    return {"bucketed": bucketed, "n_planes": n_planes,
+            "n_tables": n_tables, "dim": dim}
 
 
 def lsh_ann_topk(embeddings: DataFrame, n_queries: int = 10, k: int = 10,
@@ -165,24 +168,51 @@ def lsh_ann_topk(embeddings: DataFrame, n_queries: int = 10, k: int = 10,
         index = build_lsh_index(embeddings, n_planes=n_planes,
                                 n_tables=n_tables, dim=dim)
     bucketed = index["bucketed"]
+    # serve with the params the index was BUILT with (query buckets must
+    # come from the same hyperplanes as the corpus buckets)
+    n_planes = index.get("n_planes", n_planes)
+    n_tables = index.get("n_tables", n_tables)
+    dim = index.get("dim", dim)
 
-    q = (bucketed.where(F.col("vec_id") < n_queries)
+    # Queries come from the EMBEDDINGS argument (bucket just the Q query
+    # rows — O(Q), not a corpus pass), matching pq/ivf/ivfpq: with a
+    # prebuilt index, drawing queries from index["bucketed"] would
+    # silently serve the wrong query set whenever the caller passes a
+    # different embeddings frame (r4 review).
+    # ONE pass over the Q query rows: per-table bucket ids come out of a
+    # single inline-array explode instead of an n_tables-way scan+union
+    # (_bucket_expr reads the "embedding" column — rename after).
+    tb = F.explode(F.array(*[
+        F.struct(F.lit(t).alias("tbl"),
+                 _bucket_expr(_hyperplanes(n_planes, dim, t))
+                 .alias("bucket"))
+        for t in range(n_tables)])).alias("tb")
+    q = (embeddings.where(F.col("vec_id") < n_queries)
+         .select("vec_id", "embedding",
+                 V.norm("embedding", dim).alias("nrm"))
          .select(F.col("vec_id").alias("query_id"),
-                 F.col("embedding").alias("q_emb"), F.col("nrm").alias("q_nrm"),
-                 "tbl", "bucket"))
-    cand = (
-        q.join(bucketed, ["tbl", "bucket"])
-        .where(F.col("vec_id") != F.col("query_id"))
-        .select("query_id", "q_emb", "q_nrm", "vec_id", "embedding", "nrm")
-        .dropDuplicates(["query_id", "vec_id"])
-    )
+                 F.col("embedding").alias("q_emb"),
+                 F.col("nrm").alias("q_nrm"), tb)
+         .select("query_id", "q_emb", "q_nrm", "tb.tbl", "tb.bucket"))
     cos = F.round(V.dot("q_emb", "embedding", dim) / (F.col("q_nrm") * F.col("nrm")), 6)
+    cand = (
+        # Q·n_tables rows vs the corpus: broadcast the query side so the
+        # bucketed corpus is never shuffled (at rest it's partitioned by
+        # (tbl, bucket); the broadcast probe preserves that layout).
+        # Cosine is computed BEFORE the multi-table dedup so the dedup
+        # Exchange carries three scalars per row, never the embedding
+        # arrays (duplicate pairs score identically, so which survives
+        # is value-irrelevant).
+        F.broadcast(q).join(bucketed, ["tbl", "bucket"])
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"),
+                cos.alias("cosine"))
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
     w = W.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id"))
     return (
-        cand.select("query_id", F.col("vec_id").alias("neighbor_id"),
-                    cos.alias("cosine"))
-        .withColumn("rank", F.row_number().over(w))
+        cand.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
     )
 

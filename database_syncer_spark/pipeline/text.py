@@ -127,7 +127,7 @@ def pack_greedy(documents: DataFrame, capacity: int = 64,
     is exactly why the distributed design matters: docs hash into
     ``n_shards`` independent shards (doc_id % n_shards), each shard
     packs greedily in doc_id order inside ONE applyInPandas group, and
-    bin ids are globalized as shard·10⁶ + local index. At 100 TB the
+    bin ids are globalized as shard·2⁴¹ + local index. At 100 TB the
     shard count is sized so a shard's doc METADATA fits one task —
     parallelism × determinism, no global sequence.
 

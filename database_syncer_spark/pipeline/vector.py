@@ -11,6 +11,18 @@ products, which Tungsten compiles into one tight codegen span.
 The unroll is bounded (dim=64 in the fixtures; codegen splits oversized
 methods automatically), and every helper takes the dimension explicitly
 so the expression is fixed at plan time.
+
+Construction goes through ONE ``F.expr(sql)`` call when the inputs are
+plain column names (every hot call site) instead of building the tree
+Column-by-Column: each ``col[i].cast(...) * ...`` operator is a Py4J
+round trip, and a 64-dim dot built that way costs ~0.5s of driver time
+PER CALL — profiled r5 on the ANN serving path, where expression
+construction (2.1s) dwarfed execution (0.8s). The SQL string mirrors
+the exact balanced-tree parenthesization and uses D-suffixed double
+literals, so the parsed expression — and every downstream rounded
+value — is identical to the Column-built tree (pinned by the ANN
+recall regression tests). Column inputs fall back to the original
+per-element construction.
 """
 
 from __future__ import annotations
@@ -23,23 +35,50 @@ def _col(c) -> Column:
     return F.col(c) if isinstance(c, str) else c
 
 
-def _balanced_sum(terms: list[Column]) -> Column:
+def _is_ref(c) -> bool:
+    """True when `c` is a plain (possibly dot-qualified) column name we
+    can splice into a SQL string verbatim."""
+    return isinstance(c, str) and c.replace(".", "_").isidentifier()
+
+
+def _balanced(terms: list, add) -> object:
     """Pairwise-balanced addition tree (depth log2 n instead of n).
 
     Float addition isn't associative, so the tree SHAPE is part of each
     kernel's deterministic contract — both shapes are deterministic, but
-    the balanced one plans measurably faster on the driver (Catalyst
-    walks a depth-6 tree instead of depth-64 per rule pass: 0.65s ->
-    0.54s for a 64-term norm scan) and its partial sums stay
-    closer in magnitude (mildly better numerics than left-to-right)."""
+    the balanced one plans measurably faster on the driver and its
+    partial sums stay closer in magnitude (mildly better numerics than
+    left-to-right). The same pairing is used for the Column path and
+    the SQL-string path so the two construct the SAME expression."""
     while len(terms) > 1:
-        terms = [terms[i] + terms[i + 1] if i + 1 < len(terms) else terms[i]
+        terms = [add(terms[i], terms[i + 1]) if i + 1 < len(terms)
+                 else terms[i]
                  for i in range(0, len(terms), 2)]
     return terms[0]
 
 
+def _balanced_sum(terms: list[Column]) -> Column:
+    return _balanced(terms, lambda a, b: a + b)
+
+
+def _balanced_sum_sql(terms: list[str]) -> str:
+    return _balanced(terms, lambda a, b: f"({a} + {b})")
+
+
+def _dlit(v: float) -> str:
+    """A double literal that parses to the same IEEE value F.lit(float)
+    would produce: repr() is the shortest round-trip form and the D
+    suffix makes the parser build a DoubleType literal directly (a bare
+    decimal would go through DECIMAL and could differ in the last ulp)."""
+    return f"{float(v)!r}D"
+
+
 def dot(a, b, dim: int) -> Column:
     """sum_i a[i]*b[i] as a flat codegen'd expression."""
+    if _is_ref(a) and _is_ref(b):
+        return F.expr(_balanced_sum_sql(
+            [f"(CAST({a}[{i}] AS DOUBLE) * CAST({b}[{i}] AS DOUBLE))"
+             for i in range(dim)]))
     a, b = _col(a), _col(b)
     return _balanced_sum([a[i].cast("double") * b[i].cast("double")
                           for i in range(dim)])
@@ -49,12 +88,20 @@ def dot_lit(col, coeffs: list[float]) -> Column:
     """Dot product against a driver-side constant vector (hyperplane,
     centroid): constants fold into the codegen'd expression — no array
     literal, no per-element lambda."""
+    if _is_ref(col):
+        return F.expr(_balanced_sum_sql(
+            [f"(CAST({col}[{i}] AS DOUBLE) * {_dlit(v)})"
+             for i, v in enumerate(coeffs)]))
     col = _col(col)
     return _balanced_sum([col[i].cast("double") * F.lit(float(v))
                           for i, v in enumerate(coeffs)])
 
 
 def norm_sq(col, dim: int) -> Column:
+    if _is_ref(col):
+        return F.expr(_balanced_sum_sql(
+            [f"(CAST({col}[{i}] AS DOUBLE) * CAST({col}[{i}] AS DOUBLE))"
+             for i in range(dim)]))
     col = _col(col)
     return _balanced_sum([col[i].cast("double") * col[i].cast("double")
                           for i in range(dim)])

@@ -581,10 +581,21 @@ def read_dump_statements(spark: SparkSession, path: str,
                         f"{spelling!r} maps to two shards")
         idx_df = raw_cols.sparkSession.createDataFrame(
             list(name_idx.items()), "__name string, __fidx long")
+        # LEFT join + assert_true: if some basename's Hadoop URI
+        # encoding matches neither the raw nor the urllib-quote
+        # spellings in the map, the shard must FAIL the job loudly —
+        # an inner join here would silently drop the whole shard's
+        # rows, the exact silent-data-loss class the spelling map was
+        # built to prevent (r4 review).
         frags = (
             raw_cols
             .withColumn("__name", F.element_at(F.split("__fp", "/"), -1))
-            .join(F.broadcast(idx_df), "__name")
+            .join(F.broadcast(idx_df), "__name", "left")
+            .where(F.assert_true(
+                F.col("__fidx").isNotNull(),
+                F.concat(F.lit("sharded dump: file name not in shard "
+                               "index (unanticipated URI encoding?): "),
+                         F.col("__name"))).isNull())
             .select(
                 "frag",
                 (F.shiftleft("__fidx", 41) + F.col("__blk")).alias("seq_hi"),
