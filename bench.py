@@ -237,10 +237,12 @@ def main() -> None:
                         "per-element Py4J Column ops — value-identical "
                         "(asserted max-abs-diff 0.0 at sf0.1) but removes "
                         "~2s/call of driver-side plan construction from "
-                        "every ANN/cosine key (pq_serve measured 2.04s -> "
-                        "~1.1s, at parity with brute force at sf0.1, and "
-                        "faster at scale — see SCALE.md crossover). "
-                        "sim_lsh_ann_serve rises vs r4 (0.92s -> ~1.9s) "
+                        "every ANN/cosine key (sf0.1 measured: pq_serve "
+                        "2.04s -> 0.73s and ivfpq_serve 2.08s -> 0.68s, "
+                        "both now <= brute force 0.74s, and 2.05s/1.86s "
+                        "vs brute 29.4s at 1M vectors — see SCALE.md "
+                        "'ANN serving crossover'). "
+                        "sim_lsh_ann_serve rises vs r4 (0.92s -> 1.51s) "
                         "because serving now derives queries from the "
                         "embeddings ARGUMENT (bucketing the Q query rows "
                         "per call) instead of reusing pre-bucketed corpus "

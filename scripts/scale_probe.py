@@ -67,7 +67,8 @@ def _jvm_peak_rss_kb() -> int | None:
     return None
 
 
-def _generate(spark, out: str) -> None:
+def _generate(spark, out: str, tables: set[str],
+              orders_mult: int = ORDERS_MULT) -> None:
     from pyspark.sql import functions as F
     from database_syncer_spark.catalog import load_table
 
@@ -75,7 +76,8 @@ def _generate(spark, out: str) -> None:
         return F.explode(F.sequence(F.lit(0), F.lit(n - 1))).alias("rep")
 
     def missing(name):
-        return not os.path.isdir(os.path.join(out, f"{name}.parquet"))
+        return (name in tables
+                and not os.path.isdir(os.path.join(out, f"{name}.parquet")))
 
     if missing("events"):
         # replicas shift user_id (fresh users) and event_id; ts jitters
@@ -94,19 +96,19 @@ def _generate(spark, out: str) -> None:
          .write.mode("overwrite").parquet(os.path.join(out, "events.parquet")))
 
     if missing("orders"):
-        _gen_orders(spark, out, reps)
+        _gen_orders(spark, out, reps, orders_mult)
     if missing("documents"):
         _gen_documents(spark, out, reps)
     if missing("embeddings"):
         _gen_embeddings(spark, out, reps)
 
 
-def _gen_orders(spark, out, reps):
+def _gen_orders(spark, out, reps, mult=ORDERS_MULT):
     from pyspark.sql import functions as F
     from database_syncer_spark.catalog import load_table
 
     orders = load_table(spark, SRC, "orders")
-    (orders.select("*", reps(ORDERS_MULT))
+    (orders.select("*", reps(mult))
      .withColumn("o_orderkey",
                  F.col("o_orderkey") + F.col("rep").cast("long") * 1_000_000_000)
      .drop("rep")
@@ -163,6 +165,12 @@ def main() -> None:
     ap.add_argument("--out", default="/tmp/dss_sf1")
     ap.add_argument("--skip-gen", action="store_true")
     ap.add_argument("--keys", default=",".join(KEYS))
+    ap.add_argument("--orders-mult", type=int, default=ORDERS_MULT,
+                    help="orders replication factor (100 => 15M rows/side "
+                         "through the bucketed diff)")
+    ap.add_argument("--tables", default="events,orders,documents,embeddings",
+                    help="comma list of tables to replicate into --out "
+                         "(generate only what the probed keys read)")
     args = ap.parse_args()
 
     from database_syncer_spark.session import get_spark
@@ -174,7 +182,8 @@ def main() -> None:
     gen_sec = None
     if not args.skip_gen or not os.path.isdir(args.out):
         t0 = time.perf_counter()
-        _generate(spark, args.out)
+        _generate(spark, args.out, set(args.tables.split(",")),
+                  orders_mult=args.orders_mult)
         gen_sec = round(time.perf_counter() - t0, 1)
 
     queries = all_queries()
@@ -191,7 +200,7 @@ def main() -> None:
     print(json.dumps({
         "metric": "sf1_scale_probe",
         "src": SRC,
-        "mults": {"orders": ORDERS_MULT, "documents": DOCS_MULT,
+        "mults": {"orders": args.orders_mult, "documents": DOCS_MULT,
                   "embeddings": EMB_MULT},
         "gen_sec": gen_sec,
         "results": results,
