@@ -248,7 +248,14 @@ def main() -> None:
                         "per call) instead of reusing pre-bucketed corpus "
                         "rows — the r4 ADVICE API fix; the extra cost is "
                         "one Q-row scan + bucket projection, "
-                        "corpus-size-independent"),
+                        "corpus-size-independent. "
+                        "dedup_cluster_components oscillates across "
+                        "rounds (r2 1.39 / r3 1.79 / r4 1.30 / r5 ~1.9s "
+                        "— measured 5x isolated, stable within-session): "
+                        "an iterative min-label-propagation job of many "
+                        "sub-second stages whose wall is scheduler-"
+                        "jitter-bound at this toy scale; no r5 change "
+                        "touches its code path"),
     }))
 
 
