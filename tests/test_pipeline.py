@@ -500,3 +500,33 @@ def test_prebuilt_index_serving_identical(spark, sf_dir):
             assert got == inline, serve.__name__
         finally:
             idx[corpus_key].unpersist()
+
+
+def test_prebuilt_index_serves_the_argument_queries(spark, sf_dir):
+    """r4 review fix (similarity.py): with a prebuilt index, the query
+    set must come from the EMBEDDINGS argument, not the index's corpus
+    rows — LSH used to reuse index['bucketed'] and would silently serve
+    the wrong queries for a caller-supplied frame. Serve each family
+    with the full-corpus index but an argument missing queries 0-4: the
+    result must contain exactly query_ids 5-9."""
+    import pyspark.sql.functions as F
+
+    from database_syncer_spark.pipeline import similarity as S
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    subset = emb.where(F.col("vec_id") >= 5)
+    cases = [
+        (S.build_lsh_index, S.lsh_ann_topk, "bucketed"),
+        (S.build_ivf_index, S.ivf_ann_topk, "assigned"),
+        (S.build_pq_index, S.pq_ann_topk, "coded"),
+        (S.build_ivfpq_index, S.ivfpq_ann_topk, "coded"),
+    ]
+    for build, serve, corpus_key in cases:
+        idx = build(emb)
+        idx[corpus_key].persist().count()
+        try:
+            served = {int(r.query_id) for r in serve(subset, index=idx)
+                      .select("query_id").distinct().collect()}
+            assert served == {5, 6, 7, 8, 9}, (serve.__name__, served)
+        finally:
+            idx[corpus_key].unpersist()
