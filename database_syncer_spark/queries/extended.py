@@ -394,6 +394,42 @@ def sample_hash_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.where(h < 100).select("doc_id", "lang", "n_chars")
 
 
+def sample_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based domain rebalancing (T=0.5): sample the corpus
+    so each language's expected share is ∝ cnt^T instead of ∝ cnt —
+    the standard up/down-weighting every multilingual / multi-domain
+    training mix applies (head domains damped, tail domains boosted),
+    at an overall ~20% budget.
+
+    Engine-exact by construction, so the DuckDB oracle matches
+    bit-for-bit: domain weight w = floor(sqrt(cnt)) (IEEE sqrt is
+    correctly rounded, floor exact), per-domain keep-probability in
+    ppm via DECIMAL(38) integer division (no float ratio anywhere),
+    membership via the same Knuth multiplicative hash as
+    sample_hash_threshold. At 100 TB: the stats side is
+    domain-cardinality-sized (KBs), broadcast back onto the corpus —
+    the corpus itself streams through one broadcast join + filter,
+    zero corpus shuffles, and the selection is reproducible
+    row-by-row across runs, partitionings, and engines."""
+    docs = load_table(spark, sf_dir, "documents")
+    stats = (docs.groupBy("lang").agg(F.count("*").alias("cnt"))
+             .withColumn("w", F.floor(F.sqrt(F.col("cnt"))).cast("long")))
+    tot = stats.agg(F.sum("cnt").alias("n"), F.sum("w").alias("wsum"))
+    p = (stats.crossJoin(F.broadcast(tot))
+         .withColumn(
+             "p_ppm",
+             F.least(
+                 F.lit(1000000).cast("long"),
+                 F.expr("CAST((CAST(200000 AS DECIMAL(38,0)) * n * w) "
+                        "DIV (CAST(wsum AS DECIMAL(38,0)) * cnt) "
+                        "AS BIGINT)")))
+         .select("lang", "p_ppm"))
+    return (docs.join(F.broadcast(p), "lang")
+            .where(F.pmod(F.col("doc_id") * F.lit(2654435761),
+                          F.lit(1000000)) < F.col("p_ppm"))
+            .select("doc_id", "lang", "n_chars", "p_ppm"))
+
+
 def tpch_q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q4 shape: order-priority counts for orders with at least one
     qualifying lineitem (EXISTS → left-semi join; the fixture schema has
@@ -661,6 +697,7 @@ QUERIES = {
     "reshape_unpivot": reshape_unpivot,
     "sample_stratified": sample_stratified,
     "sample_hash_threshold": sample_hash_threshold,
+    "sample_temperature_mix": sample_temperature_mix,
     "tpch_q4_order_priority": tpch_q4_order_priority,
     "tpch_q12_priority_classes": tpch_q12_priority_classes,
     "tpch_q16_supplier_cnt": tpch_q16_supplier_cnt,
@@ -855,6 +892,26 @@ SELECT doc_id, lang, n_chars, CAST(rk AS INT) AS rk FROM (
     "sample_hash_threshold": """
 SELECT doc_id, lang, n_chars FROM documents
 WHERE (doc_id * 2654435761) % 1000 < 100
+""",
+    # integer-exact temperature sampling: w = floor(sqrt(cnt)), keep
+    # ppm via HUGEINT integer division — same arithmetic as the Spark
+    # DECIMAL(38) DIV, so selection matches row-for-row
+    "sample_temperature_mix": """
+WITH stats AS (
+  SELECT lang, count(*) AS cnt,
+         CAST(floor(sqrt(count(*))) AS BIGINT) AS w
+  FROM documents GROUP BY lang
+), tot AS (
+  SELECT sum(cnt) AS n, sum(w) AS wsum FROM stats
+), p AS (
+  SELECT lang,
+         least(1000000, CAST((200000::HUGEINT * n * w)
+                             // (wsum::HUGEINT * cnt) AS BIGINT)) AS p_ppm
+  FROM stats, tot
+)
+SELECT d.doc_id, d.lang, d.n_chars, p.p_ppm
+FROM documents d JOIN p USING (lang)
+WHERE (d.doc_id * 2654435761) % 1000000 < p.p_ppm
 """,
     "tpch_q4_order_priority": """
 SELECT o_orderpriority, count(*) AS order_count
