@@ -96,6 +96,38 @@ def dedup_corpus_keep(spark, sf_dir):
     return keep_exact.join(dropped, "doc_id", "left_anti")
 
 
+def dedup_soft_keep(spark, sf_dir):
+    """Soft dedup (r5): instead of hard-dropping near-dup clusters to
+    one survivor, give every doc a duplication weight and keep each
+    cluster ONCE IN EXPECTATION — the down-weighting alternative
+    modern pipelines prefer when duplicates carry signal (keep_ppm =
+    floor(1e6 / cluster_size); selection via the engine-exact Knuth
+    hash, so which cluster member survives is random-but-reproducible
+    rather than always-min-id). Emits the full per-doc weighting table
+    (doc_id, component, cluster_size, keep_ppm, kept): downstream
+    either filters `kept` or trains on weight 1/cluster_size.
+
+    Composes the verified stages (exact n-gram Jaccard pairs →
+    connected components) and adds one component-keyed size agg + a
+    join back — the same shuffle key the components iteration already
+    uses. Singletons (docs in no pair) coalesce to their own id with
+    cluster_size 1, keep_ppm 1e6: always kept."""
+    docs = load_table(spark, sf_dir, "documents")
+    comp = D.connected_components(D.ngram_jaccard_pairs(docs))
+    full = (docs.select("doc_id").join(comp, "doc_id", "left")
+            .withColumn("component", F.coalesce("component", "doc_id")))
+    sizes = full.groupBy("component").agg(
+        F.count("*").alias("cluster_size"))
+    return (full.join(sizes, "component")
+            .withColumn("keep_ppm",
+                        F.expr("CAST(1000000 DIV cluster_size AS BIGINT)"))
+            .withColumn("kept",
+                        F.pmod(F.col("doc_id") * F.lit(2654435761),
+                               F.lit(1000000)) < F.col("keep_ppm"))
+            .select("doc_id", "component", "cluster_size",
+                    "keep_ppm", "kept"))
+
+
 def dedup_embedding_cosine(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
     return D.embedding_near_dup(emb, threshold=0.5,
@@ -315,6 +347,7 @@ QUERIES = {
     "dedup_ngram_containment": dedup_ngram_containment,
     "dedup_cluster_components": dedup_cluster_components,
     "dedup_corpus_keep": dedup_corpus_keep,
+    "dedup_soft_keep": dedup_soft_keep,
     "dedup_embedding_cosine": dedup_embedding_cosine,
     "sim_topk_cosine": sim_topk_cosine,
     "sim_lsh_ann": sim_lsh_ann,                  # recall@10 rows, pinned oracle
@@ -752,6 +785,37 @@ reach(src, dst) AS (
 )
 SELECT src AS doc_id, least(src, min(dst)) AS component
 FROM reach GROUP BY src
+""",
+    # same recursive-CTE components, then the soft-dedup weighting:
+    # integer keep_ppm + Knuth-hash membership, engine-exact
+    "dedup_soft_keep": f"""
+WITH RECURSIVE pairs AS ({_NGRAM_SQL}),
+sym AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION
+  SELECT doc_b, doc_a FROM pairs
+),
+reach(src, dst) AS (
+  SELECT a, b FROM sym
+  UNION
+  SELECT r.src, s.b FROM reach r JOIN sym s ON r.dst = s.a
+),
+comp AS (
+  SELECT src AS doc_id, least(src, min(dst)) AS component
+  FROM reach GROUP BY src
+),
+allc AS (
+  SELECT d.doc_id, coalesce(c.component, d.doc_id) AS component
+  FROM documents d LEFT JOIN comp c USING (doc_id)
+),
+sizes AS (
+  SELECT component, count(*) AS cluster_size FROM allc GROUP BY component
+)
+SELECT a.doc_id, a.component, s.cluster_size,
+       CAST(1000000 // s.cluster_size AS BIGINT) AS keep_ppm,
+       (a.doc_id * 2654435761) % 1000000
+         < CAST(1000000 // s.cluster_size AS BIGINT) AS kept
+FROM allc a JOIN sizes s USING (component)
 """,
     "dedup_embedding_cosine": """
 WITH e AS (
