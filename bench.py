@@ -71,6 +71,9 @@ SECONDARY = [
     "text_ngram_lm_score",         # corpus-bigram LM scoring
     "sink_cdc_compact",            # two diffs + pk-keyed compaction agg
     "dedup_incremental",           # batch-vs-corpus banded LSH
+    # r5 additions
+    "sample_temperature_mix",      # domain-rebalanced sampling
+    "dedup_soft_keep",             # components + 1/cluster down-weighting
 ]
 
 

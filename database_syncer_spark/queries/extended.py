@@ -388,9 +388,13 @@ def sample_hash_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic ~10% Bernoulli sample by key hash — reproducible
     across runs/engines (unlike rand()-seeded TABLESAMPLE, whose RNG is
     engine-specific). Knuth multiplicative hash on the key, threshold on
-    the residue; exact bigint arithmetic in both engines."""
+    the residue; exact bigint arithmetic in both engines. The key is
+    reduced mod m BEFORE the multiply — (k%m)*K%m ≡ k*K%m, so the
+    selection is value-identical but the product stays ≤ m·K and can
+    never overflow bigint (raw doc_id·K overflows past doc_id≈3.5e9;
+    caught by the 200× scale probe under ANSI mode)."""
     docs = load_table(spark, sf_dir, "documents")
-    h = (F.col("doc_id") * F.lit(2654435761)) % F.lit(1000)
+    h = (F.pmod(F.col("doc_id"), F.lit(1000)) * F.lit(2654435761)) % F.lit(1000)
     return docs.where(h < 100).select("doc_id", "lang", "n_chars")
 
 
@@ -424,8 +428,10 @@ def sample_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
                         "DIV (CAST(wsum AS DECIMAL(38,0)) * cnt) "
                         "AS BIGINT)")))
          .select("lang", "p_ppm"))
+    # mod-first hash: (k%m)*K%m == k*K%m, overflow-proof at any doc_id
     return (docs.join(F.broadcast(p), "lang")
-            .where(F.pmod(F.col("doc_id") * F.lit(2654435761),
+            .where(F.pmod(F.pmod(F.col("doc_id"), F.lit(1000000))
+                          * F.lit(2654435761),
                           F.lit(1000000)) < F.col("p_ppm"))
             .select("doc_id", "lang", "n_chars", "p_ppm"))
 
@@ -891,7 +897,7 @@ SELECT doc_id, lang, n_chars, CAST(rk AS INT) AS rk FROM (
 """,
     "sample_hash_threshold": """
 SELECT doc_id, lang, n_chars FROM documents
-WHERE (doc_id * 2654435761) % 1000 < 100
+WHERE (doc_id % 1000 * 2654435761) % 1000 < 100
 """,
     # integer-exact temperature sampling: w = floor(sqrt(cnt)), keep
     # ppm via HUGEINT integer division — same arithmetic as the Spark
@@ -911,7 +917,7 @@ WITH stats AS (
 )
 SELECT d.doc_id, d.lang, d.n_chars, p.p_ppm
 FROM documents d JOIN p USING (lang)
-WHERE (d.doc_id * 2654435761) % 1000000 < p.p_ppm
+WHERE (d.doc_id % 1000000 * 2654435761) % 1000000 < p.p_ppm
 """,
     "tpch_q4_order_priority": """
 SELECT o_orderpriority, count(*) AS order_count

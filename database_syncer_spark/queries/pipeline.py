@@ -107,13 +107,18 @@ def dedup_soft_keep(spark, sf_dir):
     (doc_id, component, cluster_size, keep_ppm, kept): downstream
     either filters `kept` or trains on weight 1/cluster_size.
 
-    Composes the verified stages (exact n-gram Jaccard pairs →
+    Composes the verified stages (banded MinHash-LSH near-dup pairs →
     connected components) and adds one component-keyed size agg + a
     join back — the same shuffle key the components iteration already
     uses. Singletons (docs in no pair) coalesce to their own id with
-    cluster_size 1, keep_ppm 1e6: always kept."""
+    cluster_size 1, keep_ppm 1e6: always kept. The candidate generator
+    is the banded-LSH join, the 100-TB default (the exact
+    inverted-index pairs computed the same edges in 585 s at the
+    200×/1 M-doc probe vs minutes for LSH; the oracle stays exact
+    because LSH recall is verified total at τ=0.5 on the fixtures —
+    same honesty argument as dedup_minhash_lsh's own oracle)."""
     docs = load_table(spark, sf_dir, "documents")
-    comp = D.connected_components(D.ngram_jaccard_pairs(docs))
+    comp = D.connected_components(D.minhash_lsh_dedup(docs))
     full = (docs.select("doc_id").join(comp, "doc_id", "left")
             .withColumn("component", F.coalesce("component", "doc_id")))
     sizes = full.groupBy("component").agg(
@@ -121,8 +126,9 @@ def dedup_soft_keep(spark, sf_dir):
     return (full.join(sizes, "component")
             .withColumn("keep_ppm",
                         F.expr("CAST(1000000 DIV cluster_size AS BIGINT)"))
-            .withColumn("kept",
-                        F.pmod(F.col("doc_id") * F.lit(2654435761),
+            .withColumn("kept",  # mod-first: overflow-proof, same values
+                        F.pmod(F.pmod(F.col("doc_id"), F.lit(1000000))
+                               * F.lit(2654435761),
                                F.lit(1000000)) < F.col("keep_ppm"))
             .select("doc_id", "component", "cluster_size",
                     "keep_ppm", "kept"))
@@ -786,10 +792,12 @@ reach(src, dst) AS (
 SELECT src AS doc_id, least(src, min(dst)) AS component
 FROM reach GROUP BY src
 """,
-    # same recursive-CTE components, then the soft-dedup weighting:
+    # recursive-CTE components over the τ=0.5 pair set (the exact
+    # inverted-index SQL — a complete oracle for the LSH edges, same
+    # argument as dedup_minhash_lsh), then the soft-dedup weighting:
     # integer keep_ppm + Knuth-hash membership, engine-exact
     "dedup_soft_keep": f"""
-WITH RECURSIVE pairs AS ({_NGRAM_SQL}),
+WITH RECURSIVE pairs AS ({_MINHASH_SQL}),
 sym AS (
   SELECT doc_a AS a, doc_b AS b FROM pairs
   UNION
@@ -813,7 +821,7 @@ sizes AS (
 )
 SELECT a.doc_id, a.component, s.cluster_size,
        CAST(1000000 // s.cluster_size AS BIGINT) AS keep_ppm,
-       (a.doc_id * 2654435761) % 1000000
+       (a.doc_id % 1000000 * 2654435761) % 1000000
          < CAST(1000000 // s.cluster_size AS BIGINT) AS kept
 FROM allc a JOIN sizes s USING (component)
 """,
