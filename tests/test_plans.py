@@ -274,6 +274,35 @@ def test_lm_score_model_joins_broadcast(spark, sf_dir):
     assert "SortMergeJoin" not in plan, plan
 
 
+def test_temperature_mix_corpus_side_broadcast_only(spark, sf_dir):
+    """sample_temperature_mix's corpus pass must be scan -> broadcast
+    hash join -> filter: the per-domain keep-ppm table is
+    domain-cardinality-sized and must broadcast; a SortMergeJoin here
+    would shuffle the whole corpus to apply a KB-sized rate table.
+    (The stats side's lang-count Exchanges are lang-cardinality-bounded
+    and allowed.)"""
+    from database_syncer_spark.registry import all_queries
+
+    plan = _plan(all_queries()["sample_temperature_mix"](spark, sf_dir))
+    assert "SortMergeJoin" not in plan, plan
+    assert "BroadcastHashJoin" in plan
+    assert "BatchEvalPython" not in plan  # integer/codegen path only
+
+
+def test_soft_keep_rides_lsh_not_inverted_index(spark, sf_dir):
+    """dedup_soft_keep's candidate generator must be the banded
+    MinHash-LSH join (per-doc band explode), NOT the exact inverted
+    shingle index — the posting-list self-join took 19x longer at the
+    1 M-doc probe. The banded join's signature in the plan is the
+    band_id/band_hash partitioning; the inverted index's is a
+    shingle-hash one."""
+    from database_syncer_spark.registry import all_queries
+
+    plan = _plan(all_queries()["dedup_soft_keep"](spark, sf_dir))
+    assert "band_id" in plan, "expected the banded-LSH candidate join"
+    assert "BatchEvalPython" not in plan
+
+
 def test_cdc_compact_executes_each_diff_once(spark, sf_dir):
     """The NULL-PK bypass must ride the single compaction aggregation
     (synthetic group key), NOT a filter-and-union that re-executes the
