@@ -116,6 +116,7 @@ def ensure_protobuf() -> bool:
 
     # Engage for: this interpreter (sys.path), and every Python worker the
     # not-yet-launched JVM will fork (PYTHONPATH + the version-check flag).
+    added_flag = "TEMPORARILY_DISABLE_PROTOBUF_VERSION_CHECK" not in os.environ
     os.environ["TEMPORARILY_DISABLE_PROTOBUF_VERSION_CHECK"] = "true"
     prev_pp = os.environ.get("PYTHONPATH", "")
     # Track what WE changed so rollback undoes only our additions: if
@@ -143,7 +144,8 @@ def ensure_protobuf() -> bool:
                 os.environ["PYTHONPATH"] = prev_pp
             else:  # don't leave an empty var that didn't exist before
                 os.environ.pop("PYTHONPATH", None)
-        os.environ.pop("TEMPORARILY_DISABLE_PROTOBUF_VERSION_CHECK", None)
+        if added_flag:  # don't strip a flag inherited from a parent env
+            os.environ.pop("TEMPORARILY_DISABLE_PROTOBUF_VERSION_CHECK", None)
         # evict ONLY modules the probe imported from the now-removed
         # shim path (a cached google.protobuf backed by an unreachable
         # dir would make later imports half-work) — a blanket google.*

@@ -68,16 +68,25 @@ def _jvm_peak_rss_kb() -> int | None:
 
 
 def _generate(spark, out: str, tables: set[str],
-              orders_mult: int = ORDERS_MULT) -> None:
+              orders_mult: int = ORDERS_MULT) -> list[str]:
+    """Returns the list of tables actually (re)generated this run —
+    tables already present in `out` are REUSED at whatever multiplier
+    they were originally written with, so the caller must not label
+    their timings with this run's multiplier."""
     from pyspark.sql import functions as F
     from database_syncer_spark.catalog import load_table
+
+    generated: list[str] = []
 
     def reps(n):
         return F.explode(F.sequence(F.lit(0), F.lit(n - 1))).alias("rep")
 
     def missing(name):
-        return (name in tables
-                and not os.path.isdir(os.path.join(out, f"{name}.parquet")))
+        fresh = (name in tables
+                 and not os.path.isdir(os.path.join(out, f"{name}.parquet")))
+        if fresh:
+            generated.append(name)
+        return fresh
 
     if missing("events"):
         # replicas shift user_id (fresh users) and event_id; ts jitters
@@ -101,6 +110,7 @@ def _generate(spark, out: str, tables: set[str],
         _gen_documents(spark, out, reps)
     if missing("embeddings"):
         _gen_embeddings(spark, out, reps)
+    return generated
 
 
 def _gen_orders(spark, out, reps, mult=ORDERS_MULT):
@@ -179,11 +189,11 @@ def main() -> None:
     spark = get_spark("scale_probe", shuffle_partitions=64)
     spark.sparkContext.setLogLevel("ERROR")
 
-    gen_sec = None
+    gen_sec, generated = None, []
     if not args.skip_gen or not os.path.isdir(args.out):
         t0 = time.perf_counter()
-        _generate(spark, args.out, set(args.tables.split(",")),
-                  orders_mult=args.orders_mult)
+        generated = _generate(spark, args.out, set(args.tables.split(",")),
+                              orders_mult=args.orders_mult)
         gen_sec = round(time.perf_counter() - t0, 1)
 
     queries = all_queries()
@@ -200,8 +210,16 @@ def main() -> None:
     print(json.dumps({
         "metric": "sf1_scale_probe",
         "src": SRC,
+        # mults describe tables GENERATED THIS RUN; anything in
+        # reused_existing was written by an earlier run and keeps that
+        # run's multiplier — don't label its timings with these values.
         "mults": {"orders": args.orders_mult, "documents": DOCS_MULT,
                   "embeddings": EMB_MULT},
+        "generated": generated,
+        "reused_existing": sorted(
+            t for t in args.tables.split(",")
+            if t not in generated
+            and os.path.isdir(os.path.join(args.out, f"{t}.parquet"))),
         "gen_sec": gen_sec,
         "results": results,
     }))

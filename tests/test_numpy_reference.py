@@ -159,6 +159,19 @@ def _emb_numpy(spark, sf_dir):
     return ids[order], mat[order], dim
 
 
+def _round6(x: float) -> float:
+    """HALF_UP round to 6 dp, matching Spark's F.round exactly: Spark
+    routes doubles through java BigDecimal.valueOf (shortest decimal
+    repr — same contract as Python repr) + setScale(6, HALF_UP).
+    np.round would be banker's-rounding on the binary double — it
+    agrees except within an ulp of a .5e-6 boundary, where the two
+    modes diverge and equality asserts would false-alarm."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    return float(Decimal(repr(float(x))).quantize(
+        Decimal("0.000001"), rounding=ROUND_HALF_UP))
+
+
 def _numpy_exact_threshold(ids, mat, n_queries=10, k=10):
     """Per query: the k-th exact cosine at round-6 (brute_force_topk's
     ranking contract: round(cos, 6) desc, vec_id asc, self excluded)."""
@@ -166,7 +179,8 @@ def _numpy_exact_threshold(ids, mat, n_queries=10, k=10):
     thr = {}
     for qpos in np.flatnonzero(ids < n_queries):
         qid = int(ids[qpos])
-        cos = np.round(mat @ mat[qpos] / (nrm * nrm[qpos]), 6)
+        raw = mat @ mat[qpos] / (nrm * nrm[qpos])
+        cos = np.array([_round6(v) for v in raw])
         mask = ids != qid
         cand_ids, cand_cos = ids[mask], cos[mask]
         order = np.lexsort((cand_ids, -cand_cos))
@@ -209,9 +223,8 @@ def test_ann_recall_matches_numpy_reference(spark, sf_dir, _emb_numpy,
     for qid, t in thr.items():
         hits = 0
         for nb in retrieved.get(qid, []):
-            cos = float(np.round(
-                mat[pos[nb]] @ mat[pos[qid]] / (nrm[pos[nb]] * nrm[pos[qid]]),
-                6))
+            cos = _round6(
+                mat[pos[nb]] @ mat[pos[qid]] / (nrm[pos[nb]] * nrm[pos[qid]]))
             if cos >= t:
                 hits += 1
         want[qid] = (k, hits, hits / float(k))
