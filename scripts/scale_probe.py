@@ -110,6 +110,18 @@ def _generate(spark, out: str, tables: set[str],
         _gen_documents(spark, out, reps)
     if missing("embeddings"):
         _gen_embeddings(spark, out, reps)
+    if missing("customer"):
+        # window/agg keys over customer: replicate 10x with shifted keys
+        from pyspark.sql import functions as F
+        from database_syncer_spark.catalog import load_table
+
+        cust = load_table(spark, SRC, "customer")
+        (cust.select("*", reps(10))
+         .withColumn("c_custkey",
+                     F.col("c_custkey") + F.col("rep").cast("long") * 1_000_000_000)
+         .drop("rep")
+         .repartition(32)
+         .write.mode("overwrite").parquet(os.path.join(out, "customer.parquet")))
     return generated
 
 
