@@ -208,7 +208,35 @@ def main() -> None:
             pass
 
     total = round(sum(timings.values()), 3)
-    print(json.dumps({
+
+    # VERDICT r5 defect #1: the driver tail-captures stdout and parses the
+    # LAST line as the machine record; r5's single line (with its embedded
+    # methodology narrative) outgrew that buffer and BENCH_r05.json came
+    # back `parsed: null`. Split the output:
+    #   line 1  — full detail (methodology, prev_totals, secondary, ANN
+    #             splits), also written to BENCH_DETAIL_LAST.json so the
+    #             narrative survives even if the tail truncates it;
+    #   line 2  — the compact machine record, guaranteed < 2 KB, LAST.
+    detail = {
+        "metric": "bench_detail",
+        "prev_totals": prev,
+        "secondary": secondary,
+        "ann_index_build": ann_index_build,
+        "ann_serving": ann_serving,
+        "methodology": (
+            "noop-sink; headline: 2 warmups, median of 5 timed (r01 used "
+            "median of 3); secondary (not in value): 1 warmup, median of "
+            "3; ann_serving: the *_ann_topk serving call against a "
+            "PREBUILT persisted index (train-once/serve-many; "
+            "ann_index_build is the one-time train+code cost), 1 warmup "
+            "median of 3 — the sim_* secondary keys time inline-build "
+            "serving + brute-force verify + recall join and so overstate "
+            "serving cost by design. Host shows ±30-45%% uniform "
+            "cross-round drift; same-host A/B on pinned fixtures "
+            "(BASELINE.md) is the regression arbiter. Per-round "
+            "adjudications live in BASELINE.md / SCALE.md, not here."),
+    }
+    machine = {
         "metric": "headline_queries_total_wall",
         "value": total,
         "unit": "sec",
@@ -216,50 +244,21 @@ def main() -> None:
         "secondary": secondary,
         "ann_index_build": ann_index_build,
         "ann_serving": ann_serving,
-        "prev_totals": prev,
         "sf": sf,
-        "methodology": ("noop-sink; headline: 2 warmups, median of 5 timed "
-                        "(r01 used median of 3); "
-                        "secondary (not in value): 1 warmup, median of 3; "
-                        "ann_serving: the *_ann_topk serving call "
-                        "against a PREBUILT persisted index (train-once/"
-                        "serve-many; ann_index_build is the one-time "
-                        "train+code cost), 1 warmup median of 3 — the "
-                        "sim_* secondary keys time inline-build serving + "
-                        "brute-force verify + recall join and so overstate "
-                        "serving cost by design. "
-                        "r4 regressions adjudicated (r5): sim_pq_ann "
-                        "+27%/sim_ivfpq_ann +24% vs r3 were the r4 "
-                        "deterministic ADC tie-break (lexsort superset "
-                        "pass) plus driver-side Column-tree construction; "
-                        "sink_merge_executor +24% was the r4 no-persist "
-                        "limit-collect executor gate re-running the diff "
-                        "once more — correctness costs, all inside 2x. "
-                        "r5 changes: vector kernels (dot/norm/dot_lit) now "
-                        "construct via ONE F.expr SQL string instead of "
-                        "per-element Py4J Column ops — value-identical "
-                        "(asserted max-abs-diff 0.0 at sf0.1) but removes "
-                        "~2s/call of driver-side plan construction from "
-                        "every ANN/cosine key (sf0.1 measured: pq_serve "
-                        "2.04s -> 0.73s and ivfpq_serve 2.08s -> 0.68s, "
-                        "both now <= brute force 0.74s, and 2.05s/1.86s "
-                        "vs brute 29.4s at 1M vectors — see SCALE.md "
-                        "'ANN serving crossover'). "
-                        "sim_lsh_ann_serve rises vs r4 (0.92s -> 1.51s) "
-                        "because serving now derives queries from the "
-                        "embeddings ARGUMENT (bucketing the Q query rows "
-                        "per call) instead of reusing pre-bucketed corpus "
-                        "rows — the r4 ADVICE API fix; the extra cost is "
-                        "one Q-row scan + bucket projection, "
-                        "corpus-size-independent. "
-                        "dedup_cluster_components oscillates across "
-                        "rounds (r2 1.39 / r3 1.79 / r4 1.30 / r5 ~1.9s "
-                        "— measured 5x isolated, stable within-session): "
-                        "an iterative min-label-propagation job of many "
-                        "sub-second stages whose wall is scheduler-"
-                        "jitter-bound at this toy scale; no r5 change "
-                        "touches its code path"),
-    }))
+    }
+    line = json.dumps(machine)
+    if len(line) > 1900:  # never regress the tail-parse again
+        line = json.dumps({k: machine[k] for k in
+                           ("metric", "value", "unit", "queries", "sf")})
+    try:
+        with open(os.path.join(here, "BENCH_DETAIL_LAST.json"), "w",
+                  encoding="utf-8") as fh:
+            json.dump({**detail, **machine,
+                       "metric": "headline_queries_total_wall"}, fh, indent=1)
+    except OSError:
+        pass
+    print(json.dumps(detail))
+    print(line)
 
 
 if __name__ == "__main__":

@@ -179,21 +179,31 @@ def lsh_ann_topk(embeddings: DataFrame, n_queries: int = 10, k: int = 10,
     # prebuilt index, drawing queries from index["bucketed"] would
     # silently serve the wrong query set whenever the caller passes a
     # different embeddings frame (r4 review).
-    # ONE pass over the Q query rows: per-table bucket ids come out of a
-    # single inline-array explode instead of an n_tables-way scan+union
-    # (_bucket_expr reads the "embedding" column — rename after).
-    tb = F.explode(F.array(*[
-        F.struct(F.lit(t).alias("tbl"),
-                 _bucket_expr(_hyperplanes(n_planes, dim, t))
-                 .alias("bucket"))
-        for t in range(n_tables)])).alias("tb")
-    q = (embeddings.where(F.col("vec_id") < n_queries)
-         .select("vec_id", "embedding",
-                 V.norm("embedding", dim).alias("nrm"))
-         .select(F.col("vec_id").alias("query_id"),
-                 F.col("embedding").alias("q_emb"),
-                 F.col("nrm").alias("q_nrm"), tb)
-         .select("query_id", "q_emb", "q_nrm", "tb.tbl", "tb.bucket"))
+    # Per-table select + union, the same shape as the corpus side in
+    # build_lsh_index — NOT one explode(array(struct(bucket_0, bucket_1,
+    # ...))): that Generate inlines every table's n_planes×dim unrolled
+    # dot products into a single generate_doConsume method, which blows
+    # Janino's 64 KB method limit and silently drops the whole stage to
+    # interpreted execution (the r5 bench's 8 "ERROR CodeGenerator:
+    # Failed to compile" lines — root cause "Code grows beyond 64 KB",
+    # pinned by tests/test_plans.py's codegen-fallback canary). The
+    # union scans the FILTERED query rows n_tables times — O(Q·T), never
+    # a corpus pass — and each branch's projection stays well inside one
+    # codegen unit.
+    q_base = (embeddings.where(F.col("vec_id") < n_queries)
+              .select(F.col("vec_id").alias("query_id"),
+                      F.col("embedding"),
+                      V.norm("embedding", dim).alias("q_nrm")))
+    per_table_q = []
+    for t in range(n_tables):
+        bucket = _bucket_expr(_hyperplanes(n_planes, dim, t))
+        per_table_q.append(
+            q_base.select("query_id", "embedding", "q_nrm",
+                          F.lit(t).alias("tbl"), bucket.alias("bucket")))
+    q = per_table_q[0]
+    for p in per_table_q[1:]:
+        q = q.unionByName(p)
+    q = q.withColumnRenamed("embedding", "q_emb")
     cos = F.round(V.dot("q_emb", "embedding", dim) / (F.col("q_nrm") * F.col("nrm")), 6)
     cand = (
         # Q·n_tables rows vs the corpus: broadcast the query side so the

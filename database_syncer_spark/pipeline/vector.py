@@ -37,8 +37,16 @@ def _col(c) -> Column:
 
 def _is_ref(c) -> bool:
     """True when `c` is a plain (possibly dot-qualified) column name we
-    can splice into a SQL string verbatim."""
+    can splice into a SQL string (backtick-quoted by `_ref_sql`)."""
     return isinstance(c, str) and c.replace(".", "_").isidentifier()
+
+
+def _ref_sql(c: str) -> str:
+    """Backtick-quote each dot-separated segment so the spliced name
+    resolves exactly like F.col(c) — an unquoted identifier that is also
+    an argless SQL function (current_date, current_user) or a reserved
+    word would otherwise parse/resolve differently (r5 ADVICE)."""
+    return ".".join(f"`{seg}`" for seg in c.split("."))
 
 
 def _balanced(terms: list, add) -> object:
@@ -76,8 +84,9 @@ def _dlit(v: float) -> str:
 def dot(a, b, dim: int) -> Column:
     """sum_i a[i]*b[i] as a flat codegen'd expression."""
     if _is_ref(a) and _is_ref(b):
+        qa, qb = _ref_sql(a), _ref_sql(b)
         return F.expr(_balanced_sum_sql(
-            [f"(CAST({a}[{i}] AS DOUBLE) * CAST({b}[{i}] AS DOUBLE))"
+            [f"(CAST({qa}[{i}] AS DOUBLE) * CAST({qb}[{i}] AS DOUBLE))"
              for i in range(dim)]))
     a, b = _col(a), _col(b)
     return _balanced_sum([a[i].cast("double") * b[i].cast("double")
@@ -89,8 +98,9 @@ def dot_lit(col, coeffs: list[float]) -> Column:
     centroid): constants fold into the codegen'd expression — no array
     literal, no per-element lambda."""
     if _is_ref(col):
+        qc = _ref_sql(col)
         return F.expr(_balanced_sum_sql(
-            [f"(CAST({col}[{i}] AS DOUBLE) * {_dlit(v)})"
+            [f"(CAST({qc}[{i}] AS DOUBLE) * {_dlit(v)})"
              for i, v in enumerate(coeffs)]))
     col = _col(col)
     return _balanced_sum([col[i].cast("double") * F.lit(float(v))
@@ -99,8 +109,9 @@ def dot_lit(col, coeffs: list[float]) -> Column:
 
 def norm_sq(col, dim: int) -> Column:
     if _is_ref(col):
+        qc = _ref_sql(col)
         return F.expr(_balanced_sum_sql(
-            [f"(CAST({col}[{i}] AS DOUBLE) * CAST({col}[{i}] AS DOUBLE))"
+            [f"(CAST({qc}[{i}] AS DOUBLE) * CAST({qc}[{i}] AS DOUBLE))"
              for i in range(dim)]))
     col = _col(col)
     return _balanced_sum([col[i].cast("double") * col[i].cast("double")

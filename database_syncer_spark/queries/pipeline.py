@@ -549,14 +549,24 @@ FROM c CROSS JOIN fp
 """
 
 
-_LSH_RECALL_SQL = _ann_recall_sql(
-    [0, 4, 2, 3, 2, 2, 1, 2, 1, 1], [3, 4, 2, 4, 2, 2, 3, 1, 1, 3])
-_IVF_RECALL_SQL = _ann_recall_sql(
-    [5, 4, 4, 6, 4, 5, 8, 2, 9, 6], [6, 1, 6, 4, 4, 1, 6, 8, 10, 4])
-_PQ_RECALL_SQL = _ann_recall_sql(
-    [7, 8, 9, 9, 7, 8, 8, 9, 9, 7], [9, 8, 6, 9, 9, 6, 8, 8, 8, 7])
-_IVFPQ_RECALL_SQL = _ann_recall_sql(
-    [5, 4, 4, 6, 3, 5, 8, 2, 9, 6], [6, 1, 6, 3, 4, 1, 6, 8, 10, 4])
+# Per-family pinned n_hits by query_id 0..9, keyed by fixture: first list
+# = sf0.001 (fp -33.0), second = sf0.01 (fp 1.0). r6: these exact lists
+# are INDEPENDENTLY re-derived — retrieval and all — by the Spark-free
+# numpy mirror in tests/ann_reference.py (asserted equal every session in
+# tests/test_numpy_reference.py, regenerable via
+# scripts/pin_independent_oracles.py), closing the pin-time-bug hole the
+# transcribed pins had.
+_ANN_PINS: dict[str, tuple[list[int], list[int]]] = {
+    "lsh": ([0, 4, 2, 3, 2, 2, 1, 2, 1, 1], [3, 4, 2, 4, 2, 2, 3, 1, 1, 3]),
+    "ivf": ([5, 4, 4, 6, 4, 5, 8, 2, 9, 6], [6, 1, 6, 4, 4, 1, 6, 8, 10, 4]),
+    "pq": ([7, 8, 9, 9, 7, 8, 8, 9, 9, 7], [9, 8, 6, 9, 9, 6, 8, 8, 8, 7]),
+    "ivfpq": ([5, 4, 4, 6, 3, 5, 8, 2, 9, 6], [6, 1, 6, 3, 4, 1, 6, 8, 10, 4]),
+}
+
+_LSH_RECALL_SQL = _ann_recall_sql(*_ANN_PINS["lsh"])
+_IVF_RECALL_SQL = _ann_recall_sql(*_ANN_PINS["ivf"])
+_PQ_RECALL_SQL = _ann_recall_sql(*_ANN_PINS["pq"])
+_IVFPQ_RECALL_SQL = _ann_recall_sql(*_ANN_PINS["ivfpq"])
 
 
 # text_langid oracle: the n-gram classifier is EXACT relational algebra

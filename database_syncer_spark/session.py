@@ -30,6 +30,27 @@ def get_spark(app_name: str = "database_syncer_spark",
     # inherits it from this process at gateway launch. No-op afterwards.
     from database_syncer_spark.compat import ensure_protobuf
     ensure_protobuf()
+    # Python workers inherit PYTHONWARNINGS from the JVM's environment
+    # (set at gateway launch, i.e. from this process, right here). Silence
+    # ONLY pyspark's own Arrow-serializer pandas-concat FutureWarning —
+    # upstream pyspark/sql/pandas/serializers.py concats per-batch frames
+    # and trips pandas' empty/all-NA deprecation once per batch, flooding
+    # bench/test stderr by the thousands and burying real ERROR lines
+    # (VERDICT r5 item 8). The filter is message-scoped, so our own code's
+    # FutureWarnings still surface.
+    _filt = "ignore:The behavior of DataFrame concatenation:FutureWarning"
+    _existing = os.environ.get("PYTHONWARNINGS")
+    if _existing is None:
+        os.environ["PYTHONWARNINGS"] = _filt
+    elif _filt not in _existing:
+        os.environ["PYTHONWARNINGS"] = f"{_existing},{_filt}"
+    # The env var only reaches processes forked AFTER this point; the
+    # driver interpreter (toPandas also concats) needs the filter applied
+    # to its already-initialized warnings state.
+    import warnings
+    warnings.filterwarnings(
+        "ignore", message="The behavior of DataFrame concatenation",
+        category=FutureWarning)
     cpus = os.environ.get("SPARK_GRAFT_CPUS") or os.cpu_count() or 4
     if shuffle_partitions is None:
         # Core-count default suits the small/medium queries; the big-data
@@ -49,6 +70,10 @@ def get_spark(app_name: str = "database_syncer_spark",
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.shuffle.spill.compress", "true")
         .config("spark.ui.enabled", "false")
+        # No [Stage N:===>] carriage-return bars on stderr: they bloat
+        # captured logs (the r5 bench stderr was ~1 MB of bars) and
+        # interleave with real ERROR lines, making them hard to grep.
+        .config("spark.ui.showConsoleProgress", "false")
         # Local mode runs executors inside the driver JVM, so this IS the
         # executor heap; 8g forced GC churn + shuffle spill from ~30M-row
         # sync jobs (measured superlinear 15M->30M scaling). Leave room

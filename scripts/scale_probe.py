@@ -82,11 +82,8 @@ def _generate(spark, out: str, tables: set[str],
         return F.explode(F.sequence(F.lit(0), F.lit(n - 1))).alias("rep")
 
     def missing(name):
-        fresh = (name in tables
-                 and not os.path.isdir(os.path.join(out, f"{name}.parquet")))
-        if fresh:
-            generated.append(name)
-        return fresh
+        return (name in tables
+                and not os.path.isdir(os.path.join(out, f"{name}.parquet")))
 
     if missing("events"):
         # replicas shift user_id (fresh users) and event_id; ts jitters
@@ -103,13 +100,17 @@ def _generate(spark, out: str, tables: set[str],
          .drop("rep")
          .repartition(32)
          .write.mode("overwrite").parquet(os.path.join(out, "events.parquet")))
+        generated.append("events")
 
     if missing("orders"):
         _gen_orders(spark, out, reps, orders_mult)
+        generated.append("orders")
     if missing("documents"):
         _gen_documents(spark, out, reps)
+        generated.append("documents")
     if missing("embeddings"):
         _gen_embeddings(spark, out, reps)
+        generated.append("embeddings")
     if missing("customer"):
         # window/agg keys over customer: replicate 10x with shifted keys
         from pyspark.sql import functions as F
@@ -122,6 +123,7 @@ def _generate(spark, out: str, tables: set[str],
          .drop("rep")
          .repartition(32)
          .write.mode("overwrite").parquet(os.path.join(out, "customer.parquet")))
+        generated.append("customer")
     return generated
 
 

@@ -15,6 +15,16 @@ def spark():
     from database_syncer_spark.session import get_spark
 
     spark = get_spark("tests", shuffle_partitions=8)
+    # Runtime-codegen canary (VERDICT r5): plan-shape guards cannot see
+    # a Janino compile failure at EXECUTION time — Spark logs "ERROR
+    # CodeGenerator: Failed to compile" and silently drops the stage to
+    # interpreted execution (r5 shipped exactly that: lsh_ann_topk's
+    # query-side Generate exceeded Janino's 64 KB method limit on every
+    # bench run while all tests stayed green). With fallback disabled a
+    # compile failure is a hard error, so EVERY test execution —
+    # including the 132-key oracle-parity sweep — certifies its plan
+    # actually survives whole-stage codegen.
+    spark.conf.set("spark.sql.codegen.fallback", "false")
     yield spark
 
 

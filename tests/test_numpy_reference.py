@@ -5,7 +5,9 @@ The driver oracle for these keys pins previously-measured rows — a
 regression pin is blind to a bug present AT pin time. These tests close
 that gap: every quantity is recomputed from the parquet fixture with
 numpy / pure Python (no Spark expressions, no DuckDB), and the Spark
-output is asserted EQUAL, not just bounded.
+output is asserted EQUAL, not just bounded. The shared mirror lives in
+tests/ann_reference.py (also used by scripts/pin_independent_oracles.py
+to regenerate the pins without Spark).
 
 - SimHash: a from-scratch xxHash64 (public spec, seed 42 — verified
   token-for-token against F.xxhash64), fingerprints re-derived from raw
@@ -13,10 +15,15 @@ output is asserted EQUAL, not just bounded.
   permutation candidate generation is exact-recall, since the Spark side
   only ever emits pairs its 20 pigeonhole tables surfaced.
 - ANN recall: exact top-k ground truth re-derived with numpy float64
-  cosines (round 6, vec_id tie-break — brute_force_topk's contract),
-  then the score-threshold recall of each family's Spark ANN rows is
-  recomputed numpy-side from the retrieved (query_id, neighbor_id) ids
-  alone — Spark's cosine column is deliberately NOT trusted.
+  cosines (round 6, vec_id tie-break — brute_force_topk's contract, the
+  engine's balanced-tree summation replayed exactly), then the
+  score-threshold recall of each family's Spark ANN rows is recomputed
+  numpy-side from the retrieved (query_id, neighbor_id) ids alone —
+  Spark's cosine column is deliberately NOT trusted.
+- Pin independence (r6): the _ANN_PINS / _SIMHASH_PINS constants the
+  driver oracles embed are re-derived END TO END — hyperplanes, seeds,
+  Lloyd passes, ADC, re-rank, recall — by the Spark-free mirror and
+  asserted byte-identical, on BOTH driver fixtures.
 """
 
 from __future__ import annotations
@@ -25,63 +32,14 @@ import numpy as np
 import pandas as pd
 import pytest
 
-# --- pure-Python xxHash64 (public xxHash spec; Spark's XxHash64 applies
-# it to the UTF-8 bytes with seed 42) ---------------------------------------
-
-_M = (1 << 64) - 1
-_P1 = 0x9E3779B185EBCA87
-_P2 = 0xC2B2AE3D27D4EB4F
-_P3 = 0x165667B19E3779F9
-_P4 = 0x85EBCA77C2B2AE63
-_P5 = 0x27D4EB2F165667C5
-
-
-def _rotl(x: int, r: int) -> int:
-    return ((x << r) | (x >> (64 - r))) & _M
-
-
-def xxh64(data: bytes, seed: int = 42) -> int:
-    n = len(data)
-    i = 0
-    if n >= 32:
-        v = [(seed + _P1 + _P2) & _M, (seed + _P2) & _M,
-             seed & _M, (seed - _P1) & _M]
-        while i + 32 <= n:
-            for j in range(4):
-                lane = int.from_bytes(data[i + 8 * j:i + 8 * j + 8], "little")
-                vj = (v[j] + lane * _P2) & _M
-                v[j] = (_rotl(vj, 31) * _P1) & _M
-            i += 32
-        h = (_rotl(v[0], 1) + _rotl(v[1], 7)
-             + _rotl(v[2], 12) + _rotl(v[3], 18)) & _M
-        for vj in v:
-            vj = (_rotl((vj * _P2) & _M, 31) * _P1) & _M
-            h = ((h ^ vj) * _P1 + _P4) & _M
-    else:
-        h = (seed + _P5) & _M
-    h = (h + n) & _M
-    while i + 8 <= n:
-        lane = int.from_bytes(data[i:i + 8], "little")
-        lane = (_rotl((lane * _P2) & _M, 31) * _P1) & _M
-        h = (_rotl(h ^ lane, 27) * _P1 + _P4) & _M
-        i += 8
-    if i + 4 <= n:
-        lane = int.from_bytes(data[i:i + 4], "little")
-        h = (_rotl(h ^ ((lane * _P1) & _M), 23) * _P2 + _P3) & _M
-        i += 4
-    while i < n:
-        h = (_rotl(h ^ ((data[i] * _P5) & _M), 11) * _P1) & _M
-        i += 1
-    h ^= h >> 33
-    h = (h * _P2) & _M
-    h ^= h >> 29
-    h = (h * _P3) & _M
-    h ^= h >> 32
-    return h
-
-
-def _signed64(x: int) -> int:
-    return x - (1 << 64) if x >= (1 << 63) else x
+from ann_reference import (
+    exact_thresholds,
+    round6 as _round6,
+    signed64 as _signed64,
+    simhash_fp as _simhash_fp,
+    tree_cosine as _tree_cosine,
+    xxh64,
+)
 
 
 def test_xxh64_matches_spark(spark):
@@ -98,23 +56,6 @@ def test_xxh64_matches_spark(spark):
 
 # --- SimHash reference ------------------------------------------------------
 
-
-def _simhash_fp(text: str) -> int:
-    """64-bit SimHash exactly as pipeline/dedup.py builds it: split on
-    single spaces, drop empties, xxhash64 each token (duplicates count),
-    bit b set iff the ±1 bit-b contributions sum positive."""
-    counts = np.zeros(64, dtype=np.int64)
-    n_tok = 0
-    for tok in text.split(" "):
-        if tok == "":
-            continue
-        n_tok += 1
-        h = xxh64(tok.encode("utf-8"))
-        for b in range(64):
-            counts[b] += 1 if (h >> b) & 1 else -1
-    if n_tok == 0:
-        return 0
-    return sum(1 << b for b in range(64) if counts[b] > 0)
 
 
 def test_simhash_pairs_match_numpy_reference(spark, sf_dir):
@@ -159,33 +100,8 @@ def _emb_numpy(spark, sf_dir):
     return ids[order], mat[order], dim
 
 
-def _round6(x: float) -> float:
-    """HALF_UP round to 6 dp, matching Spark's F.round exactly: Spark
-    routes doubles through java BigDecimal.valueOf (shortest decimal
-    repr — same contract as Python repr) + setScale(6, HALF_UP).
-    np.round would be banker's-rounding on the binary double — it
-    agrees except within an ulp of a .5e-6 boundary, where the two
-    modes diverge and equality asserts would false-alarm."""
-    from decimal import ROUND_HALF_UP, Decimal
-
-    return float(Decimal(repr(float(x))).quantize(
-        Decimal("0.000001"), rounding=ROUND_HALF_UP))
 
 
-def _numpy_exact_threshold(ids, mat, n_queries=10, k=10):
-    """Per query: the k-th exact cosine at round-6 (brute_force_topk's
-    ranking contract: round(cos, 6) desc, vec_id asc, self excluded)."""
-    nrm = np.linalg.norm(mat, axis=1)
-    thr = {}
-    for qpos in np.flatnonzero(ids < n_queries):
-        qid = int(ids[qpos])
-        raw = mat @ mat[qpos] / (nrm * nrm[qpos])
-        cos = np.array([_round6(v) for v in raw])
-        mask = ids != qid
-        cand_ids, cand_cos = ids[mask], cos[mask]
-        order = np.lexsort((cand_ids, -cand_cos))
-        thr[qid] = float(cand_cos[order[k - 1]])
-    return thr
 
 
 _ANN_FAMILIES = ["lsh", "ivf", "pq", "ivfpq"]
@@ -216,17 +132,64 @@ def test_ann_recall_matches_numpy_reference(spark, sf_dir, _emb_numpy,
            for r in S.ann_recall(emb, ann, dim=dim).collect()}
 
     k = 10
-    thr = _numpy_exact_threshold(ids, mat, n_queries=10, k=k)
+    thr = exact_thresholds(ids, mat, n_queries=10, k=k)
     pos = {int(v): i for i, v in enumerate(ids)}
-    nrm = np.linalg.norm(mat, axis=1)
     want = {}
     for qid, t in thr.items():
         hits = 0
         for nb in retrieved.get(qid, []):
-            cos = _round6(
-                mat[pos[nb]] @ mat[pos[qid]] / (nrm[pos[nb]] * nrm[pos[qid]]))
+            cos = _round6(_tree_cosine(mat[pos[nb]], mat[pos[qid]]))
             if cos >= t:
                 hits += 1
         want[qid] = (k, hits, hits / float(k))
     assert got == want
     assert set(got) == set(thr)  # one row per query, none vanished
+
+
+# --- pin independence (r6) ---------------------------------------------------
+
+
+def test_xxh64_long_matches_spark(spark):
+    """Seed selection (orderBy(xxhash64(vec_id))) replays Spark's
+    xxhash64 on LONGS — verify the 8-byte-LE pure-Python form against
+    the engine for negatives, boundaries, and the fixture id range."""
+    import ann_reference as AR
+    from pyspark.sql import functions as F
+
+    vals = [0, 1, -1, 42, 499, 2**31, -(2**31), 2**63 - 1, -(2**63)]
+    got = {r.v: r.h for r in spark.createDataFrame(
+        [(v,) for v in vals], "v long")
+        .select("v", F.xxhash64("v").alias("h")).collect()}
+    for v in vals:
+        assert AR.xxh64_long(v) == got[v], v
+
+
+@pytest.mark.parametrize("sf_dir_pin", ["/root/testdata/sf0.001",
+                                        "/root/testdata/sf0.01"])
+def test_ann_pins_match_independent_retrieval(sf_dir_pin):
+    """The _ANN_PINS constants the driver oracles embed == a Spark-free
+    end-to-end re-derivation (seeds, Lloyd, hyperplanes/ADC retrieval,
+    exact re-rank, recall) on BOTH driver fixtures. This closes the
+    pin-time-bug hole: a defect in the engine's retrieval would have to
+    be reproduced independently by this mirror to stay hidden."""
+    import ann_reference as AR
+    from database_syncer_spark.queries.pipeline import _ANN_PINS
+
+    ids, mat = AR.load_embeddings(sf_dir_pin)
+    col = {-33.0: 0, 1.0: 1}[AR.embeddings_fingerprint(mat)]
+    derived = AR.derive_ann_pins(sf_dir_pin)
+    for fam, (h001, h01) in _ANN_PINS.items():
+        assert derived[fam] == (h001, h01)[col], fam
+
+
+@pytest.mark.parametrize("sf_dir_pin", ["/root/testdata/sf0.001",
+                                        "/root/testdata/sf0.01"])
+def test_simhash_pins_match_independent_derivation(sf_dir_pin):
+    """_SIMHASH_PINS == pure-Python xxHash64 → fingerprints → all-pairs
+    hamming, keyed by the oracle's own corpus fingerprint."""
+    import ann_reference as AR
+    from database_syncer_spark.queries.pipeline import _SIMHASH_PINS
+
+    docs, fp = AR.load_documents(sf_dir_pin)
+    assert fp in _SIMHASH_PINS, fp
+    assert AR.simhash_pairs(docs) == sorted(_SIMHASH_PINS[fp])

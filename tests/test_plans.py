@@ -172,6 +172,42 @@ def test_bench_headline_keys_exist():
     assert not missing, missing
 
 
+def test_ann_paths_survive_runtime_codegen(spark, sf_dir):
+    """Runtime-codegen canary (VERDICT r5 item 4). r5 shipped with
+    lsh_ann_topk's query side built as ONE explode(array(struct(...)))
+    whose Generate consume method inlined every table's n_planes×dim
+    unrolled dot products — Janino refused it ("Code grows beyond
+    64 KB") on every bench run and Spark silently fell back to
+    interpreted execution, while every plan-SHAPE guard in this file
+    stayed green. With spark.sql.codegen.fallback=false (set here
+    explicitly, and session-wide in conftest) a compile failure is a
+    hard error. Execute every ANN family's inline-build AND
+    prebuilt-index serve path under it — the two paths plan different
+    query-side stages."""
+    from database_syncer_spark.catalog import load_table
+    from database_syncer_spark.pipeline import similarity as S
+    from database_syncer_spark.queries.pipeline import _emb_dim
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    dim = _emb_dim(sf_dir, emb)
+    prev = spark.conf.get("spark.sql.codegen.fallback")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try:
+        families = {
+            "lsh": (S.build_lsh_index, S.lsh_ann_topk),
+            "ivf": (S.build_ivf_index, S.ivf_ann_topk),
+            "pq": (S.build_pq_index, S.pq_ann_topk),
+            "ivfpq": (S.build_ivfpq_index, S.ivfpq_ann_topk),
+        }
+        for name, (build, topk) in families.items():
+            inline = topk(emb, dim=dim)
+            inline.write.format("noop").mode("overwrite").save()
+            served = topk(emb, dim=dim, index=build(emb, dim=dim))
+            served.write.format("noop").mode("overwrite").save()
+    finally:
+        spark.conf.set("spark.sql.codegen.fallback", prev)
+
+
 def test_dedup_last_wins_is_hash_agg_not_sort(spark):
     from database_syncer_spark.core.diff import dedup_last_wins
 
