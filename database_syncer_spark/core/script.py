@@ -143,6 +143,34 @@ def write_script(statements: DataFrame, path: str,
         shutil.rmtree(parts_dir, ignore_errors=True)
 
 
+def materialize_script(statements: DataFrame, path: str,
+                       header: str = "-- sync script",
+                       ddl: list[str] | None = None,
+                       collect_threshold: int = 100_000) -> str:
+    """Write the ordered statement stream to ONE script file, routing by
+    size: at or under ``collect_threshold`` statements the script is
+    collected and written by the driver (one tiny file, the reference's
+    shape, sync.py:587-589); above it, the distributed ``write_script``
+    path streams executor-written text parts so the script is never
+    resident in driver memory. Both paths produce byte-identical files
+    (tested), so callers can treat the gate as invisible.
+
+    Returns the mode used ("collected" | "distributed"). The gate costs
+    one extra job; it uses ``limit(threshold+1).count()`` so Spark's
+    CollectLimit stops scanning right past the threshold instead of
+    counting a 100-TB change stream to the end. Callers that already
+    know the change volume should persist ``statements`` upstream (the
+    gate job and the write otherwise recompute the diff)."""
+    probe = statements.limit(collect_threshold + 1).count()
+    if probe <= collect_threshold:
+        text = assemble_script(statements, header=header, ddl=ddl)
+        with open(path, "w", encoding="utf-8") as fh:
+            fh.write(text + "\n")
+        return "collected"
+    write_script(statements, path, header=header, ddl=ddl)
+    return "distributed"
+
+
 def assemble_script(statements: DataFrame, header: str = "-- sync script",
                     ddl: list[str] | None = None) -> str:
     """Collect an ordered statement DataFrame into one script string.

@@ -39,6 +39,27 @@ def lang_stats(documents: DataFrame) -> DataFrame:
     )
 
 
+def length_histogram(documents: DataFrame,
+                     bucket_chars: int = 100) -> DataFrame:
+    """Per-domain document-length histogram — the corpus-audit / data-
+    card staple (what share of each language is short snippets vs long
+    documents, and where truncation thresholds would bite).
+
+    Buckets are INTEGER division (`n_chars DIV bucket_chars`), not
+    float log buckets: exact in every engine, so the oracle matches
+    bit-for-bit. At 100 TB this is one partial-aggregated groupBy whose
+    key space is (languages × buckets) — a few hundred groups; the
+    map-side combine reduces the shuffle to group-count rows per
+    partition regardless of corpus size."""
+    bucket = F.expr(f"n_chars DIV {int(bucket_chars)}").cast("int")
+    return documents.groupBy("lang", bucket.alias("bucket")).agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("sum_chars"),
+        F.min("n_chars").cast("int").alias("min_chars"),
+        F.max("n_chars").cast("int").alias("max_chars"),
+    )
+
+
 def quality_score(documents: DataFrame) -> DataFrame:
     """Heuristic quality features + score (length / stopword / punct
     ratios — the standard pre-training corpus filters)."""

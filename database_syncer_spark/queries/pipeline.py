@@ -203,6 +203,12 @@ def text_lang_stats(spark, sf_dir):
     return T.lang_stats(load_table(spark, sf_dir, "documents"))
 
 
+def text_length_histogram(spark, sf_dir):
+    """Per-(lang, 100-char bucket) doc counts and char sums — integer-
+    exact corpus-audit stats (pipeline/text.py length_histogram)."""
+    return T.length_histogram(load_table(spark, sf_dir, "documents"))
+
+
 def text_quality_score(spark, sf_dir):
     return T.quality_score(load_table(spark, sf_dir, "documents"))
 
@@ -362,6 +368,7 @@ QUERIES = {
     "sim_ivfpq_ann": sim_ivfpq_ann,              # composed path, pinned oracle
     "text_tokens_tf": text_tokens_tf,
     "text_lang_stats": text_lang_stats,
+    "text_length_histogram": text_length_histogram,
     "text_quality_score": text_quality_score,
     "text_token_count": text_token_count,
     "text_fingerprint": text_fingerprint,
@@ -881,6 +888,14 @@ SELECT token, count(*) AS tf FROM (
 SELECT lang, count(*) AS n_docs, avg(n_chars) AS avg_chars,
        CAST(sum(n_chars) AS BIGINT) AS total_chars
 FROM documents GROUP BY lang
+""",
+    "text_length_histogram": """
+SELECT lang, CAST(n_chars // 100 AS INT) AS bucket,
+       count(*) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+       CAST(min(n_chars) AS INT) AS min_chars,
+       CAST(max(n_chars) AS INT) AS max_chars
+FROM documents GROUP BY lang, bucket
 """,
     "text_quality_score": f"""
 WITH t AS (

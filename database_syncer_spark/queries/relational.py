@@ -175,6 +175,41 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join with a max-staleness bound (pandas merge_asof's
+    ``tolerance``, the feature-store point-in-time join semantic): each
+    purchase matches the user's latest signup at or before it ONLY if
+    that signup is within 7 days; older matches are nulled rather than
+    served stale.
+
+    Same single-window plan as join_asof — the tolerance is a post-hoc
+    null-out of the carried value, correct because the carried value is
+    the LATEST qualifying row: if it is out of tolerance, every earlier
+    candidate is too. No extra shuffle, no per-row subquery."""
+    ev = load_table(spark, sf_dir, "events")
+    signups = ev.where(F.col("event_type") == "signup").select(
+        "user_id", "ts", F.col("ts").alias("signup_ts"),
+        F.lit(None).cast("long").alias("event_id"), F.lit(0).alias("prio"),
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.lit(None).cast("timestamp").alias("signup_ts"),
+        "event_id", F.lit(1).alias("prio"),
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "prio")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    merged = signups.unionByName(purchases).withColumn(
+        "__carried", F.last("signup_ts", ignorenulls=True).over(w)
+    )
+    fresh = F.col("__carried") >= F.expr("ts - INTERVAL 7 DAY")
+    return merged.where(F.col("prio") == 1).select(
+        "event_id", "user_id", "ts",
+        F.when(fresh, F.col("__carried")).alias("asof_signup_ts"),
+    )
+
+
 def join_multiway_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     """5-way star join (fact lineitem + 4 dims). Only the FIXED-size dims
     (nation/region) carry broadcast hints; customer scales with SF, so
@@ -259,6 +294,7 @@ QUERIES = {
     "join_broadcast": join_broadcast,
     "join_theta_range": join_theta_range,
     "join_asof": join_asof,
+    "join_asof_tolerance": join_asof_tolerance,
     "join_multiway_star": join_multiway_star,
     "sort_multi_col": sort_multi_col,
     "topk_limit": topk_limit,
@@ -333,6 +369,14 @@ GROUP BY s_suppkey
 SELECT e.event_id, e.user_id, e.ts,
        (SELECT max(s.ts) FROM events s
         WHERE s.user_id = e.user_id AND s.event_type = 'signup' AND s.ts <= e.ts
+       ) AS asof_signup_ts
+FROM events e WHERE e.event_type = 'purchase'
+""",
+    "join_asof_tolerance": """
+SELECT e.event_id, e.user_id, e.ts,
+       (SELECT max(s.ts) FROM events s
+        WHERE s.user_id = e.user_id AND s.event_type = 'signup'
+          AND s.ts <= e.ts AND s.ts >= e.ts - INTERVAL 7 DAY
        ) AS asof_signup_ts
 FROM events e WHERE e.event_type = 'purchase'
 """,

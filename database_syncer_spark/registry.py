@@ -37,6 +37,9 @@ _MODULES = [
 # FIRST — any NEW key must be placed explicitly at the head, not left
 # unlisted. REGENERATE after each round's CORRECTNESS lands.
 _KEY_ORDER = [
+    # --- NEW in r6 (never driver-checked) — verify first ---
+    "join_asof_tolerance",     # as-of join with max-staleness bound
+    "text_length_histogram",   # per-domain integer-bucket length stats
     # --- last driver value row: r3 (stalest — refresh first) ---
     "join_inner", "join_left_outer", "join_full_outer", "join_left_anti",
     "join_left_semi", "join_broadcast", "join_theta_range", "join_asof",

@@ -68,7 +68,8 @@ def _jvm_peak_rss_kb() -> int | None:
 
 
 def _generate(spark, out: str, tables: set[str],
-              orders_mult: int = ORDERS_MULT) -> list[str]:
+              orders_mult: int = ORDERS_MULT,
+              docs_mult: int = DOCS_MULT) -> list[str]:
     """Returns the list of tables actually (re)generated this run —
     tables already present in `out` are REUSED at whatever multiplier
     they were originally written with, so the caller must not label
@@ -106,7 +107,7 @@ def _generate(spark, out: str, tables: set[str],
         _gen_orders(spark, out, reps, orders_mult)
         generated.append("orders")
     if missing("documents"):
-        _gen_documents(spark, out, reps)
+        _gen_documents(spark, out, reps, docs_mult)
         generated.append("documents")
     if missing("embeddings"):
         _gen_embeddings(spark, out, reps)
@@ -140,7 +141,7 @@ def _gen_orders(spark, out, reps, mult=ORDERS_MULT):
      .write.mode("overwrite").parquet(os.path.join(out, "orders.parquet")))
 
 
-def _gen_documents(spark, out, reps):
+def _gen_documents(spark, out, reps, mult=DOCS_MULT):
     from pyspark.sql import functions as F
     from database_syncer_spark.catalog import load_table
 
@@ -152,7 +153,7 @@ def _gen_documents(spark, out, reps):
             F.pmod(F.xxhash64(F.col("doc_id"), pos, F.col("rep")), F.lit(2)) == 0,
             F.concat(t, F.lit("_r"), F.col("rep").cast("string"))
         ).otherwise(t))
-    (docs.select("*", reps(DOCS_MULT))
+    (docs.select("*", reps(mult))
      .withColumn("doc_id",
                  F.col("doc_id") + F.col("rep").cast("long") * 100_000_000)
      .withColumn("text", F.when(F.col("rep") == 0, F.col("text"))
@@ -192,6 +193,9 @@ def main() -> None:
     ap.add_argument("--orders-mult", type=int, default=ORDERS_MULT,
                     help="orders replication factor (100 => 15M rows/side "
                          "through the bucketed diff)")
+    ap.add_argument("--docs-mult", type=int, default=DOCS_MULT,
+                    help="documents replication factor (500 => 2.5M docs "
+                         "through the dedup/text/sampling keys)")
     ap.add_argument("--tables", default="events,orders,documents,embeddings",
                     help="comma list of tables to replicate into --out "
                          "(generate only what the probed keys read)")
@@ -207,7 +211,8 @@ def main() -> None:
     if not args.skip_gen or not os.path.isdir(args.out):
         t0 = time.perf_counter()
         generated = _generate(spark, args.out, set(args.tables.split(",")),
-                              orders_mult=args.orders_mult)
+                              orders_mult=args.orders_mult,
+                              docs_mult=args.docs_mult)
         gen_sec = round(time.perf_counter() - t0, 1)
 
     queries = all_queries()
@@ -227,7 +232,7 @@ def main() -> None:
         # mults describe tables GENERATED THIS RUN; anything in
         # reused_existing was written by an earlier run and keeps that
         # run's multiplier — don't label its timings with these values.
-        "mults": {"orders": args.orders_mult, "documents": DOCS_MULT,
+        "mults": {"orders": args.orders_mult, "documents": args.docs_mult,
                   "embeddings": EMB_MULT},
         "generated": generated,
         "reused_existing": sorted(

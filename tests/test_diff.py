@@ -393,3 +393,55 @@ def test_compact_cdc_log_null_pk_passthrough(spark):
     got = sorted([(r.pk, r.change_type, r.val)
                   for r in compact_cdc_log(b1, ["pk"]).collect()], key=str)
     assert got == [(None, "DELETE", "old"), (None, "INSERT", "new")]
+
+
+def test_write_script_preserves_global_statement_order(spark, sf_dir, tmp_path):
+    """The distributed script sink (executor-written text parts streamed
+    together in filename order) must reproduce assemble_script's exact
+    line order: orderBy range-partitions, so part files ARE global
+    order. Forces multiple output partitions so the claim is actually
+    exercised."""
+    from database_syncer_spark.core.script import (
+        assemble_script, write_script)
+
+    prod, backup = _pair(spark, sf_dir)
+    changes = snapshot_diff(prod, backup, ["o_orderkey"])
+    stmts = generate_sync_script(changes, "orders", ["o_orderkey"])
+    # At fixture scale AQE coalesces the ordered shuffle into one
+    # partition, which would test nothing; disable coalescing so the
+    # range partitioning actually yields several text parts.
+    key = "spark.sql.adaptive.coalescePartitions.enabled"
+    prev = spark.conf.get(key)
+    spark.conf.set(key, "false")
+    try:
+        assert stmts.rdd.getNumPartitions() > 1, \
+            "fixture too small to exercise multi-part ordering"
+        want = assemble_script(stmts, ddl=["-- ddl line"]) + "\n"
+        path = str(tmp_path / "script.sql")
+        write_script(stmts, path, ddl=["-- ddl line"])
+    finally:
+        spark.conf.set(key, prev)
+    with open(path, encoding="utf-8") as fh:
+        assert fh.read() == want
+
+
+def test_materialize_script_size_gate(spark, sf_dir, tmp_path):
+    """materialize_script routes small scripts through the driver
+    collect and large ones through the distributed writer — and both
+    paths produce byte-identical files."""
+    from database_syncer_spark.core.script import (
+        assemble_script, materialize_script)
+
+    prod, backup = _pair(spark, sf_dir)
+    changes = snapshot_diff(prod, backup, ["o_orderkey"])
+    stmts = generate_sync_script(changes, "orders", ["o_orderkey"])
+    want = assemble_script(stmts) + "\n"
+
+    small = str(tmp_path / "small.sql")
+    assert materialize_script(stmts, small) == "collected"
+    big = str(tmp_path / "big.sql")
+    assert materialize_script(stmts, big, collect_threshold=10) == "distributed"
+    with open(small, encoding="utf-8") as fh_s, \
+            open(big, encoding="utf-8") as fh_b:
+        assert fh_s.read() == want
+        assert fh_b.read() == want
