@@ -231,7 +231,7 @@ def main() -> None:
             "ann_index_build is the one-time train+code cost), 1 warmup "
             "median of 3 — the sim_* secondary keys time inline-build "
             "serving + brute-force verify + recall join and so overstate "
-            "serving cost by design. Host shows ±30-45%% uniform "
+            "serving cost by design. Host shows ±30-45% uniform "
             "cross-round drift; same-host A/B on pinned fixtures "
             "(BASELINE.md) is the regression arbiter. Per-round "
             "adjudications live in BASELINE.md / SCALE.md, not here."),

@@ -101,6 +101,19 @@ def minhash_signatures(documents: DataFrame, k: int = 3,
         F.collect_set("shingle").alias("shingles"), *aggs)
 
 
+def _doc_shingle_sets(documents: DataFrame, k: int) -> DataFrame:
+    """One (doc_id, shingles) row PER DOC ID for the exact-Jaccard
+    verify — the per-id distinct UNION across rows, matching the old
+    collect_set semantics when a corpus carries duplicate doc_id rows
+    (with_shingles alone is per-ROW, which would fan the verify joins
+    out into one differently-scored row per copy). Grouping here is
+    candidate-sized: callers prune to colliding ids first."""
+    return (with_shingles(documents, k)
+            .groupBy("doc_id")
+            .agg(F.array_distinct(F.flatten(F.collect_list("shingles")))
+                 .alias("shingles")))
+
+
 def _band_structs() -> F.Column:
     """The B banded bucket keys of a signature row: array of
     (band_id, band_hash) structs, band_hash = xxhash64 of the band's R
@@ -176,7 +189,8 @@ def minhash_lsh_dedup(documents: DataFrame, threshold: float = 0.5,
     # materialize shingles for that candidate-sized remainder.
     cand_ids = (cand.select(F.explode(F.array("doc_a", "doc_b"))
                             .alias("doc_id")).distinct())
-    shing = with_shingles(documents.join(cand_ids, "doc_id", "left_semi"), k)
+    shing = _doc_shingle_sets(
+        documents.join(cand_ids, "doc_id", "left_semi"), k)
     pairs = (
         cand
         .join(shing.select(F.col("doc_id").alias("doc_a"),
@@ -225,10 +239,10 @@ def incremental_near_dups(batch: DataFrame, corpus: DataFrame,
           .select("corpus_id", "band.band_id", "band.band_hash"))
     cand = (eb.join(ec, ["band_id", "band_hash"])
             .select("doc_id", "corpus_id").distinct())
-    sh_b = with_shingles(
+    sh_b = _doc_shingle_sets(
         batch.join(cand.select("doc_id").distinct(), "doc_id", "left_semi"),
         k).withColumnRenamed("shingles", "sh_b")
-    sh_c = (with_shingles(
+    sh_c = (_doc_shingle_sets(
         corpus.join(cand.select(F.col("corpus_id").alias("doc_id")).distinct(),
                     "doc_id", "left_semi"), k)
         .select(F.col("doc_id").alias("corpus_id"),

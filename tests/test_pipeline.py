@@ -51,6 +51,31 @@ def test_minhash_lsh_finds_planted_dups(spark, near_dup_corpus):
         assert abs(_py_trigram_jaccard(texts[a], texts[b]) - j) < 1e-6
 
 
+def test_minhash_lsh_duplicate_doc_id_rows_union(spark):
+    """A corpus with the SAME doc_id on multiple rows (a re-ingested doc
+    with revised text) must behave as ONE logical doc whose shingle set
+    is the union of its copies — one output row per pair, jaccard
+    computed on the union (the pre-r6 collect_set semantics; the r6
+    skinny rewrite initially fanned the verify join out per copy,
+    caught in review)."""
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta"),
+        (1, "alpha beta gamma delta epsilon eta"),      # same id, revised
+        (2, "alpha beta gamma delta epsilon zeta"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = minhash_lsh_dedup(docs, threshold=0.1).collect()
+    assert [(r.doc_a, r.doc_b) for r in out] == [(1, 2)], out
+    # union of doc 1's copies: shingles of both texts (5 distinct each,
+    # sharing 3 -> 7 total); doc 2 has zeta-variant's 4... compute in py
+    sh = lambda t: {" ".join(t.split()[i:i + 3])
+                    for i in range(len(t.split()) - 2)}
+    u1 = sh(rows[0][1]) | sh(rows[1][1])
+    u2 = sh(rows[2][1])
+    want = round(len(u1 & u2) / len(u1 | u2), 6)
+    assert abs(out[0].jaccard - want) < 1e-9, (out[0].jaccard, want)
+
+
 def test_ngram_jaccard_exact_vs_python(spark, near_dup_corpus):
     got = {(r.doc_a, r.doc_b): r.jaccard
            for r in ngram_jaccard_pairs(near_dup_corpus, threshold=0.5).collect()}

@@ -208,6 +208,21 @@ def test_ann_paths_survive_runtime_codegen(spark, sf_dir):
         spark.conf.set("spark.sql.codegen.fallback", prev)
 
 
+def test_minhash_band_join_is_skinny(spark, sf_dir):
+    """The LSH band self-join must stay skinny (doc_id, band_id,
+    band_hash): no collect_set anywhere (the r6 500×-probe regression —
+    shingle text riding the shuffle 8×), and the shingle fetch must be
+    candidate-sized (a semi-join prunes the corpus before with_shingles
+    materializes arrays)."""
+    from database_syncer_spark.catalog import load_table
+    from database_syncer_spark.pipeline.dedup import minhash_lsh_dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    plan = _plan(minhash_lsh_dedup(docs))
+    assert "collect_set" not in plan, "shingle sets ride the band join again"
+    assert "LeftSemi" in plan, "corpus not pruned before shingle materialization"
+
+
 def test_dedup_last_wins_is_hash_agg_not_sort(spark):
     from database_syncer_spark.core.diff import dedup_last_wins
 
