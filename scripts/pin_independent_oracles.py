@@ -60,6 +60,29 @@ def main() -> int:
               f"  # {'== embedded' if match else '!= EMBEDDED (MISMATCH)'}")
     print("}")
 
+    print("\n# --- dedup_minhash_lsh oracle premise (numpy-derived) ---")
+    # The key's oracle is exact SQL, valid because LSH recall is TOTAL on
+    # the fixtures; re-derive that premise without Spark: the mirror's
+    # banded-LSH pair set must equal the exact all-pairs τ-threshold set.
+    for sf_dir in FIXTURES:
+        docs, _ = AR.load_documents(sf_dir)
+        lsh = {(a, b) for a, b, _j in AR.minhash_lsh_pairs(docs)}
+        sets = {}
+        for d, t in docs:
+            sets.setdefault(int(d), set()).update(AR.doc_shingles(t))
+        ids = sorted(sets)
+        exact = set()
+        for i, a in enumerate(ids):
+            for b in ids[i + 1:]:
+                inter = len(sets[a] & sets[b])
+                if AR.round6(inter / len(sets[a] | sets[b])) >= 0.5:
+                    exact.add((a, b))
+        total = lsh == exact
+        ok &= total
+        print(f"    {os.path.basename(sf_dir)}: lsh={len(lsh)} "
+              f"exact={len(exact)} "
+              f"{'RECALL TOTAL' if total else 'RECALL MISS (oracle premise broken)'}")
+
     print("\nRESULT:", "byte-identical to embedded pins" if ok
           else "MISMATCH — inspect before repinning")
     return 0 if ok else 1

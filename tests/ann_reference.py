@@ -106,6 +106,24 @@ def xxh64_long(v: int, seed: int = 42) -> int:
     return signed64(xxh64(struct.pack("<q", v), seed))
 
 
+def xxh64_chain(args: list, seed: int = 42) -> int:
+    """Spark's multi-argument F.xxhash64(a, b, ...): the seed CHAINS —
+    each argument is hashed with the running result as seed (verified
+    against the engine for int/long mixes). Python ints tagged by a
+    ("i"|"l", value) tuple or inferred: plain int -> long (8-byte LE);
+    ("i", v) -> IntegerType (4-byte LE); str -> UTF-8 bytes."""
+    h = seed
+    for a in args:
+        if isinstance(a, tuple) and a[0] == "i":
+            data = struct.pack("<i", a[1])
+        elif isinstance(a, str):
+            data = a.encode("utf-8")
+        else:
+            data = struct.pack("<q", int(a))
+        h = xxh64(data, h & _M)
+    return signed64(h)
+
+
 # --- engine-exact float arithmetic ------------------------------------------
 
 
@@ -226,6 +244,58 @@ def simhash_pairs(docs: list[tuple[int, str]],
             if ham <= max_hamming:
                 out.append((a, b, ham))
     return sorted(out)
+
+
+# --- MinHash + banded LSH (pipeline/dedup.py mirror) -------------------------
+
+
+def doc_shingles(text: str, k: int = 3) -> set[str]:
+    """with_shingles verbatim: split on single spaces (empties kept, as
+    Spark's split does), positions 1..max(n-k+1, 1), concat_ws-style
+    join of the ≤k-token slice, distinct."""
+    toks = text.split(" ")
+    n = len(toks)
+    return {" ".join(toks[i:i + k]) for i in range(max(n - k + 1, 1))}
+
+
+def minhash_lsh_pairs(docs: list[tuple[int, str]], threshold: float = 0.5,
+                      k: int = 3, n_hashes: int = 16,
+                      n_bands: int = 4) -> list[tuple[int, int, float]]:
+    """minhash_lsh_dedup mirror, Spark-free: per-doc distinct shingles
+    (union across duplicate doc_id rows), 16 chained-xxhash64 minhash
+    families, 4-band bucket collisions, exact Jaccard verify at round-6.
+    Returns sorted (doc_a, doc_b, jaccard) — byte-comparable to the
+    engine's output rows."""
+    sets: dict[int, set[str]] = {}
+    for d, t in docs:
+        sets.setdefault(int(d), set()).update(doc_shingles(t, k))
+    # signatures: mh_i = min over shingles of xxhash64(lit(i)::int, h)
+    # where h = xxhash64(shingle); min over SIGNED longs like Spark's
+    sig: dict[int, list[int]] = {}
+    for d, sh in sets.items():
+        hs = [signed64(xxh64(s.encode("utf-8"))) for s in sh]
+        sig[d] = [min(xxh64_chain([("i", i), h]) for h in hs)
+                  for i in range(n_hashes)]
+    rows_per_band = n_hashes // n_bands
+    buckets: dict[tuple[int, int], list[int]] = {}
+    for d, mh in sig.items():
+        for b in range(n_bands):
+            bh = xxh64_chain(mh[b * rows_per_band:(b + 1) * rows_per_band])
+            buckets.setdefault((b, bh), []).append(d)
+    cand = set()
+    for ids in buckets.values():
+        ids = sorted(ids)
+        for ai, a in enumerate(ids):
+            for b in ids[ai + 1:]:
+                cand.add((a, b))
+    out = []
+    for a, b in sorted(cand):
+        inter = len(sets[a] & sets[b])
+        union = len(sets[a] | sets[b])
+        j = round6(inter / union)
+        if j >= threshold:
+            out.append((a, b, j))
+    return out
 
 
 # --- shared ANN pieces -------------------------------------------------------
