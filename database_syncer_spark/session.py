@@ -68,6 +68,12 @@ def get_spark(app_name: str = "database_syncer_spark",
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Python UDTFs evaluate row-at-a-time (BatchEvalPythonUDTF) by
+        # default even with Arrow on for everything else; this flips the
+        # lateral-join UDTF path to Arrow batches like every other
+        # Python crossing in the engine (plan-asserted in
+        # tests/test_oracle_parity.py's hygiene check).
+        .config("spark.sql.execution.pythonUDTF.arrow.enabled", "true")
         .config("spark.sql.shuffle.spill.compress", "true")
         .config("spark.ui.enabled", "false")
         # No [Stage N:===>] carriage-return bars on stderr: they bloat

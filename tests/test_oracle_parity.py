@@ -20,11 +20,33 @@ def test_every_oracle_key_has_a_query():
     assert not missing, f"oracle keys without query impl: {missing}"
 
 
+# Keys whose plans legitimately contain a BroadcastNestedLoopJoin: the
+# broadcast-tiny crossJoins (a 1-row global aggregate or the Q query
+# rows / model-state side) and the deliberately-naive theta-range
+# sibling of join_range_banded. Anything NEW showing a BNLJ must either
+# be justified here or re-planned.
+_BNLJ_OK = {
+    "agg_approx_distinct", "join_theta_range", "sample_temperature_mix",
+    "sim_ivf_ann", "sim_ivfpq_ann", "sim_lsh_ann", "sim_pq_ann",
+    "sim_topk_cosine", "text_langid", "text_tfidf_topk",
+}
+
+
 @pytest.mark.parametrize("key", sorted(ORACLES))
 def test_oracle_parity(key, spark, duck, sf_dir):
     from database_syncer_spark.oracle import compare_query
 
     df = QUERIES[key](spark, sf_dir)
+    # Plan hygiene, checked on every key while the DF is in hand:
+    # no unconditional cross product, no row-at-a-time Python (Arrow
+    # UDTF eval included — session.py flips pythonUDTF.arrow.enabled),
+    # and BroadcastNestedLoopJoin only where a broadcast-tiny side
+    # makes it the right plan (whitelist above).
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan, f"{key}: unconditional cross product"
+    assert "BatchEvalPython" not in plan, f"{key}: row-at-a-time Python"
+    if "BroadcastNestedLoopJoin" in plan:
+        assert key in _BNLJ_OK, f"{key}: unexpected BroadcastNestedLoopJoin"
     res = compare_query(key, df, duck, ORACLES[key])
     assert res.ok, res.message()
 
