@@ -68,12 +68,15 @@ def get_spark(app_name: str = "database_syncer_spark",
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        # Python UDTFs evaluate row-at-a-time (BatchEvalPythonUDTF) by
-        # default even with Arrow on for everything else; this flips the
-        # lateral-join UDTF path to Arrow batches like every other
-        # Python crossing in the engine (plan-asserted in
-        # tests/test_oracle_parity.py's hygiene check).
-        .config("spark.sql.execution.pythonUDTF.arrow.enabled", "true")
+        # Python UDTFs stay on the default pickle path DELIBERATELY:
+        # spark.sql.execution.pythonUDTF.arrow.enabled was A/B'd at the
+        # 200×/1 M-doc probe (r6, alternating runs, warm) and the Arrow
+        # UDTF evaluator measured ~2× SLOWER for the high-fanout
+        # statement-split UDTF (8.0-9.4 s vs 3.9-4.8 s) — per-yield
+        # Arrow conversion overhead dominates when a UDTF emits many
+        # tiny rows per input. The hygiene check in
+        # tests/test_oracle_parity.py allows BatchEvalPythonUDTF for
+        # exactly this reason while still forbidding row-at-a-time UDFs.
         .config("spark.sql.shuffle.spill.compress", "true")
         .config("spark.ui.enabled", "false")
         # No [Stage N:===>] carriage-return bars on stderr: they bloat

@@ -44,7 +44,12 @@ def test_oracle_parity(key, spark, duck, sf_dir):
     # makes it the right plan (whitelist above).
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan, f"{key}: unconditional cross product"
-    assert "BatchEvalPython" not in plan, f"{key}: row-at-a-time Python"
+    # UDTFs are exempt from the row-at-a-time ban: the Arrow UDTF
+    # evaluator A/B'd ~2x SLOWER at the 1M-doc probe for high-fanout
+    # yields (see session.py), so BatchEvalPythonUDTF is the measured
+    # right choice there; plain BatchEvalPython (a UDF) stays banned.
+    assert "BatchEvalPython" not in plan.replace("BatchEvalPythonUDTF", ""), \
+        f"{key}: row-at-a-time Python"
     if "BroadcastNestedLoopJoin" in plan:
         assert key in _BNLJ_OK, f"{key}: unexpected BroadcastNestedLoopJoin"
     res = compare_query(key, df, duck, ORACLES[key])
