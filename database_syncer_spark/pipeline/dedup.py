@@ -471,6 +471,41 @@ def ngram_containment_pairs(documents: DataFrame, threshold: float = 0.5,
     )
 
 
+def soft_keep_weights(documents: DataFrame) -> DataFrame:
+    """Soft dedup: the per-row duplication weighting table
+    (doc_id, component, cluster_size, keep_ppm, kept) — keep each
+    near-dup cluster once IN EXPECTATION instead of hard-dropping to
+    one survivor (keep_ppm = floor(1e6 / cluster_size); membership via
+    the engine-exact mod-first Knuth hash, so which member survives is
+    random-but-reproducible).
+
+    Cluster sizes MUST aggregate the corpus rows, not the components
+    table: cluster_size counts duplicate INSTANCES — a doc_id present
+    on 3 corpus rows contributes 3 — which is what the 1/cluster_size
+    down-weighting exists to correct (and what the recursive-CTE
+    oracle's `allc` counts). An r6 attempt to source sizes from the
+    pairs-sized comp table (nodes, not rows) passed every unique-id
+    fixture but silently stopped down-weighting duplicated doc_ids —
+    caught in review, reverted, pinned by
+    tests/test_pipeline.py::test_soft_keep_counts_duplicate_instances.
+    The groupBy partial-combines map-side, so the shuffle carries
+    component-count rows per partition, never the corpus."""
+    comp = connected_components(minhash_lsh_dedup(documents))
+    full = (documents.select("doc_id").join(comp, "doc_id", "left")
+            .withColumn("component", F.coalesce("component", "doc_id")))
+    sizes = full.groupBy("component").agg(
+        F.count("*").alias("cluster_size"))
+    return (full.join(sizes, "component")
+            .withColumn("keep_ppm",
+                        F.expr("CAST(1000000 DIV cluster_size AS BIGINT)"))
+            .withColumn("kept",  # mod-first: overflow-proof, same values
+                        F.pmod(F.pmod(F.col("doc_id"), F.lit(1000000))
+                               * F.lit(2654435761),
+                               F.lit(1000000)) < F.col("keep_ppm"))
+            .select("doc_id", "component", "cluster_size",
+                    "keep_ppm", "kept"))
+
+
 # --- connected components over near-dup pairs -----------------------------------
 
 def connected_components(edges: DataFrame, src: str = "doc_a",

@@ -118,28 +118,7 @@ def dedup_soft_keep(spark, sf_dir):
     because LSH recall is verified total at τ=0.5 on the fixtures —
     same honesty argument as dedup_minhash_lsh's own oracle)."""
     docs = load_table(spark, sf_dir, "documents")
-    comp = D.connected_components(D.minhash_lsh_dedup(docs))
-    full = (docs.select("doc_id").join(comp, "doc_id", "left")
-            .withColumn("component", F.coalesce("component", "doc_id")))
-    # Cluster sizes come from the PAIRS-SIZED components table, not a
-    # corpus-wide groupBy: every doc absent from `comp` is a singleton
-    # (size 1 by definition), so aggregating the full corpus only to
-    # rediscover that shuffles N rows for no information (measured
-    # ~10 s of the 2.5 M-doc probe). The corpus-side cost is now one
-    # left join against a near-dup-volume-sized table.
-    sizes = comp.groupBy("component").agg(
-        F.count("*").alias("cluster_size"))
-    return (full.join(sizes, "component", "left")
-            .withColumn("cluster_size",
-                        F.coalesce("cluster_size", F.lit(1)))
-            .withColumn("keep_ppm",
-                        F.expr("CAST(1000000 DIV cluster_size AS BIGINT)"))
-            .withColumn("kept",  # mod-first: overflow-proof, same values
-                        F.pmod(F.pmod(F.col("doc_id"), F.lit(1000000))
-                               * F.lit(2654435761),
-                               F.lit(1000000)) < F.col("keep_ppm"))
-            .select("doc_id", "component", "cluster_size",
-                    "keep_ppm", "kept"))
+    return D.soft_keep_weights(docs)
 
 
 def dedup_embedding_cosine(spark, sf_dir):

@@ -38,12 +38,14 @@ def get_spark(app_name: str = "database_syncer_spark",
     # bench/test stderr by the thousands and burying real ERROR lines
     # (VERDICT r5 item 8). The filter is message-scoped, so our own code's
     # FutureWarnings still surface.
-    _filt = "ignore:The behavior of DataFrame concatenation:FutureWarning"
-    _existing = os.environ.get("PYTHONWARNINGS")
-    if _existing is None:
-        os.environ["PYTHONWARNINGS"] = _filt
-    elif _filt not in _existing:
-        os.environ["PYTHONWARNINGS"] = f"{_existing},{_filt}"
+    # Only when the user hasn't set PYTHONWARNINGS themselves: appending
+    # to an existing value would OVERRIDE their intent (later entries
+    # take precedence — a user who escalated FutureWarning to error
+    # would have it silently un-escalated in every child process), and
+    # the env var outlives the session for all later subprocesses.
+    if "PYTHONWARNINGS" not in os.environ:
+        os.environ["PYTHONWARNINGS"] = (
+            "ignore:The behavior of DataFrame concatenation:FutureWarning")
     # The env var only reaches processes forked AFTER this point; the
     # driver interpreter (toPandas also concats) needs the filter applied
     # to its already-initialized warnings state.

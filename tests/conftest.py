@@ -22,7 +22,7 @@ def spark():
     # query-side Generate exceeded Janino's 64 KB method limit on every
     # bench run while all tests stayed green). With fallback disabled a
     # compile failure is a hard error, so EVERY test execution —
-    # including the 132-key oracle-parity sweep — certifies its plan
+    # including the full-registry oracle-parity sweep — certifies its plan
     # actually survives whole-stage codegen.
     spark.conf.set("spark.sql.codegen.fallback", "false")
     yield spark

@@ -37,23 +37,26 @@ def test_oracle_parity(key, spark, duck, sf_dir):
     from database_syncer_spark.oracle import compare_query
 
     df = QUERIES[key](spark, sf_dir)
-    # Plan hygiene, checked on every key while the DF is in hand:
-    # no unconditional cross product, no row-at-a-time Python (Arrow
-    # UDTF eval included — session.py flips pythonUDTF.arrow.enabled),
-    # and BroadcastNestedLoopJoin only where a broadcast-tiny side
-    # makes it the right plan (whitelist above).
+    res = compare_query(key, df, duck, ORACLES[key])
+    assert res.ok, res.message()
+    # Plan hygiene, checked AFTER execution so the string reflects the
+    # AQE FINAL plan (pre-execution, AdaptiveSparkPlan prints the
+    # initial plan and a runtime join-strategy demotion would slip
+    # past — the same plan-guard blind spot the r5 codegen incident
+    # exposed): no unconditional cross product, no row-at-a-time
+    # Python, and BroadcastNestedLoopJoin only where a broadcast-tiny
+    # side makes it the right plan (whitelist above).
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan, f"{key}: unconditional cross product"
     # UDTFs are exempt from the row-at-a-time ban: the Arrow UDTF
     # evaluator A/B'd ~2x SLOWER at the 1M-doc probe for high-fanout
-    # yields (see session.py), so BatchEvalPythonUDTF is the measured
-    # right choice there; plain BatchEvalPython (a UDF) stays banned.
+    # yields, so session.py deliberately KEEPS the default pickle path
+    # and BatchEvalPythonUDTF is the measured right choice there; plain
+    # BatchEvalPython (a UDF) stays banned.
     assert "BatchEvalPython" not in plan.replace("BatchEvalPythonUDTF", ""), \
         f"{key}: row-at-a-time Python"
     if "BroadcastNestedLoopJoin" in plan:
         assert key in _BNLJ_OK, f"{key}: unexpected BroadcastNestedLoopJoin"
-    res = compare_query(key, df, duck, ORACLES[key])
-    assert res.ok, res.message()
 
 
 _ROWS_ONLY = sorted(set(QUERIES) - set(ORACLES))

@@ -66,14 +66,44 @@ def test_minhash_lsh_duplicate_doc_id_rows_union(spark):
     docs = spark.createDataFrame(rows, "doc_id long, text string")
     out = minhash_lsh_dedup(docs, threshold=0.1).collect()
     assert [(r.doc_a, r.doc_b) for r in out] == [(1, 2)], out
-    # union of doc 1's copies: shingles of both texts (5 distinct each,
-    # sharing 3 -> 7 total); doc 2 has zeta-variant's 4... compute in py
+    # doc 1 = union of its two copies' shingle sets, doc 2 = one copy's
+    # set; expected jaccard recomputed from scratch below
     sh = lambda t: {" ".join(t.split()[i:i + 3])
                     for i in range(len(t.split()) - 2)}
     u1 = sh(rows[0][1]) | sh(rows[1][1])
     u2 = sh(rows[2][1])
     want = round(len(u1 & u2) / len(u1 | u2), 6)
     assert abs(out[0].jaccard - want) < 1e-9, (out[0].jaccard, want)
+
+
+def test_soft_keep_counts_duplicate_instances(spark):
+    """cluster_size counts corpus ROWS (duplicate instances), never
+    component nodes: 3 rows of one doc_id with no near-dup partner form
+    a size-3 cluster (keep_ppm 333333, one expected survivor) — the
+    down-weighting soft dedup exists for. An r6 node-count 'optimization'
+    broke exactly this and passed every unique-id fixture (review
+    catch); also pins that two near-dup docs where one is duplicated
+    count 2+1=3 instances."""
+    from database_syncer_spark.pipeline.dedup import soft_keep_weights
+
+    rows = [
+        (7, "solo doc repeated verbatim entry one two three"),
+        (7, "solo doc repeated verbatim entry one two three"),
+        (7, "solo doc repeated verbatim entry one two three"),
+        (1, "alpha beta gamma delta epsilon zeta eta theta"),
+        (1, "alpha beta gamma delta epsilon zeta eta theta"),
+        (2, "alpha beta gamma delta epsilon zeta eta theta"),
+        (9, "completely unrelated text about something else entirely"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {(r.doc_id): (r.component, r.cluster_size, r.keep_ppm)
+           for r in soft_keep_weights(docs).collect()}
+    assert got[7] == (7, 3, 333333)          # 3 instances, no partners
+    assert got[1] == (1, 3, 333333)          # 2 instances + doc 2
+    assert got[2] == (1, 3, 333333)
+    assert got[9] == (9, 1, 1000000)         # true singleton
+    # every instance row is emitted (weights are per corpus row)
+    assert soft_keep_weights(docs).count() == len(rows)
 
 
 def test_ngram_jaccard_exact_vs_python(spark, near_dup_corpus):
