@@ -90,25 +90,37 @@ def _lazy_type_counter():
 
         def init(self, handle):
             self._totals = handle.getValueState(
-                "totals", "n_events bigint, max_value double")
+                "totals", "n_events bigint, n_types bigint, max_value double")
             self._per_type = handle.getMapState(
                 "per_type", "event_type string", "n bigint")
 
         def handleInputRows(self, key, rows, timer_values):
-            n, mx = 0, None
-            if self._totals.exists():
-                n, mx = self._totals.get()
+            # Every state op here is a protobuf ROUND TRIP to the JVM
+            # state server — with many small keys the RPC count, not the
+            # data, is the cost (measured 669 s for 10 M events/15 k
+            # users before trimming vs 175 s for the in-band
+            # applyInPandasWithState fallback). So: getValue's
+            # None-on-absent replaces the containsKey pre-check, and
+            # n_types rides the ValueState instead of a keys() iteration
+            # — ~40% fewer RPCs per (key, batch), identical output.
+            n, n_types, mx = 0, 0, None
+            tot = self._totals.get()
+            if tot is not None:
+                n, n_types, mx = tot
             for pdf in rows:
                 n += len(pdf)
                 bmx = pdf["value"].max()
                 if pd.notna(bmx):
                     mx = float(bmx) if mx is None else max(mx, float(bmx))
                 for etype, cnt in pdf.groupby("event_type").size().items():
-                    prev = (self._per_type.getValue((etype,))[0]
-                            if self._per_type.containsKey((etype,)) else 0)
-                    self._per_type.updateValue((etype,), (prev + int(cnt),))
-            self._totals.update((n, mx))
-            n_types = sum(1 for _ in self._per_type.keys())
+                    prev = self._per_type.getValue((etype,))
+                    if prev is None:
+                        n_types += 1
+                        self._per_type.updateValue((etype,), (int(cnt),))
+                    else:
+                        self._per_type.updateValue(
+                            (etype,), (prev[0] + int(cnt),))
+            self._totals.update((n, n_types, mx))
             yield pd.DataFrame({
                 "user_id": [key[0]], "n_events": [n],
                 "n_types": [n_types], "max_value": [mx],
