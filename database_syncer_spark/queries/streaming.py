@@ -78,6 +78,21 @@ def stream_foreachbatch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         reuse_changes=True)
 
 
+def _stateful_partitions(spark: SparkSession, events: DataFrame) -> int:
+    """Input-adaptive shuffle/state-store partition count for the
+    Python-state streaming jobs. Streaming aggregations pin their state
+    layout to spark.sql.shuffle.partitions at query start (AQE cannot
+    coalesce a stateful stream), so the value is a real knob: too low
+    starves the Arrow/Python workers — the 100× probe measured the
+    fixed 8 at 162 s vs 62 s with 32 for the SAME 10 M-event job —
+    while too high multiplies per-partition state-store instances for
+    nothing at bench scale. ~1 partition per 350 k input rows, floored
+    at 8 (the bench-scale value, so small-fixture timings are
+    unchanged), capped at the core count."""
+    cpus = spark.sparkContext.defaultParallelism
+    return int(min(cpus, max(8, events.count() // 350_000)))
+
+
 def stream_stateful_custom(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom per-user state machine (applyInPandasWithState) run as a real
     micro-batch streaming job; final running totals per user."""
@@ -91,12 +106,10 @@ def stream_stateful_custom(spark: SparkSession, sf_dir: str) -> DataFrame:
         events, os.path.join(tempfile.gettempdir(), f"dss_stateful_src_{_STAGE_FMT}_{tag}"),
         3, reuse=True)
     staged = spark.read.parquet(src)
-    # 8 partitions: enough parallelism for the per-batch shuffle at
-    # bench sf (the state itself is ~150 user keys), an out-of-the-box
-    # 4x cut in per-batch state-store instances vs the session's 32.
     sink = run_stream_to_memory(
         spark, src, staged.schema, running_user_profile,
-        f"dss_stateful_{tag}", output_mode="update", shuffle_partitions=8,
+        f"dss_stateful_{tag}", output_mode="update",
+        shuffle_partitions=_stateful_partitions(spark, staged),
     )
     # update-mode sink holds one row per (user, batch); the final state is
     # the row with the greatest running count.
@@ -138,7 +151,8 @@ def stream_transform_with_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     try:
         sink = run_stream_to_memory(
             spark, src, staged.schema, user_type_profile_tws,
-            f"dss_tws_{tag}", output_mode="update", shuffle_partitions=8,
+            f"dss_tws_{tag}", output_mode="update",
+            shuffle_partitions=_stateful_partitions(spark, staged),
         )
     finally:
         if prev is None:
