@@ -86,11 +86,13 @@ def _stateful_partitions(spark: SparkSession, events: DataFrame) -> int:
     starves the Arrow/Python workers — the 100× probe measured the
     fixed 8 at 162 s vs 62 s with 32 for the SAME 10 M-event job —
     while too high multiplies per-partition state-store instances for
-    nothing at bench scale. ~1 partition per 350 k input rows, floored
-    at 8 (the bench-scale value, so small-fixture timings are
-    unchanged), capped at the core count."""
+    nothing at bench scale. ~1 partition per 350 k input rows, capped
+    at the core count, with the floor of 8 applied LAST so bench-scale
+    jobs get exactly the pre-r6 fixed value on every host (a <8-core
+    host would otherwise silently drop below it and break cross-host
+    baseline comparability)."""
     cpus = spark.sparkContext.defaultParallelism
-    return int(min(cpus, max(8, events.count() // 350_000)))
+    return int(max(8, min(cpus, events.count() // 350_000)))
 
 
 def stream_stateful_custom(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -46,13 +46,15 @@ def get_spark(app_name: str = "database_syncer_spark",
     if "PYTHONWARNINGS" not in os.environ:
         os.environ["PYTHONWARNINGS"] = (
             "ignore:The behavior of DataFrame concatenation:FutureWarning")
-    # The env var only reaches processes forked AFTER this point; the
-    # driver interpreter (toPandas also concats) needs the filter applied
-    # to its already-initialized warnings state.
-    import warnings
-    warnings.filterwarnings(
-        "ignore", message="The behavior of DataFrame concatenation",
-        category=FutureWarning)
+        # The env var only reaches processes forked AFTER this point;
+        # the driver interpreter (toPandas also concats) needs the
+        # filter in its already-initialized warnings state. Inside the
+        # same guard so a user-set PYTHONWARNINGS (e.g. an escalate-to-
+        # error) governs the driver exactly like the workers.
+        import warnings
+        warnings.filterwarnings(
+            "ignore", message="The behavior of DataFrame concatenation",
+            category=FutureWarning)
     cpus = os.environ.get("SPARK_GRAFT_CPUS") or os.cpu_count() or 4
     if shuffle_partitions is None:
         # Core-count default suits the small/medium queries; the big-data

@@ -96,14 +96,15 @@ def test_soft_keep_counts_duplicate_instances(spark):
         (9, "completely unrelated text about something else entirely"),
     ]
     docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = soft_keep_weights(docs).collect()
     got = {(r.doc_id): (r.component, r.cluster_size, r.keep_ppm)
-           for r in soft_keep_weights(docs).collect()}
+           for r in out}
     assert got[7] == (7, 3, 333333)          # 3 instances, no partners
     assert got[1] == (1, 3, 333333)          # 2 instances + doc 2
     assert got[2] == (1, 3, 333333)
     assert got[9] == (9, 1, 1000000)         # true singleton
     # every instance row is emitted (weights are per corpus row)
-    assert soft_keep_weights(docs).count() == len(rows)
+    assert len(out) == len(rows)
 
 
 def test_ngram_jaccard_exact_vs_python(spark, near_dup_corpus):
