@@ -569,30 +569,142 @@ def connected_components(edges: DataFrame, src: str = "doc_a",
         comp = nxt
         if changed == 0:
             break
+    # comp is materialized (the convergence counts ran it); dropping the
+    # edge cache now keeps long sweeps from accumulating one leaked
+    # persist per connected_components call — if an evicted comp
+    # partition ever recomputes, the sym lineage simply re-executes.
+    sym.unpersist()
     return comp.select(F.col("id").alias("doc_id"), "component")
 
 
 # --- embedding cosine near-dup ---------------------------------------------------
 
-def embedding_near_dup(embeddings: DataFrame, threshold: float = 0.9,
-                       block_col: str = "label", dim: int = 64) -> DataFrame:
-    """Vector near-dup within blocking keys (label here; at 100 TB the
-    block is an LSH bucket or IVF cell — see similarity.py). Cosine in
-    exact double arithmetic, unrolled over dim so the whole pair scan
-    stays in whole-stage codegen (pipeline/vector.py)."""
+def _lsh_block_planes(corpus_n: int) -> int:
+    """Bucket-width policy for the LSH blocking: 2**n_planes buckets per
+    band. The noise-collision term of the within-bucket self-join is
+    ~N²/2**n_planes per band, so planes must track log2(N) at scale;
+    small corpora (the driver fixtures) instead want FEW planes so recall
+    stays total at the low-similarity thresholds the fixtures exercise
+    (recall per pair at cosine c is 1-(1-p^r)^L with p = 1 - acos(c)/π —
+    r=4/L=16 is measured total at τ=0.5 on all three fixture SFs,
+    tests/test_dedup.py)."""
+    if corpus_n < 50_000:
+        return 4
+    planes = 12
+    while (1 << planes) < corpus_n and planes < 24:
+        planes += 1
+    return planes
+
+
+def _lsh_band_buckets(embeddings: DataFrame, n_planes: int, n_tables: int,
+                      dim: int) -> DataFrame:
+    """(vec_id, tbl, bucket) — one row per (vector, band); bucket is the
+    band's n_planes sign bits against similarity.py's deterministic md5
+    hyperplanes. numpy per batch: for each plane, (X * p).sum(axis=1) —
+    the reduced axis has fixed length dim, so numpy's pairwise summation
+    gives every row the SAME ieee result whatever the batch size."""
+    import numpy as np
+    import pandas as pd
+
+    from database_syncer_spark.pipeline import similarity as S
+
+    flat = np.array(
+        [row for t in range(n_tables)
+         for row in S._hyperplanes(n_planes, dim, t)])  # (T*r, dim)
+    weights = (1 << np.arange(n_planes, dtype=np.int64))
+
+    def gen(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            bits = np.empty((len(pdf), len(flat)), dtype=np.int64)
+            for j in range(len(flat)):
+                bits[:, j] = (X * flat[j]).sum(axis=1) > 0
+            buckets = bits.reshape(len(pdf), n_tables, n_planes) @ weights
+            yield pd.DataFrame({
+                "vec_id": np.repeat(pdf["vec_id"].to_numpy(), n_tables),
+                "tbl": np.tile(np.arange(n_tables, dtype=np.int32),
+                               len(pdf)),
+                "bucket": buckets.reshape(-1),
+            })
+
+    return embeddings.select("vec_id", "embedding").mapInPandas(
+        gen, "vec_id long, tbl int, bucket long")
+
+
+def embedding_near_dup(embeddings: DataFrame, threshold: float = 0.5,
+                       dim: int = 64, n_planes: int | None = None,
+                       n_tables: int | None = None,
+                       corpus_n: int | None = None,
+                       block_col: str | None = None) -> DataFrame:
+    """Vector near-dup pairs (round-6dp cosine >= threshold), blocked by
+    random-hyperplane LSH buckets (similarity.py's deterministic md5
+    planes) instead of a data column: candidate volume tracks the true
+    near-dup pair count plus an N²/2**n_planes-per-band noise term, not
+    the quadratic within-block blowup a label/category block gives
+    (measured 2.5x rows -> 4.6x wall, ~9 h extrapolated at 1 M vectors —
+    the r6 SCALE.md finding this rewrite kills).
+
+    Skinny-band shape (the dedup_minhash_lsh rule): ONE corpus scan
+    computes every band's bucket id as a codegen'd constant-folded dot
+    kernel; only 12-byte (vec_id, tbl, bucket) rows enter the self-join;
+    embeddings are re-fetched candidate-sized for the exact cosine
+    verify. ``block_col`` keeps the exact within-column variant (the old
+    default) for oracle/exactness use."""
     from database_syncer_spark.pipeline import vector as V
 
     e = embeddings.select(
-        "vec_id", F.col(block_col).alias("block"), "embedding",
-        V.norm("embedding", dim).alias("nrm"))
-    a, b = e.alias("a"), e.alias("b")
-    dot = V.dot("a.embedding", "b.embedding", dim)
-    cos = dot / (F.col("a.nrm") * F.col("b.nrm"))
+        "vec_id", "embedding", V.norm("embedding", dim).alias("nrm"))
+
+    if block_col is not None:
+        blocked = embeddings.select(
+            "vec_id", F.col(block_col).alias("block"))
+        a, b = blocked.alias("a"), blocked.alias("b")
+        pairs = (
+            a.join(b, "block")
+            .where(F.col("a.vec_id") < F.col("b.vec_id"))
+            .select(F.col("a.vec_id").alias("vec_a"),
+                    F.col("b.vec_id").alias("vec_b")))
+    else:
+        from database_syncer_spark.pipeline import similarity as S
+
+        if n_planes is None or n_tables is None:
+            if corpus_n is None:
+                corpus_n = embeddings.count()
+            if n_planes is None:
+                n_planes = _lsh_block_planes(corpus_n)
+            if n_tables is None:
+                n_tables = 16 if corpus_n < 50_000 else 8
+        # All n_tables band buckets in ONE Arrow-batched mapInPandas pass.
+        # The unrolled-expression alternatives both fail here: explode(
+        # array(struct(<16 band kernels>))) inlines 4096 product terms
+        # into one generate_doConsume and blows Janino's 64 KB method
+        # limit (the r6 sim_lsh_ann defect), and a 16-branch select+union
+        # serializes a ~4k-term interpreted tree into EVERY task binary —
+        # measured OOM at task DESERIALIZATION (ObjectInputStream handle
+        # table) with 8 concurrent tasks on a 1 GiB heap, on a 500-row
+        # fixture. A 64×64 sign-projection is one numpy GEMV per batch:
+        # the serialized plan is KBs (planes travel as a closure
+        # constant), the executor work is vectorized, and the per-row
+        # dot uses a fixed-axis pairwise sum so a row's sign bits are
+        # independent of batch boundaries (partition-count-independent
+        # buckets — the same determinism rule the ANN model state pins).
+        skinny = _lsh_band_buckets(embeddings, n_planes, n_tables, dim)
+        a, b = skinny.alias("a"), skinny.alias("b")
+        pairs = (
+            a.join(b, ["tbl", "bucket"])
+            .where(F.col("a.vec_id") < F.col("b.vec_id"))
+            .select(F.col("a.vec_id").alias("vec_a"),
+                    F.col("b.vec_id").alias("vec_b"))
+            .distinct())
+
+    dot = V.dot("ea.embedding", "eb.embedding", dim)
+    cos = dot / (F.col("ea.nrm") * F.col("eb.nrm"))
     return (
-        a.join(b, "block")
-        .where(F.col("a.vec_id") < F.col("b.vec_id"))
-        .select(
-            F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"),
-            F.round(cos, 6).alias("cosine"))
+        pairs
+        .join(e.alias("ea"), F.col("vec_a") == F.col("ea.vec_id"))
+        .join(e.alias("eb"), F.col("vec_b") == F.col("eb.vec_id"))
+        .select("vec_a", "vec_b", F.round(cos, 6).alias("cosine"))
         .where(F.col("cosine") >= threshold)
     )

@@ -131,6 +131,15 @@ def check_dim(embeddings: DataFrame, col: str = "embedding") -> int:
     whose unrolled expressions stay in whole-stage codegen (a per-row
     assert_true in the norm projection measured +25% on the sf0.1
     brute-force scan). One size-only columnar scan, no data movement."""
+    return check_dim_count(embeddings, col)[0]
+
+
+def check_dim_count(embeddings: DataFrame,
+                    col: str = "embedding") -> tuple[int, int]:
+    """check_dim plus the corpus row count from the same single-scan
+    probe — callers that size LSH blocking from N (pipeline/dedup.py)
+    shouldn't pay a second job for a number this aggregate already
+    computed."""
     row = embeddings.select(
         F.min(F.size(col)).alias("lo"), F.max(F.size(col)).alias("hi"),
         F.count(F.lit(1)).alias("n"), F.count(col).alias("nn")).first()
@@ -147,7 +156,7 @@ def check_dim(embeddings: DataFrame, col: str = "embedding") -> int:
         raise ValueError(
             f"ragged embedding dim in column {col!r}: "
             f"size ranges {row['lo']}..{row['hi']}")
-    return int(row["lo"])
+    return int(row["lo"]), int(row["n"])
 
 
 def multimodal_join(documents: DataFrame, embeddings: DataFrame,

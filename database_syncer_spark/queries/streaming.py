@@ -131,8 +131,7 @@ def stream_transform_with_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     key is fully oracle-checkable."""
     from database_syncer_spark.streaming.runner import (
         run_stream_to_memory, stage_as_stream_source)
-    from database_syncer_spark.streaming.stateful import (
-        tws_available, user_type_profile_tws)
+    from database_syncer_spark.streaming.stateful import user_type_profile_tws
 
     events = load_table(spark, sf_dir, "events")
     tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
@@ -141,26 +140,15 @@ def stream_transform_with_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         3, reuse=True)
     staged = spark.read.parquet(src)
 
-    # transformWithState requires the RocksDB state store provider; the
-    # fallback path keeps the default provider.
-    conf_key = "spark.sql.streaming.stateStore.providerClass"
-    prev = spark.conf.get(conf_key, None)
-    if tws_available(spark):
-        spark.conf.set(
-            conf_key,
-            "org.apache.spark.sql.execution.streaming.state."
-            "RocksDBStateStoreProvider")
-    try:
-        sink = run_stream_to_memory(
-            spark, src, staged.schema, user_type_profile_tws,
-            f"dss_tws_{tag}", output_mode="update",
-            shuffle_partitions=_stateful_partitions(spark, staged),
-        )
-    finally:
-        if prev is None:
-            spark.conf.unset(conf_key)
-        else:
-            spark.conf.set(conf_key, prev)
+    # transformWithState REQUIRES the RocksDB provider; since r7 the
+    # runner pins RocksDB for every stateful run anyway (bounded-heap
+    # default at scale), so both the tws shape and the
+    # applyInPandasWithState fallback ride the same provider.
+    sink = run_stream_to_memory(
+        spark, src, staged.schema, user_type_profile_tws,
+        f"dss_tws_{tag}", output_mode="update",
+        shuffle_partitions=_stateful_partitions(spark, staged),
+    )
 
     w = W.partitionBy("user_id").orderBy(F.col("n_events").desc())
     return (

@@ -82,6 +82,19 @@ def stage_as_stream_source_ordered(df: DataFrame, path: str, n_files: int = 5,
     return _publish_staging(tmp, path, n_files)
 
 
+#: RocksDB is the session default for every stateful streaming run (r6
+#: verdict item 4): the default HDFS-backed provider keeps every
+#: partition's state map ON HEAP — at 100-TB event volumes that is the
+#: executor OOM — while RocksDB bounds state to off-heap block cache +
+#: local SSD with the same exactly-once semantics. At probe scale the two
+#: measure within noise (scripts/state_store_probe.py: 10 M events), so
+#: the bounded-memory provider is strictly the better default; pass
+#: ``state_store_provider=None`` to run on whatever the session has.
+ROCKSDB_PROVIDER = ("org.apache.spark.sql.execution.streaming.state."
+                    "RocksDBStateStoreProvider")
+_PROVIDER_KEY = "spark.sql.streaming.stateStore.providerClass"
+
+
 def run_stream_to_memory(
     spark: SparkSession,
     source_path: str,
@@ -91,6 +104,7 @@ def run_stream_to_memory(
     output_mode: str = "complete",
     max_files_per_trigger: int = 1,
     shuffle_partitions: int | None = None,
+    state_store_provider: str | None = ROCKSDB_PROVIDER,
 ) -> DataFrame:
     """Replay a staged parquet dir through ``shape`` as a real streaming
     query (memory sink), synchronously to completion; return the sink.
@@ -100,7 +114,9 @@ def run_stream_to_memory(
     fixture with the session's batch-tuned partition count (32 on the
     bench host) pays 32x the state-store maintenance for no parallelism.
     The override is applied for the query's planning only and restored
-    immediately (streaming queries pin their partitioning at start)."""
+    immediately (streaming queries pin their partitioning at start).
+    ``state_store_provider`` is pinned the same way (default RocksDB —
+    see :data:`ROCKSDB_PROVIDER`)."""
     stream = (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", max_files_per_trigger)
@@ -108,8 +124,11 @@ def run_stream_to_memory(
     )
     conf_key = "spark.sql.shuffle.partitions"
     prev = spark.conf.get(conf_key)
+    prev_provider = spark.conf.get(_PROVIDER_KEY, None)
     if shuffle_partitions is not None:
         spark.conf.set(conf_key, str(shuffle_partitions))
+    if state_store_provider is not None:
+        spark.conf.set(_PROVIDER_KEY, state_store_provider)
     try:
         q = (
             shape(stream)
@@ -121,6 +140,11 @@ def run_stream_to_memory(
     finally:
         if shuffle_partitions is not None:
             spark.conf.set(conf_key, prev)
+        if state_store_provider is not None:
+            if prev_provider is None:
+                spark.conf.unset(_PROVIDER_KEY)
+            else:
+                spark.conf.set(_PROVIDER_KEY, prev_provider)
     try:
         q.processAllAvailable()
     finally:

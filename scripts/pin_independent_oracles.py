@@ -27,7 +27,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 sys.path.insert(0, os.path.join(
     os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tests"))
 
-FIXTURES = ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]
+_ROOT = os.environ.get("TESTDATA_ROOT", "/root/testdata")
+FIXTURES = [os.path.join(_ROOT, "sf0.001"), os.path.join(_ROOT, "sf0.01")]
 
 
 def main() -> int:

@@ -7,7 +7,20 @@ import pytest
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-SMOKE_SF = "/root/testdata/sf0.001"
+# Single source of truth for fixture locations (r6 ADVICE): every test
+# that needs a specific SF resolves it through TESTDATA_ROOT / sf_path()
+# instead of hardcoding /root/testdata, and SKIPS (not errors) when the
+# checkout doesn't carry that fixture.
+TESTDATA_ROOT = os.environ.get("TESTDATA_ROOT", "/root/testdata")
+SMOKE_SF = os.path.join(TESTDATA_ROOT, "sf0.001")
+
+
+def sf_path(name: str) -> str:
+    """Path of fixture dir `name` (e.g. 'sf0.01'), pytest.skip if absent."""
+    p = os.path.join(TESTDATA_ROOT, name)
+    if not os.path.isdir(p):
+        pytest.skip(f"fixture dir {p} not present")
+    return p
 
 
 @pytest.fixture(scope="session")

@@ -164,17 +164,18 @@ def test_xxh64_long_matches_spark(spark):
         assert AR.xxh64_long(v) == got[v], v
 
 
-@pytest.mark.parametrize("sf_dir_pin", ["/root/testdata/sf0.001",
-                                        "/root/testdata/sf0.01"])
-def test_ann_pins_match_independent_retrieval(sf_dir_pin):
+@pytest.mark.parametrize("sf_name_pin", ["sf0.001", "sf0.01"])
+def test_ann_pins_match_independent_retrieval(sf_name_pin):
     """The _ANN_PINS constants the driver oracles embed == a Spark-free
     end-to-end re-derivation (seeds, Lloyd, hyperplanes/ADC retrieval,
     exact re-rank, recall) on BOTH driver fixtures. This closes the
     pin-time-bug hole: a defect in the engine's retrieval would have to
     be reproduced independently by this mirror to stay hidden."""
     import ann_reference as AR
+    from conftest import sf_path
     from database_syncer_spark.queries.pipeline import _ANN_PINS
 
+    sf_dir_pin = sf_path(sf_name_pin)
     ids, mat = AR.load_embeddings(sf_dir_pin)
     col = {-33.0: 0, 1.0: 1}[AR.embeddings_fingerprint(mat)]
     derived = AR.derive_ann_pins(sf_dir_pin)
@@ -182,22 +183,21 @@ def test_ann_pins_match_independent_retrieval(sf_dir_pin):
         assert derived[fam] == (h001, h01)[col], fam
 
 
-@pytest.mark.parametrize("sf_dir_pin", ["/root/testdata/sf0.001",
-                                        "/root/testdata/sf0.01"])
-def test_simhash_pins_match_independent_derivation(sf_dir_pin):
+@pytest.mark.parametrize("sf_name_pin", ["sf0.001", "sf0.01"])
+def test_simhash_pins_match_independent_derivation(sf_name_pin):
     """_SIMHASH_PINS == pure-Python xxHash64 → fingerprints → all-pairs
     hamming, keyed by the oracle's own corpus fingerprint."""
     import ann_reference as AR
+    from conftest import sf_path
     from database_syncer_spark.queries.pipeline import _SIMHASH_PINS
 
-    docs, fp = AR.load_documents(sf_dir_pin)
+    docs, fp = AR.load_documents(sf_path(sf_name_pin))
     assert fp in _SIMHASH_PINS, fp
     assert AR.simhash_pairs(docs) == sorted(_SIMHASH_PINS[fp])
 
 
-@pytest.mark.parametrize("sf_dir_pin", ["/root/testdata/sf0.001",
-                                        "/root/testdata/sf0.01"])
-def test_minhash_lsh_pairs_match_independent_mirror(spark, sf_dir_pin):
+@pytest.mark.parametrize("sf_name_pin", ["sf0.001", "sf0.01"])
+def test_minhash_lsh_pairs_match_independent_mirror(spark, sf_name_pin):
     """Spark minhash_lsh_dedup == the Spark-free mirror END TO END —
     shingling, the 16 chained-xxhash64 minhash families, 4-band
     bucketing, AND the exact-Jaccard verify, on BOTH driver fixtures.
@@ -207,10 +207,11 @@ def test_minhash_lsh_pairs_match_independent_mirror(spark, sf_dir_pin):
     to be reproduced by this pure-Python reimplementation to stay
     hidden."""
     import ann_reference as AR
+    from conftest import sf_path
     from database_syncer_spark.catalog import load_table
     from database_syncer_spark.pipeline.dedup import minhash_lsh_dedup
 
-    docs = load_table(spark, sf_dir_pin, "documents")
+    docs = load_table(spark, sf_path(sf_name_pin), "documents")
     got = sorted((int(r.doc_a), int(r.doc_b), float(r.jaccard))
                  for r in minhash_lsh_dedup(docs).collect())
     pdf = docs.select("doc_id", "text").toPandas()

@@ -586,3 +586,43 @@ def test_prebuilt_index_serves_the_argument_queries(spark, sf_dir):
             assert served == {5, 6, 7, 8, 9}, (serve.__name__, served)
         finally:
             idx[corpus_key].unpersist()
+
+
+def test_embedding_lsh_blocking_recall_total(spark):
+    """The r7 default blocking for embedding_near_dup is hyperplane-LSH
+    buckets (label blocking measured quadratic-within-block, ~9 h
+    extrapolated at 1 M vectors). Its EXHAUSTIVE-scan oracle is only
+    honest if the fixture-regime blocking (4 planes / 16 tables) has
+    total recall at the registered τ=0.5 — pin that on both driver
+    fixtures AND the bench fixture. The exhaustive truth is the same
+    function with a constant block (one block == all pairs)."""
+    from conftest import sf_path
+    from database_syncer_spark.pipeline.dedup import embedding_near_dup
+
+    for name in ["sf0.001", "sf0.01", "sf0.1"]:
+        emb = load_table(spark, sf_path(name), "embeddings") \
+            .withColumn("allblk", F.lit(1))
+        lsh = {(r.vec_a, r.vec_b, r.cosine)
+               for r in embedding_near_dup(
+                   emb, threshold=0.5, corpus_n=emb.count()).collect()}
+        exhaustive = {(r.vec_a, r.vec_b, r.cosine)
+                      for r in embedding_near_dup(
+                          emb, threshold=0.5, block_col="allblk").collect()}
+        assert lsh <= exhaustive, name  # cosine verify: no false positives
+        assert lsh == exhaustive, (name, exhaustive - lsh)
+    # non-vacuous at the driver fixture and the bench fixture
+    assert len(exhaustive) > 0
+
+
+def test_embedding_lsh_scale_params_widen_buckets(spark, sf_dir):
+    """At >=50k vectors the plane-count policy must track log2(N) so the
+    per-band noise-collision term N²/2**planes stays ~N — the property
+    that makes the blocking scale where the label block could not."""
+    from database_syncer_spark.pipeline.dedup import _lsh_block_planes
+
+    assert _lsh_block_planes(500) == 4
+    assert _lsh_block_planes(2_000) == 4
+    assert _lsh_block_planes(50_000) == 16
+    assert _lsh_block_planes(1_000_000) == 20
+    assert _lsh_block_planes(10_000_000) == 24
+    assert _lsh_block_planes(10**9) == 24  # capped: recall floor
