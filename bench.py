@@ -248,8 +248,13 @@ def main() -> None:
     }
     line = json.dumps(machine)
     if len(line) > 1900:  # never regress the tail-parse again
-        line = json.dumps({k: machine[k] for k in
-                           ("metric", "value", "unit", "queries", "sf")})
+        # mark the elision (r6 ADVICE): a consumer of the last line must
+        # be able to tell "dropped for size" from "not measured", and
+        # where the full record lives
+        line = json.dumps({**{k: machine[k] for k in
+                              ("metric", "value", "unit", "queries", "sf")},
+                           "truncated": True,
+                           "detail": "BENCH_DETAIL_LAST.json"})
     try:
         with open(os.path.join(here, "BENCH_DETAIL_LAST.json"), "w",
                   encoding="utf-8") as fh:

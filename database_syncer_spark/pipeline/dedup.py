@@ -708,3 +708,59 @@ def embedding_near_dup(embeddings: DataFrame, threshold: float = 0.5,
         .select("vec_a", "vec_b", F.round(cos, 6).alias("cosine"))
         .where(F.col("cosine") >= threshold)
     )
+
+
+def embedding_incremental_near_dup(batch: DataFrame, corpus: DataFrame,
+                                   threshold: float = 0.5, dim: int = 64,
+                                   n_planes: int | None = None,
+                                   n_tables: int | None = None,
+                                   corpus_n: int | None = None) -> DataFrame:
+    """Ingest-time embedding dedup — incremental_near_dups' shape for the
+    vector modality: every BATCH vector checked against the EXISTING
+    corpus only, candidates blocked by the same hyperplane-LSH band
+    buckets as embedding_near_dup (at rest the corpus side is
+    precomputed and partitioned by (tbl, bucket), so a daily batch
+    shuffles only its own bands and its collision volume — never the
+    corpus). Output: one verdict row per batch vector
+    (vec_id, n_dups, max_cosine, novel); every aggregate is computed
+    over the EXACT-cosine-verified pairs >= threshold only, so the rows
+    are blocking-independent wherever blocking recall is total (the
+    fixture regime — pinned in tests) and the exhaustive batch×corpus
+    SQL is a complete oracle."""
+    from database_syncer_spark.pipeline import vector as V
+
+    if n_planes is None or n_tables is None:
+        if corpus_n is None:
+            corpus_n = corpus.count()
+        if n_planes is None:
+            n_planes = _lsh_block_planes(corpus_n)
+        if n_tables is None:
+            n_tables = 16 if corpus_n < 50_000 else 8
+    bb = _lsh_band_buckets(batch, n_planes, n_tables, dim)
+    bc = (_lsh_band_buckets(corpus, n_planes, n_tables, dim)
+          .withColumnRenamed("vec_id", "corpus_id"))
+    cand = (bb.join(bc, ["tbl", "bucket"])
+            .select("vec_id", "corpus_id").distinct())
+    eb = batch.join(cand.select("vec_id").distinct(), "vec_id", "left_semi") \
+        .select("vec_id", "embedding", V.norm("embedding", dim).alias("nrm"))
+    ec = corpus.join(cand.select(F.col("corpus_id").alias("vec_id")).distinct(),
+                     "vec_id", "left_semi") \
+        .select(F.col("vec_id").alias("corpus_id"),
+                F.col("embedding").alias("c_embedding"),
+                V.norm("embedding", dim).alias("c_nrm"))
+    cos = F.round(
+        V.dot("embedding", "c_embedding", dim)
+        / (F.col("nrm") * F.col("c_nrm")), 6)
+    hits = (cand.join(eb, "vec_id").join(ec, "corpus_id")
+            .select("vec_id", cos.alias("cosine"))
+            .where(F.col("cosine") >= threshold)
+            .groupBy("vec_id")
+            .agg(F.count("*").alias("n_dups"),
+                 F.max("cosine").alias("max_cosine")))
+    # LEFT from the batch side: a vector with zero collisions must emit
+    # a novel row, not silently vanish (the ann_recall lesson).
+    return (batch.select("vec_id").join(hits, "vec_id", "left")
+            .select("vec_id",
+                    F.coalesce("n_dups", F.lit(0)).alias("n_dups"),
+                    "max_cosine",
+                    (F.coalesce("n_dups", F.lit(0)) == 0).alias("novel")))

@@ -364,14 +364,24 @@ def repetition_score(documents: DataFrame, k: int = 3,
 
     One explode -> two-level hash aggregation (per-(doc, gram) counts,
     then per-doc rollup) — all map-side-combining codegen, no windows,
-    no Python; cost is corpus-linear and shuffles only (doc_id, gram)
-    pairs. The repetitive flag compares UNROUNDED doubles (the reported
-    fractions round to 6 dp for display/hashing only). Documents with
-    fewer than ``min_ngrams`` k-grams are never flagged — a one-gram doc
-    trivially has top_frac 1.0, and repetition statistics on a handful
-    of grams are noise, not signal (length gates are standard in the
+    no Python; cost is corpus-linear. The corpus is repartitioned by
+    doc_id FIRST: hash-partitioning on doc_id satisfies the clustered
+    distribution of BOTH aggregations (doc_id is a prefix-subset of
+    (doc_id, gram)), so the exploded ~40×-corpus gram rows never cross
+    the network — the one exchange carries document text, not k-gram
+    pairs. The r7 quiet-host probe measured the old plan's two
+    gram-sized exchanges (explode output ~100 M (doc, gram-text) rows,
+    then the distinct-gram counts again) at 4.0× wall for 2.5× data
+    (102.4 s at 2.5 M docs, shuffle-spill superlinearity); this shape
+    is 1 corpus-sized exchange + partition-local aggs. The repetitive
+    flag compares UNROUNDED doubles (the reported fractions round to
+    6 dp for display/hashing only). Documents with fewer than
+    ``min_ngrams`` k-grams are never flagged — a one-gram doc trivially
+    has top_frac 1.0, and repetition statistics on a handful of grams
+    are noise, not signal (length gates are standard in the
     Gopher-family filters)."""
-    toks = documents.select("doc_id", F.split("text", " ").alias("__toks"))
+    toks = (documents.select("doc_id", F.split("text", " ").alias("__toks"))
+            .repartition("doc_id"))
     raw = F.expr(
         f"transform(sequence(1, greatest(size(__toks) - {k - 1}, 1)),"
         f" i -> concat_ws(' ', slice(__toks, CAST(i AS INT), {k})))")

@@ -101,6 +101,21 @@ def dedup_corpus_keep(spark, sf_dir):
     return keep_exact.join(dropped, "doc_id", "left_anti")
 
 
+def dedup_embedding_incremental(spark, sf_dir):
+    """Ingest-time embedding near-dup (r7 stretch): the vec_id % 16 == 5
+    slice plays the daily batch, the rest the existing corpus — the
+    vector-modality analog of dedup_incremental, riding the same
+    bucketed blocks as dedup_embedding_cosine. Exhaustive batch×corpus
+    oracle; complete because the fixture-regime blocking's recall at
+    τ=0.5 is verified total (tests/test_pipeline.py)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    dim, n = _emb_dim_n(sf_dir, emb)
+    is_batch = F.col("vec_id") % _BATCH_MOD == _BATCH_REM
+    return D.embedding_incremental_near_dup(
+        emb.where(is_batch), emb.where(~is_batch),
+        threshold=0.5, dim=dim, corpus_n=n)
+
+
 def dedup_soft_keep(spark, sf_dir):
     """Soft dedup (r5): instead of hard-dropping near-dup clusters to
     one survivor, give every doc a duplication weight and keep each
@@ -364,6 +379,7 @@ QUERIES = {
     "dedup_corpus_keep": dedup_corpus_keep,
     "dedup_soft_keep": dedup_soft_keep,
     "dedup_embedding_cosine": dedup_embedding_cosine,
+    "dedup_embedding_incremental": dedup_embedding_incremental,
     "sim_topk_cosine": sim_topk_cosine,
     "sim_lsh_ann": sim_lsh_ann,                  # recall@10 rows, pinned oracle
     "sim_ivf_ann": sim_ivf_ann,                  # recall@10 rows, pinned oracle
@@ -867,6 +883,33 @@ SELECT * FROM (
                'sum') / (a.nrm * b.nrm), 6) AS cosine
   FROM e a JOIN e b ON a.vec_id < b.vec_id
 ) WHERE cosine >= 0.5
+""",
+    # exhaustive batch×corpus scan — complete oracle for the LSH-blocked
+    # incremental path by the same recall-is-total argument; every output
+    # aggregate depends only on pairs >= τ, so it is blocking-independent
+    "dedup_embedding_incremental": """
+WITH e AS (
+  SELECT vec_id, embedding,
+         sqrt(list_aggregate(list_transform(embedding,
+              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')) AS nrm
+  FROM embeddings
+),
+b AS (SELECT * FROM e WHERE vec_id % 16 = 5),
+c AS (SELECT * FROM e WHERE vec_id % 16 <> 5),
+p AS (
+  SELECT b.vec_id,
+         round(list_aggregate(list_transform(generate_series(1, len(b.embedding)),
+               i -> CAST(b.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)),
+               'sum') / (b.nrm * c.nrm), 6) AS cosine
+  FROM b, c
+),
+h AS (
+  SELECT vec_id, count(*) AS n_dups, max(cosine) AS max_cosine
+  FROM p WHERE cosine >= 0.5 GROUP BY vec_id
+)
+SELECT b.vec_id, coalesce(h.n_dups, 0) AS n_dups, h.max_cosine,
+       coalesce(h.n_dups, 0) = 0 AS novel
+FROM b LEFT JOIN h USING (vec_id)
 """,
     "sim_topk_cosine": """
 WITH e AS (

@@ -26,7 +26,9 @@ _MODULES = [
 # showed the driver checks a bounded prefix (exactly the first 50 keys got a
 # CORRECTNESS row each round). Every key has a green driver VALUE row ≤2
 # rounds old after r6; what varies now is freshness and code churn. r7
-# state: positions 0-1 are the two keys whose semantics r7 REWIRED
+# state: position 0 is the key ADDED in r7 (dedup_embedding_incremental —
+# never driver-checked), positions 1-2 are the two keys whose semantics r7
+# REWIRED
 # (dedup_embedding_cosine -> LSH-bucket blocking, dedup_corpus_keep -> LSH
 # pair generator) — they have fresh rows but stale certifications; next the
 # 34 keys whose most-recent driver row is r4; then 14 r5 keys whose
@@ -37,8 +39,10 @@ _MODULES = [
 # explicitly at the head, not left unlisted. REGENERATE after each round's
 # CORRECTNESS lands.
 _KEY_ORDER = [
+    # --- NEW in r7 (never driver-checked) — verify first ---
+    "dedup_embedding_incremental",  # batch×corpus vector near-dup, LSH blocks
     # --- r7 code-churn keys (rewired this round: LSH-bucket blocking /
-    # LSH pair generator) — re-verify first ---
+    # LSH pair generator) — re-verify next ---
     "dedup_embedding_cosine", "dedup_corpus_keep",
     # --- last driver value row: r4 (stalest) — refresh next ---
     "agg_argmax_minby", "agg_collect_sorted", "agg_cube", "agg_distinct",

@@ -41,9 +41,14 @@ def get_spark(app_name: str = "database_syncer_spark",
     # Only when the user hasn't set PYTHONWARNINGS themselves: appending
     # to an existing value would OVERRIDE their intent (later entries
     # take precedence — a user who escalated FutureWarning to error
-    # would have it silently un-escalated in every child process), and
-    # the env var outlives the session for all later subprocesses.
-    if "PYTHONWARNINGS" not in os.environ:
+    # would have it silently un-escalated in every child process). The
+    # env var is restored right after getOrCreate (r6 ADVICE): the
+    # gateway JVM snapshots its environment at launch — Python workers
+    # inherit from the JVM, not from this process — so scoping the
+    # mutation to the launch window keeps the filter out of every LATER
+    # non-Spark subprocess the host process spawns.
+    scrub_env_after = "PYTHONWARNINGS" not in os.environ
+    if scrub_env_after:
         os.environ["PYTHONWARNINGS"] = (
             "ignore:The behavior of DataFrame concatenation:FutureWarning")
         # The env var only reaches processes forked AFTER this point;
@@ -94,5 +99,10 @@ def get_spark(app_name: str = "database_syncer_spark",
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
     )
     spark = builder.getOrCreate()
+    if scrub_env_after:
+        # JVM launched (or already running) — its env snapshot is what
+        # workers inherit; the host process's environ goes back to the
+        # user's state.
+        os.environ.pop("PYTHONWARNINGS", None)
     spark.sparkContext.setLogLevel("WARN")
     return spark

@@ -205,4 +205,11 @@ def incremental_sync_foreachbatch(
         q.processAllAvailable()
     finally:
         q.stop()
+    # Only the FINAL state version is ever read again (the return value
+    # references it lazily, so the workdir itself must survive the call);
+    # dropping the intermediate versions keeps repeated bench/test runs
+    # from accumulating n_chunks obsolete state copies per call.
+    for n in range(version["n"]):
+        shutil.rmtree(os.path.join(workdir, f"state_v{n}"),
+                      ignore_errors=True)
     return spark.read.parquet(version["path"])

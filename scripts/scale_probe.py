@@ -69,7 +69,8 @@ def _jvm_peak_rss_kb() -> int | None:
 
 def _generate(spark, out: str, tables: set[str],
               orders_mult: int = ORDERS_MULT,
-              docs_mult: int = DOCS_MULT) -> list[str]:
+              docs_mult: int = DOCS_MULT,
+              emb_mult: int = EMB_MULT) -> list[str]:
     """Returns the list of tables actually (re)generated this run —
     tables already present in `out` are REUSED at whatever multiplier
     they were originally written with, so the caller must not label
@@ -110,8 +111,19 @@ def _generate(spark, out: str, tables: set[str],
         _gen_documents(spark, out, reps, docs_mult)
         generated.append("documents")
     if missing("embeddings"):
-        _gen_embeddings(spark, out, reps)
+        _gen_embeddings(spark, out, reps, emb_mult)
         generated.append("embeddings")
+    if missing("lineitem"):
+        # composite-PK dump ingest probe: replicas shift l_orderkey so
+        # (l_orderkey, l_linenumber) stays unique
+        li = load_table(spark, SRC, "lineitem")
+        (li.select("*", reps(orders_mult))
+         .withColumn("l_orderkey",
+                     F.col("l_orderkey") + F.col("rep").cast("long") * 1_000_000_000)
+         .drop("rep")
+         .repartition(32)
+         .write.mode("overwrite").parquet(os.path.join(out, "lineitem.parquet")))
+        generated.append("lineitem")
     if missing("customer"):
         # window/agg keys over customer: replicate 10x with shifted keys
         from pyspark.sql import functions as F
@@ -164,7 +176,7 @@ def _gen_documents(spark, out, reps, mult=DOCS_MULT):
      .write.mode("overwrite").parquet(os.path.join(out, "documents.parquet")))
 
 
-def _gen_embeddings(spark, out, reps):
+def _gen_embeddings(spark, out, reps, mult=EMB_MULT):
     from pyspark.sql import functions as F
     from database_syncer_spark.catalog import load_table
 
@@ -176,7 +188,7 @@ def _gen_embeddings(spark, out, reps):
                    F.lit(7)).cast("double") - 3.0) / 3.0)
         return (v.cast("double") * f).cast("float")
 
-    (emb.select("*", reps(EMB_MULT))
+    (emb.select("*", reps(mult))
      .withColumn("vec_id",
                  F.col("vec_id") + F.col("rep").cast("long") * 100_000_000)
      .withColumn("embedding", F.transform("embedding", scaled))
@@ -196,6 +208,8 @@ def main() -> None:
     ap.add_argument("--docs-mult", type=int, default=DOCS_MULT,
                     help="documents replication factor (500 => 2.5M docs "
                          "through the dedup/text/sampling keys)")
+    ap.add_argument("--emb-mult", type=int, default=EMB_MULT,
+                    help="embeddings replication factor (500 => 1M vectors)")
     ap.add_argument("--tables", default="events,orders,documents,embeddings",
                     help="comma list of tables to replicate into --out "
                          "(generate only what the probed keys read)")
@@ -212,7 +226,8 @@ def main() -> None:
         t0 = time.perf_counter()
         generated = _generate(spark, args.out, set(args.tables.split(",")),
                               orders_mult=args.orders_mult,
-                              docs_mult=args.docs_mult)
+                              docs_mult=args.docs_mult,
+                              emb_mult=args.emb_mult)
         gen_sec = round(time.perf_counter() - t0, 1)
 
     queries = all_queries()
@@ -233,7 +248,7 @@ def main() -> None:
         # reused_existing was written by an earlier run and keeps that
         # run's multiplier — don't label its timings with these values.
         "mults": {"orders": args.orders_mult, "documents": args.docs_mult,
-                  "embeddings": EMB_MULT},
+                  "embeddings": args.emb_mult},
         "generated": generated,
         "reused_existing": sorted(
             t for t in args.tables.split(",")
