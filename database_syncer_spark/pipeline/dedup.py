@@ -600,13 +600,15 @@ def _lsh_block_planes(corpus_n: int) -> int:
     return planes
 
 
-def _lsh_band_buckets(embeddings: DataFrame, n_planes: int, n_tables: int,
-                      dim: int) -> DataFrame:
-    """(vec_id, tbl, bucket) — one row per (vector, band); bucket is the
-    band's n_planes sign bits against similarity.py's deterministic md5
-    hyperplanes. numpy per batch: for each plane, (X * p).sum(axis=1) —
-    the reduced axis has fixed length dim, so numpy's pairwise summation
-    gives every row the SAME ieee result whatever the batch size."""
+def _lsh_bucket_vectors(embeddings: DataFrame, n_planes: int, n_tables: int,
+                        dim: int) -> DataFrame:
+    """(vec_id, buckets array<long>[n_tables]) — every band's bucket id
+    in ONE row per vector; bucket t is that band's n_planes sign bits
+    against similarity.py's deterministic md5 hyperplanes. numpy per
+    batch: for each plane, (X * p).sum(axis=1) — the reduced axis has
+    fixed length dim, so numpy's pairwise summation gives every row the
+    SAME ieee result whatever the batch size (partition-count-
+    independent buckets)."""
     import numpy as np
     import pandas as pd
 
@@ -627,14 +629,37 @@ def _lsh_band_buckets(embeddings: DataFrame, n_planes: int, n_tables: int,
                 bits[:, j] = (X * flat[j]).sum(axis=1) > 0
             buckets = bits.reshape(len(pdf), n_tables, n_planes) @ weights
             yield pd.DataFrame({
-                "vec_id": np.repeat(pdf["vec_id"].to_numpy(), n_tables),
-                "tbl": np.tile(np.arange(n_tables, dtype=np.int32),
-                               len(pdf)),
-                "bucket": buckets.reshape(-1),
+                "vec_id": pdf["vec_id"].to_numpy(),
+                "buckets": list(buckets),
             })
 
     return embeddings.select("vec_id", "embedding").mapInPandas(
-        gen, "vec_id long, tbl int, bucket long")
+        gen, "vec_id long, buckets array<long>")
+
+
+def _lsh_band_rows(bucketed: DataFrame) -> DataFrame:
+    """Explode a bucket-vector frame into per-band join rows
+    (vec_id, buckets, tbl, bucket). The Generate carries only the
+    n_tables-long array — no unrolled kernels, no Janino risk."""
+    return bucketed.select(
+        "vec_id", "buckets",
+        F.posexplode("buckets").alias("tbl", "bucket"))
+
+
+def _first_collision(a: str, b: str, n_tables: int) -> Column:
+    """True iff this band is the FIRST where sides `a` and `b` share a
+    bucket: for every earlier band s < tbl, a.buckets[s] != b.buckets[s].
+    Replaces pair DISTINCT after the per-band self-join — each colliding
+    pair survives in exactly one band, so no candidate-volume-sized
+    exchange is needed (the r7 1 M-vector probe put the distinct at the
+    top of the profile: ~8× candidate multiplicity on dense near-dup
+    clusters shuffled ~2 B rows to dedupe ~250 M pairs)."""
+    cond = F.lit(True)
+    for s in range(n_tables - 1):
+        cond = cond & ((F.col("tbl") <= F.lit(s))
+                       | (F.col(f"{a}.buckets")[s]
+                          != F.col(f"{b}.buckets")[s]))
+    return cond
 
 
 def embedding_near_dup(embeddings: DataFrame, threshold: float = 0.5,
@@ -694,14 +719,20 @@ def embedding_near_dup(embeddings: DataFrame, threshold: float = 0.5,
         # dot uses a fixed-axis pairwise sum so a row's sign bits are
         # independent of batch boundaries (partition-count-independent
         # buckets — the same determinism rule the ANN model state pins).
-        skinny = _lsh_band_buckets(embeddings, n_planes, n_tables, dim)
+        # Each pair is emitted ONLY from its first colliding band
+        # (_first_collision) instead of DISTINCT over the per-band join
+        # output — the join rows carry each side's full bucket vector
+        # (n_tables longs) so the dedup is a codegen'd filter, not a
+        # candidate-volume-sized exchange.
+        skinny = _lsh_band_rows(
+            _lsh_bucket_vectors(embeddings, n_planes, n_tables, dim))
         a, b = skinny.alias("a"), skinny.alias("b")
         pairs = (
             a.join(b, ["tbl", "bucket"])
-            .where(F.col("a.vec_id") < F.col("b.vec_id"))
+            .where((F.col("a.vec_id") < F.col("b.vec_id"))
+                   & _first_collision("a", "b", n_tables))
             .select(F.col("a.vec_id").alias("vec_a"),
-                    F.col("b.vec_id").alias("vec_b"))
-            .distinct())
+                    F.col("b.vec_id").alias("vec_b")))
 
     dot = V.dot("ea.embedding", "eb.embedding", dim)
     cos = dot / (F.col("ea.nrm") * F.col("eb.nrm"))
@@ -740,11 +771,17 @@ def embedding_incremental_near_dup(batch: DataFrame, corpus: DataFrame,
             n_planes = _lsh_block_planes(corpus_n)
         if n_tables is None:
             n_tables = 16 if corpus_n < 50_000 else 8
-    bb = _lsh_band_buckets(batch, n_planes, n_tables, dim)
-    bc = (_lsh_band_buckets(corpus, n_planes, n_tables, dim)
-          .withColumnRenamed("vec_id", "corpus_id"))
+    # First-collision emit instead of pair DISTINCT, same as
+    # embedding_near_dup: dedup is a codegen'd filter over the carried
+    # bucket vectors, never a candidate-volume-sized exchange.
+    bb = _lsh_band_rows(
+        _lsh_bucket_vectors(batch, n_planes, n_tables, dim)).alias("a")
+    bc = (_lsh_band_rows(
+        _lsh_bucket_vectors(corpus, n_planes, n_tables, dim))
+        .withColumnRenamed("vec_id", "corpus_id").alias("b"))
     cand = (bb.join(bc, ["tbl", "bucket"])
-            .select("vec_id", "corpus_id").distinct())
+            .where(_first_collision("a", "b", n_tables))
+            .select("vec_id", "corpus_id"))
     eb = batch.join(cand.select("vec_id").distinct(), "vec_id", "left_semi") \
         .select("vec_id", "embedding", V.norm("embedding", dim).alias("nrm"))
     ec = corpus.join(cand.select(F.col("corpus_id").alias("vec_id")).distinct(),
