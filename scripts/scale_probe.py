@@ -234,7 +234,13 @@ def main() -> None:
     results = {}
     for key in args.keys.split(","):
         t0 = time.perf_counter()
-        queries[key](spark, args.out).write.format("noop").mode("overwrite").save()
+        try:
+            queries[key](spark, args.out).write.format("noop") \
+                .mode("overwrite").save()
+        except Exception as exc:  # a missing table in --out must not
+            results[key] = {"error": str(exc).splitlines()[0][:200]}
+            print(key, results[key], file=sys.stderr)
+            continue                # kill the rest of the sweep
         results[key] = {
             "wall_sec": round(time.perf_counter() - t0, 1),
             "jvm_peak_rss_gb": round((_jvm_peak_rss_kb() or 0) / 1e6, 2),

@@ -626,3 +626,19 @@ def test_embedding_lsh_scale_params_widen_buckets(spark, sf_dir):
     assert _lsh_block_planes(1_000_000) == 20
     assert _lsh_block_planes(10_000_000) == 24
     assert _lsh_block_planes(10**9) == 24  # capped: recall floor
+
+
+def test_lsh_bucket_vectors_partition_independent(spark, sf_dir):
+    """The numpy bucketing pass claims partition-count-independent
+    buckets (per-plane (X*p).sum(axis=1): the reduced axis has fixed
+    length dim, so numpy's pairwise summation is identical whatever the
+    Arrow batch size). Pin it: same corpus, 1 vs 8 partitions, byte-equal
+    bucket vectors."""
+    from database_syncer_spark.pipeline.dedup import _lsh_bucket_vectors
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    one = {r.vec_id: list(r.buckets) for r in
+           _lsh_bucket_vectors(emb.repartition(1), 4, 16, 64).collect()}
+    eight = {r.vec_id: list(r.buckets) for r in
+             _lsh_bucket_vectors(emb.repartition(8), 4, 16, 64).collect()}
+    assert one == eight and len(one) == emb.count()

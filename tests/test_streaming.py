@@ -205,3 +205,20 @@ def test_staging_publish_survives_concurrent_winner(spark, tmp_path):
     with _pytest.raises(OSError):
         _publish_staging(loser2, bad, n_files=2)
     assert os.path.exists(os.path.join(bad, "part-partial.parquet"))
+
+
+def test_runner_pins_rocksdb_and_restores_conf(spark, staged_events):
+    """r7: run_stream_to_memory pins the RocksDB state-store provider
+    for the query (bounded-heap default at scale) but must leave the
+    SESSION conf exactly as it found it — pinned only for the launch
+    window, like the shuffle-partition override."""
+    from database_syncer_spark.streaming.queries import stream_distinct
+    from database_syncer_spark.streaming.runner import _PROVIDER_KEY
+
+    path, df = staged_events
+    before = spark.conf.get(_PROVIDER_KEY, None)
+    sink = run_stream_to_memory(
+        spark, path, df.schema, stream_distinct, "t_provider_restore",
+        output_mode="append")
+    assert sink.count() == df.dropDuplicates(["event_id"]).count()
+    assert spark.conf.get(_PROVIDER_KEY, None) == before
