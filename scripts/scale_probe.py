@@ -124,6 +124,14 @@ def _generate(spark, out: str, tables: set[str],
          .repartition(32)
          .write.mode("overwrite").parquet(os.path.join(out, "lineitem.parquet")))
         generated.append("lineitem")
+    for dim in ("region", "nation", "supplier", "part"):
+        # dims stay UNREPLICATED (the realistic shape: facts grow,
+        # dimensions don't) — copied so dim-joining keys can run at
+        # fact scale
+        if missing(dim):
+            load_table(spark, SRC, dim).write.mode("overwrite").parquet(
+                os.path.join(out, f"{dim}.parquet"))
+            generated.append(dim)
     if missing("customer"):
         # window/agg keys over customer: replicate 10x with shifted keys
         from pyspark.sql import functions as F
