@@ -591,7 +591,7 @@ def _lsh_block_planes(corpus_n: int) -> int:
     stays total at the low-similarity thresholds the fixtures exercise
     (recall per pair at cosine c is 1-(1-p^r)^L with p = 1 - acos(c)/π —
     r=4/L=16 is measured total at τ=0.5 on all three fixture SFs,
-    tests/test_dedup.py)."""
+    tests/test_pipeline.py)."""
     if corpus_n < 50_000:
         return 4
     planes = 12
@@ -662,6 +662,24 @@ def _first_collision(a: str, b: str, n_tables: int) -> Column:
     return cond
 
 
+def _lsh_params(frame: DataFrame, n_planes: int | None,
+                n_tables: int | None,
+                corpus_n: int | None) -> tuple[int, int]:
+    """One defaulting ladder for BOTH blocking callers
+    (embedding_near_dup and embedding_incremental_near_dup must block
+    identically or the shared recall pin stops covering the incremental
+    path): count once if needed, planes from _lsh_block_planes, tables
+    16 in the fixture regime / 8 at scale."""
+    if n_planes is None or n_tables is None:
+        if corpus_n is None:
+            corpus_n = frame.count()
+        if n_planes is None:
+            n_planes = _lsh_block_planes(corpus_n)
+        if n_tables is None:
+            n_tables = 16 if corpus_n < 50_000 else 8
+    return n_planes, n_tables
+
+
 def embedding_near_dup(embeddings: DataFrame, threshold: float = 0.5,
                        dim: int = 64, n_planes: int | None = None,
                        n_tables: int | None = None,
@@ -675,10 +693,21 @@ def embedding_near_dup(embeddings: DataFrame, threshold: float = 0.5,
     (measured 2.5x rows -> 4.6x wall, ~9 h extrapolated at 1 M vectors —
     the r6 SCALE.md finding this rewrite kills).
 
-    Skinny-band shape (the dedup_minhash_lsh rule): ONE corpus scan
-    computes every band's bucket id as a codegen'd constant-folded dot
-    kernel; only 12-byte (vec_id, tbl, bucket) rows enter the self-join;
-    embeddings are re-fetched candidate-sized for the exact cosine
+    RECALL REGIME: below 50 k vectors the 4-plane/16-table policy makes
+    recall TOTAL at τ=0.5 on the fixtures (pinned by
+    tests/test_pipeline.py::test_embedding_lsh_blocking_recall_total);
+    at >=50 k vectors _lsh_params switches to log2(N) planes / 8 tables,
+    which keeps the noise term ~N per band but concentrates recall on
+    the high-similarity regime real dedup thresholds live in (cosine
+    0.99 pairs: >=0.99 at 1 M; cosine ~0.5 pairs: effectively 0 — the
+    inherent LSH trade; callers needing mid-similarity recall at scale
+    must raise n_tables or use the exact ``block_col`` variant).
+
+    Band join rows carry (vec_id, buckets[n_tables], tbl, bucket) —
+    (2+n_tables)×8 bytes, embedding-free — so the self-join ships no
+    payload; the full bucket vector rides along because dedup across
+    bands is the _first_collision FILTER, not a pair distinct.
+    Embeddings are re-fetched candidate-sized for the exact cosine
     verify. ``block_col`` keeps the exact within-column variant (the old
     default) for oracle/exactness use."""
     from database_syncer_spark.pipeline import vector as V
@@ -696,15 +725,8 @@ def embedding_near_dup(embeddings: DataFrame, threshold: float = 0.5,
             .select(F.col("a.vec_id").alias("vec_a"),
                     F.col("b.vec_id").alias("vec_b")))
     else:
-        from database_syncer_spark.pipeline import similarity as S
-
-        if n_planes is None or n_tables is None:
-            if corpus_n is None:
-                corpus_n = embeddings.count()
-            if n_planes is None:
-                n_planes = _lsh_block_planes(corpus_n)
-            if n_tables is None:
-                n_tables = 16 if corpus_n < 50_000 else 8
+        n_planes, n_tables = _lsh_params(
+            embeddings, n_planes, n_tables, corpus_n)
         # All n_tables band buckets in ONE Arrow-batched mapInPandas pass.
         # The unrolled-expression alternatives both fail here: explode(
         # array(struct(<16 band kernels>))) inlines 4096 product terms
@@ -764,13 +786,7 @@ def embedding_incremental_near_dup(batch: DataFrame, corpus: DataFrame,
     SQL is a complete oracle."""
     from database_syncer_spark.pipeline import vector as V
 
-    if n_planes is None or n_tables is None:
-        if corpus_n is None:
-            corpus_n = corpus.count()
-        if n_planes is None:
-            n_planes = _lsh_block_planes(corpus_n)
-        if n_tables is None:
-            n_tables = 16 if corpus_n < 50_000 else 8
+    n_planes, n_tables = _lsh_params(corpus, n_planes, n_tables, corpus_n)
     # First-collision emit instead of pair DISTINCT, same as
     # embedding_near_dup: dedup is a codegen'd filter over the carried
     # bucket vectors, never a candidate-volume-sized exchange.
@@ -782,13 +798,18 @@ def embedding_incremental_near_dup(batch: DataFrame, corpus: DataFrame,
     cand = (bb.join(bc, ["tbl", "bucket"])
             .where(_first_collision("a", "b", n_tables))
             .select("vec_id", "corpus_id"))
-    eb = batch.join(cand.select("vec_id").distinct(), "vec_id", "left_semi") \
-        .select("vec_id", "embedding", V.norm("embedding", dim).alias("nrm"))
-    ec = corpus.join(cand.select(F.col("corpus_id").alias("vec_id")).distinct(),
-                     "vec_id", "left_semi") \
-        .select(F.col("vec_id").alias("corpus_id"),
-                F.col("embedding").alias("c_embedding"),
-                V.norm("embedding", dim).alias("c_nrm"))
+    # Fetch embeddings by joining cand with the full (vec_id, embedding,
+    # nrm) projections directly — the same shape as embedding_near_dup.
+    # An earlier form pre-pruned each side with a semi-join on cand's
+    # distinct ids, which referenced the UNPERSISTED cand subtree three
+    # times (hits + two id sets) and re-ran the whole candidate join per
+    # reference (r7 review finding); cand is consumed exactly once here.
+    eb = batch.select(
+        "vec_id", "embedding", V.norm("embedding", dim).alias("nrm"))
+    ec = corpus.select(
+        F.col("vec_id").alias("corpus_id"),
+        F.col("embedding").alias("c_embedding"),
+        V.norm("embedding", dim).alias("c_nrm"))
     cos = F.round(
         V.dot("embedding", "c_embedding", dim)
         / (F.col("nrm") * F.col("c_nrm")), 6)

@@ -147,7 +147,7 @@ def dedup_embedding_cosine(spark, sf_dir):
     within-block scan measured quadratic — ~9 h extrapolated at 1 M
     vectors). Oracle is the EXHAUSTIVE pair scan: at the fixture sizes
     the 4-plane/16-table blocking's recall at τ=0.5 is verified total
-    (tests/test_dedup.py pins it on all three fixture SFs), the same
+    (tests/test_pipeline.py pins it on all three fixture SFs), the same
     honesty argument dedup_minhash_lsh's exact oracle rides."""
     emb = load_table(spark, sf_dir, "embeddings")
     dim, n = _emb_dim_n(sf_dir, emb)
@@ -867,7 +867,7 @@ FROM allc a JOIN sizes s USING (component)
     # EXHAUSTIVE pair scan (no blocking): complete ground truth for the
     # LSH-bucket-blocked Spark plan — recall of the fixture-regime
     # 4-plane/16-table blocking is verified total at τ=0.5 on all three
-    # fixture SFs (tests/test_dedup.py), so equality here proves the
+    # fixture SFs (tests/test_pipeline.py), so equality here proves the
     # blocking loses nothing, the same argument dedup_minhash_lsh makes.
     "dedup_embedding_cosine": """
 WITH e AS (

@@ -31,7 +31,7 @@ _MODULES = [
 # REWIRED
 # (dedup_embedding_cosine -> LSH-bucket blocking, dedup_corpus_keep -> LSH
 # pair generator) — they have fresh rows but stale certifications; next the
-# 34 keys whose most-recent driver row is r4; then 14 r5 keys whose
+# 34 keys whose most-recent driver row is r4; then 13 r5 keys whose
 # upstream modules r7 touched (similarity/multimodal dim probe, streaming
 # state store, dump-composite sinks), filling the 50-key window; the
 # remaining r5 block and the 50 pass-r6 keys (freshest) come last. Keys
@@ -62,10 +62,13 @@ _KEY_ORDER = [
     "multimodal_columns", "sim_topk_cosine", "sim_lsh_ann", "sim_ivf_ann",
     "sim_pq_ann", "sim_ivfpq_ann", "dedup_soft_keep",
     "dedup_cluster_components", "dedup_ngram_jaccard",
-    "dedup_ngram_containment", "stream_stateful_custom",
+    "stream_stateful_custom",
     "stream_transform_with_state", "sync_catalog_ddl", "sink_merge_executor",
-    # --- last driver value row: r5 — remaining ---
-    "agg_grouping_sets", "agg_pivot", "agg_stats_moments",
+    # --- last driver value row: r5 — remaining (dedup_ngram_containment
+    # moved here from the touched block: 1 new + 2 rewired + 34 r4 + 14
+    # would overflow the 50-key window by one, and its code is the one
+    # of the fourteen r7 did NOT touch) ---
+    "dedup_ngram_containment", "agg_grouping_sets", "agg_pivot", "agg_stats_moments",
     "agg_time_bucket_rollup", "diff_bucketed_zeroshuffle",
     "diff_cdc_fullouter", "diff_composite_pk", "diff_stats_by_type",
     "fn_date", "fn_map_json", "fn_math", "join_runtime_bloom",

@@ -98,11 +98,13 @@ def get_spark(app_name: str = "database_syncer_spark",
         # for 32 Python workers + page cache on a 128GiB box.
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
     )
-    spark = builder.getOrCreate()
-    if scrub_env_after:
-        # JVM launched (or already running) — its env snapshot is what
-        # workers inherit; the host process's environ goes back to the
-        # user's state.
-        os.environ.pop("PYTHONWARNINGS", None)
+    try:
+        spark = builder.getOrCreate()
+    finally:
+        if scrub_env_after:
+            # JVM launched (or already running, or launch FAILED) — the
+            # host process's environ goes back to the user's state either
+            # way; only the JVM's env snapshot keeps the filter.
+            os.environ.pop("PYTHONWARNINGS", None)
     spark.sparkContext.setLogLevel("WARN")
     return spark

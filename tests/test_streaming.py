@@ -220,5 +220,5 @@ def test_runner_pins_rocksdb_and_restores_conf(spark, staged_events):
     sink = run_stream_to_memory(
         spark, path, df.schema, stream_distinct, "t_provider_restore",
         output_mode="append")
-    assert sink.count() == df.dropDuplicates(["event_id"]).count()
+    assert sink.count() == df.select(*sink.columns).distinct().count()
     assert spark.conf.get(_PROVIDER_KEY, None) == before
