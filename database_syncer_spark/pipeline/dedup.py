@@ -436,7 +436,14 @@ def ngram_jaccard_pairs(documents: DataFrame, threshold: float = 0.2,
     construction near-content-free boilerplate for similarity purposes.
     The per-doc sizes ``n_sh`` keep counting ALL shingles, so capping
     never inflates a score — errors are one-sided (recall, never
-    precision)."""
+    precision).
+
+    MEASURED BOUNDARY (r5/r7 probes): 585 s at 1 M docs vs the banded
+    LSH generator's 30 s for the same verified edges, and at 2.5 M docs
+    the self-join's shuffle spill exhausted ~50 GB of free disk and the
+    job ABORTED (ENOSPC). This is the exactness/oracle tool for
+    fixture-scale verification; every end-to-end dedup artifact
+    (corpus_keep, soft_keep) defaults to minhash_lsh_dedup."""
     inter = _shingle_intersections(documents, k, df_cap)
     jac = F.col("c").cast("double") / (F.col("na") + F.col("nb") - F.col("c"))
     return (
