@@ -513,6 +513,59 @@ def soft_keep_weights(documents: DataFrame) -> DataFrame:
                     "keep_ppm", "kept"))
 
 
+# --- paragraph/line-level dedup ---------------------------------------------------
+
+def paragraph_dedup(documents: DataFrame,
+                    chunk_words: int = 10) -> DataFrame:
+    """Sub-document exact dedup — the C4/RefinedWeb granularity the
+    doc-level family (exact/near/soft/incremental) doesn't cover:
+    remove every repeated SPAN across the corpus, keeping only its
+    first occurrence (ordered by doc_id, then position), and re-emit
+    the cleaned documents. Spans are consecutive ``chunk_words``-word
+    chunks (the fixtures are single-line word streams; on newline-
+    delimited corpora the same shape applies with split('\\n')).
+
+    Output: (doc_id, clean_text, n_chunks, n_removed) — one row per
+    input document, clean_text = the kept chunks re-joined in order
+    (empty string when every span of a late exact-duplicate is
+    scrubbed).
+
+    Shape: corpus-sized explode, ONE (chunk) shuffle for the frequency/
+    first-occurrence aggregate, one join back, one (doc_id) shuffle to
+    reassemble. Keep-first is min(struct(doc_id, pos)) — a partially
+    aggregable map-side-combined agg — NOT a row_number window: at
+    corpus scale boilerplate chunks repeat millions of times, and a
+    window's per-chunk sort partition inherits exactly that skew while
+    min() reduces it on the map side. The join back is chunk-frequency
+    sized per chunk but row-preserving (one agg row per distinct
+    chunk), and AQE's skew-join split covers the residual probe skew."""
+    words = F.split("text", " ")
+    n = F.ceil(F.size(words) / F.lit(chunk_words)).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), n - 1),
+        lambda i: F.array_join(
+            F.slice(words, i * chunk_words + 1, chunk_words), " "))
+    ch = (documents
+          .select("doc_id", F.posexplode(chunks).alias("pos", "chunk")))
+    firsts = ch.groupBy("chunk").agg(
+        F.count("*").alias("freq"),
+        F.min(F.struct("doc_id", "pos")).alias("first"))
+    kept = (F.col("freq") == 1) | (
+        (F.col("doc_id") == F.col("first.doc_id"))
+        & (F.col("pos") == F.col("first.pos")))
+    return (ch.join(firsts, "chunk")
+            .groupBy("doc_id")
+            .agg(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(F.collect_list(
+                            F.when(kept, F.struct("pos", "chunk")))),
+                        lambda s: s["chunk"]),
+                    " ").alias("clean_text"),
+                F.count("*").alias("n_chunks"),
+                F.sum(F.when(kept, 0).otherwise(1)).alias("n_removed")))
+
+
 # --- connected components over near-dup pairs -----------------------------------
 
 def connected_components(edges: DataFrame, src: str = "doc_a",
@@ -576,16 +629,27 @@ def connected_components(edges: DataFrame, src: str = "doc_a",
         comp = nxt
         if changed == 0:
             break
-    # The edge cache is deliberately NOT unpersisted here: DataFrame
-    # .unpersist() CASCADES — Spark's CacheManager also evicts every
-    # cached plan that contains the unpersisted plan as a subplan, i.e.
-    # the persisted `comp` the caller is about to read, forcing the whole
-    # iteration chain to re-execute on first consumption (A/B r7:
-    # 1.7 s -> 4.8 s per dedup_cluster_components call at sf0.1 with an
-    # unpersist(sym) on this line). The retained footprint is the
-    # pairs-sized symmetric edge list — accepted; callers that need the
-    # memory back can spark.catalog.clearCache() between queries.
-    return comp.select(F.col("id").alias("doc_id"), "component")
+    # Unpersisting sym/comp directly here would CASCADE: Spark's
+    # CacheManager also evicts every cached plan containing the
+    # unpersisted plan as a subplan — i.e. the result the caller is
+    # about to read — forcing the whole iteration chain to re-execute
+    # on first consumption (A/B r7: 1.7 s -> 4.8 s per
+    # dedup_cluster_components call at sf0.1 with a bare unpersist(sym)
+    # on this line). r7 therefore leaked the pairs-sized edge cache for
+    # the session; r8 instead truncates lineage with an eager
+    # localCheckpoint of the NODE-sized result (comp is already
+    # materialized, so this is one cache scan), after which both caches
+    # can be dropped safely. The checkpointed RDD itself is freed by the
+    # ContextCleaner once the caller drops the returned frame — the
+    # eviction-on-consumption semantics a registry sweep running several
+    # dedup keys per session needs. (localCheckpoint trades executor-
+    # loss recovery for zero-config lineage truncation; the loop above
+    # already made that trade per-iteration via persist+count.)
+    result = (comp.select(F.col("id").alias("doc_id"), "component")
+              .localCheckpoint(eager=True))
+    comp.unpersist()
+    sym.unpersist()
+    return result
 
 
 # --- embedding cosine near-dup ---------------------------------------------------
@@ -716,7 +780,15 @@ def embedding_near_dup(embeddings: DataFrame, threshold: float = 0.5,
     bands is the _first_collision FILTER, not a pair distinct.
     Embeddings are re-fetched candidate-sized for the exact cosine
     verify. ``block_col`` keeps the exact within-column variant (the old
-    default) for oracle/exactness use."""
+    default) for oracle/exactness use.
+
+    .. versionchanged:: r7
+       Defaults changed semantics: ``threshold`` 0.9 -> 0.5 and
+       ``block_col`` ``"label"`` -> ``None`` (hyperplane-LSH blocking
+       instead of exact label blocks). Callers relying on the old exact
+       label-blocked behavior must now pass ``block_col="label",
+       threshold=0.9`` explicitly — with LSH blocking the emitted pair
+       set is recall-total only in the regimes documented above."""
     from database_syncer_spark.pipeline import vector as V
 
     e = embeddings.select(

@@ -71,10 +71,19 @@ def dedup_ngram_containment(spark, sf_dir):
 
 def dedup_cluster_components(spark, sf_dir):
     """Near-dup pairs -> connected components (the keep/drop clustering
-    step). Built on the EXACT n-gram Jaccard pairs so the recursive-CTE
-    oracle sees identical edges."""
+    step). r8: edges come from the banded MinHash-LSH generator at
+    τ=0.5 — the 100-TB default every end-to-end artifact already rides
+    (the exact inverted index it previously rode ENOSPC-fails past
+    ~1-2.5 M docs on one box, SCALE.md r7 probe; LSH measured
+    53.6 s/2.5 M docs for the same verified edges). The oracle stays the
+    exact recursive-CTE SQL over the τ=0.5 inverted-index pairs: LSH
+    recall is verified total at that threshold on the fixtures
+    (dedup_minhash_lsh's own honesty argument, independently confirmed
+    by tests/ann_reference.py). The exactness variant remains one
+    substitution away for oracle work:
+    connected_components(ngram_jaccard_pairs(docs))."""
     docs = load_table(spark, sf_dir, "documents")
-    return D.connected_components(D.ngram_jaccard_pairs(docs))
+    return D.connected_components(D.minhash_lsh_dedup(docs))
 
 
 def dedup_corpus_keep(spark, sf_dir):
@@ -111,9 +120,85 @@ def dedup_embedding_incremental(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
     dim, n = _emb_dim_n(sf_dir, emb)
     is_batch = F.col("vec_id") % _BATCH_MOD == _BATCH_REM
+    # corpus_n must be the CORPUS-slice count, not the full-table n: the
+    # batch slice is ~1/16 of the table, and near the 50 k _lsh_params
+    # boundary the extra 1/16 could flip the blocking into the scale
+    # regime while the actual corpus is still in the total-recall
+    # fixture regime (r7 advice). Derived, not recounted — one count().
     return D.embedding_incremental_near_dup(
         emb.where(is_batch), emb.where(~is_batch),
-        threshold=0.5, dim=dim, corpus_n=n)
+        threshold=0.5, dim=dim, corpus_n=n - n // _BATCH_MOD)
+
+
+#: corpus_curate stage parameters: quality floor (6-dp-rounded score,
+#: boundary-safe in both engines) and the deterministic PII-planting
+#: slice (the fixtures carry no organic PII — without planting, the
+#: scrub stage would be identity and unverified under the driver hash)
+_CURATE_QUALITY_MIN = 0.35
+_PII_MOD, _PII_REM = 20, 3
+
+
+def corpus_curate(spark, sf_dir):
+    """END-TO-END curation — the composed pipeline a training-data user
+    actually runs, under ONE driver hash: quality filter -> PII scrub ->
+    corpus dedup -> greedy packing. Every stage is an already-verified
+    operator (text_quality_score, text_pii_scrub, dedup_corpus_keep,
+    text_pack_greedy); this key pins their COMPOSITION — ordering
+    (score raw text, scrub before dedup so redaction-equal docs
+    collapse, pack only survivors), column threading, and the packing's
+    sensitivity to exactly which docs survive.
+
+    Docs with doc_id % 20 == 3 get a deterministic planted email
+    appended first (the fixtures have no organic PII); the scrub turns
+    those suffixes into identical '<EMAIL>' spans before dedup runs.
+    Output: one row per packed doc (doc_id, shard, bin_id, n_tokens,
+    quality_score, had_pii). Scale shape: each stage keeps its own
+    audited plan (exact sha2 groupBy, banded LSH pairs, sharded
+    applyInPandas packing); the curated corpus is ~linearly smaller at
+    every stage boundary, never wider."""
+    docs = load_table(spark, sf_dir, "documents")
+    planted = docs.select(
+        "doc_id",
+        F.when(F.col("doc_id") % _PII_MOD == _PII_REM,
+               F.concat(F.col("text"), F.lit(" contact agent"),
+                        F.col("doc_id").cast("string"),
+                        F.lit("@example.com now")))
+        .otherwise(F.col("text")).alias("text"))
+    good = (T.quality_score(planted)
+            .select("doc_id", "quality_score")
+            .where(F.col("quality_score") >= _CURATE_QUALITY_MIN))
+    filtered = planted.join(good, "doc_id")
+    scrubbed = filtered.select(
+        "doc_id", "quality_score",
+        ((F.regexp_count("text", F.lit(T.EMAIL_PATTERN))
+          + F.regexp_count("text", F.lit(T.PHONE_PATTERN))) > 0
+         ).alias("had_pii"),
+        F.regexp_replace(
+            F.regexp_replace("text", T.EMAIL_PATTERN, "<EMAIL>"),
+            T.PHONE_PATTERN, "<PHONE>").alias("text"))
+    keep_exact = D.exact_dedup(scrubbed).select(
+        F.col("keep_id").alias("doc_id"))
+    survivors = scrubbed.join(keep_exact, "doc_id", "left_semi")
+    comp = D.connected_components(D.minhash_lsh_dedup(survivors))
+    dropped = comp.where(
+        F.col("component") != F.col("doc_id")).select("doc_id")
+    kept = keep_exact.join(dropped, "doc_id", "left_anti")
+    curated = scrubbed.join(kept, "doc_id", "left_semi")
+    packed = T.pack_greedy(curated.select("doc_id", "text"))
+    return (packed
+            .join(curated.select("doc_id", "quality_score", "had_pii"),
+                  "doc_id")
+            .select("doc_id", "shard", "bin_id", "n_tokens",
+                    "quality_score", "had_pii"))
+
+
+def dedup_paragraph(spark, sf_dir):
+    """Sub-document repeated-span scrub (pipeline/dedup.py:
+    paragraph_dedup) — the C4/RefinedWeb line-level dedup granularity:
+    every 10-word span that repeats anywhere in the corpus is removed
+    except its first occurrence (by doc_id, then position), and the
+    cleaned documents are re-emitted with per-doc removal stats."""
+    return D.paragraph_dedup(load_table(spark, sf_dir, "documents"))
 
 
 def dedup_soft_keep(spark, sf_dir):
@@ -378,6 +463,8 @@ QUERIES = {
     "dedup_cluster_components": dedup_cluster_components,
     "dedup_corpus_keep": dedup_corpus_keep,
     "dedup_soft_keep": dedup_soft_keep,
+    "dedup_paragraph": dedup_paragraph,
+    "corpus_curate": corpus_curate,
     "dedup_embedding_cosine": dedup_embedding_cosine,
     "dedup_embedding_incremental": dedup_embedding_incremental,
     "sim_topk_cosine": sim_topk_cosine,
@@ -810,14 +897,136 @@ FROM bt LEFT JOIN agg USING (doc_id)
     "sim_pq_ann": _PQ_RECALL_SQL,
     "dedup_ngram_containment": _CONTAINMENT_SQL,
     "dedup_corpus_keep": _CORPUS_KEEP_SQL,
+    # the composed curation pipeline, every stage recomputed from
+    # scratch: plant -> quality (6-dp rounded, boundary-safe filter) ->
+    # scrub -> exact+near dedup (recursive CTE over the τ=0.5 exact
+    # inverted index — complete for the Spark side's LSH edges, recall
+    # verified total) -> greedy packing replayed per shard (recursive
+    # CTE, same rule as text_pack_greedy's oracle)
+    "corpus_curate": f"""
+WITH RECURSIVE base AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % {_PII_MOD} = {_PII_REM}
+              THEN text || ' contact agent' || CAST(doc_id AS VARCHAR)
+                   || '@example.com now'
+              ELSE text END AS text
+  FROM documents
+),
+q AS (
+  SELECT doc_id,
+         round(least(1.0, CAST(len(string_split(text, ' ')) AS DOUBLE)
+                          / 100.0)
+               * (1.0 - CAST(len(list_filter(string_split(text, ' '),
+                    t -> list_contains({_STOP_SQL}, t))) AS DOUBLE)
+                  / len(string_split(text, ' '))), 6) AS quality_score
+  FROM base
+),
+scrub AS (
+  SELECT b.doc_id, q.quality_score,
+         (len(regexp_extract_all(b.text, '{T.EMAIL_PATTERN}'))
+          + len(regexp_extract_all(b.text, '{T.PHONE_PATTERN}'))) > 0
+           AS had_pii,
+         regexp_replace(regexp_replace(b.text,
+             '{T.EMAIL_PATTERN}', '<EMAIL>', 'g'),
+             '{T.PHONE_PATTERN}', '<PHONE>', 'g') AS text
+  FROM base b JOIN q USING (doc_id)
+  WHERE q.quality_score >= {_CURATE_QUALITY_MIN}
+),
+ek AS (SELECT min(doc_id) AS doc_id FROM scrub GROUP BY sha256(text)),
+d2 AS (SELECT s.doc_id, s.text FROM scrub s JOIN ek USING (doc_id)),
+t AS (SELECT doc_id, {_SHINGLE_SQL} AS shingles FROM d2),
+sh AS (SELECT doc_id, len(shingles) AS n_sh, unnest(shingles) AS sh FROM t),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.n_sh AS na, b.n_sh AS nb,
+         count(*) AS c
+  FROM sh a JOIN sh b USING (sh)
+  WHERE a.doc_id < b.doc_id
+  GROUP BY 1, 2, 3, 4
+),
+pairs AS (
+  SELECT doc_a, doc_b FROM inter
+  WHERE round(CAST(c AS DOUBLE) / (na + nb - c), 6) >= 0.5
+),
+sym AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION
+  SELECT doc_b, doc_a FROM pairs
+),
+reach(src, dst) AS (
+  SELECT a, b FROM sym
+  UNION
+  SELECT r.src, s.b FROM reach r JOIN sym s ON r.dst = s.a
+),
+comp AS (
+  SELECT src AS doc_id, least(src, min(dst)) AS component
+  FROM reach GROUP BY src
+),
+keep AS (
+  SELECT ek.doc_id FROM ek LEFT JOIN comp USING (doc_id)
+  WHERE comp.doc_id IS NULL OR comp.component = ek.doc_id
+),
+cur AS (SELECT s.* FROM scrub s JOIN keep USING (doc_id)),
+pd AS (
+  SELECT doc_id, CAST(doc_id % 8 AS INT) AS shard,
+         CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+         row_number() OVER (PARTITION BY doc_id % 8 ORDER BY doc_id) AS rn
+  FROM cur
+),
+pr AS (
+  SELECT shard, rn, doc_id, n_tokens, 1 AS bin_local, n_tokens AS fill
+  FROM pd WHERE rn = 1
+  UNION ALL
+  SELECT pd.shard, pd.rn, pd.doc_id, pd.n_tokens,
+         CASE WHEN pr.fill + pd.n_tokens <= 64 THEN pr.bin_local
+              ELSE pr.bin_local + 1 END,
+         CASE WHEN pr.fill + pd.n_tokens <= 64 THEN pr.fill + pd.n_tokens
+              ELSE pd.n_tokens END
+  FROM pr JOIN pd ON pd.shard = pr.shard AND pd.rn = pr.rn + 1
+)
+SELECT pr.doc_id, pr.shard,
+       CAST(pr.shard AS BIGINT) * 2199023255552 + pr.bin_local AS bin_id,
+       pr.n_tokens, c.quality_score, c.had_pii
+FROM pr JOIN cur c USING (doc_id)
+""",
+    # repeated-span scrub: 10-word positional chunks, keep-first by
+    # (doc_id, pos) — pure relational algebra, recomputed from scratch
+    "dedup_paragraph": """
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+ch AS (
+  SELECT doc_id, i AS pos,
+         array_to_string(ws[i*10+1 : i*10+10], ' ') AS chunk
+  FROM w, LATERAL unnest(generate_series(
+       0, CAST(ceil(len(ws) / 10.0) AS BIGINT) - 1)) AS t(i)
+),
+firsts AS (
+  SELECT chunk, count(*) AS freq,
+         min(struct_pack(doc_id := doc_id, pos := pos)) AS first
+  FROM ch GROUP BY chunk
+),
+marked AS (
+  SELECT c.doc_id, c.pos, c.chunk,
+         (f.freq = 1 OR (c.doc_id = f.first.doc_id
+                         AND c.pos = f.first.pos)) AS kept
+  FROM ch c JOIN firsts f USING (chunk)
+)
+SELECT doc_id,
+       coalesce(string_agg(CASE WHEN kept THEN chunk END, ' '
+                           ORDER BY pos), '') AS clean_text,
+       count(*) AS n_chunks,
+       CAST(sum(CASE WHEN kept THEN 0 ELSE 1 END) AS BIGINT) AS n_removed
+FROM marked GROUP BY doc_id
+""",
     "text_tfidf_topk": _TFIDF_SQL,
     "dedup_exact": """
 SELECT sha256(text) AS digest, min(doc_id) AS keep_id, count(*) AS n_copies
 FROM documents GROUP BY sha256(text)
 """,
     "dedup_ngram_jaccard": _NGRAM_SQL,
+    # recursive-CTE components over the τ=0.5 pair set — the exact
+    # inverted-index SQL is a complete oracle for the key's LSH edges
+    # (recall verified total at 0.5; same argument as dedup_minhash_lsh)
     "dedup_cluster_components": f"""
-WITH RECURSIVE pairs AS ({_NGRAM_SQL}),
+WITH RECURSIVE pairs AS ({_MINHASH_SQL}),
 sym AS (
   SELECT doc_a AS a, doc_b AS b FROM pairs
   UNION

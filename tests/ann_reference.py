@@ -314,6 +314,26 @@ def _rank_topk(cand: list[tuple[int, float]], k: int) -> list[tuple[int, float]]
     return sorted(cand, key=lambda t: (-t[1], t[0]))[:k]
 
 
+def exhaustive_cosine_pairs(ids: np.ndarray, mat: np.ndarray,
+                            threshold: float = 0.5) -> set:
+    """All (vec_a, vec_b, round6 cosine) pairs with cosine >= threshold,
+    engine-exact (tree dot/norm + BigDecimal HALF_UP round6) — the
+    Spark-free mirror of dedup.embedding_near_dup's exhaustive variant
+    (constant block_col). Vectorized per anchor row; round6 only runs on
+    the raw-cosine candidates within one ulp-margin of the threshold, so
+    cost is ~N²·dim flops + O(true pairs) Decimal work. ids must be
+    ascending (load_embeddings' contract) so vec_a < vec_b holds."""
+    nrm = tree_norm(mat)
+    out = set()
+    for i in range(len(ids) - 1):
+        raw = tree_dot(mat[i + 1:], mat[i]) / (nrm[i] * nrm[i + 1:])
+        for j in np.nonzero(raw >= threshold - 1e-6)[0]:
+            c = round6(float(raw[j]))
+            if c >= threshold:
+                out.add((int(ids[i]), int(ids[i + 1 + j]), c))
+    return out
+
+
 def exact_thresholds(ids: np.ndarray, mat: np.ndarray,
                      n_queries: int = 10, k: int = 10) -> dict[int, float]:
     """Per query: the k-th exact cosine at round-6 (brute_force_topk's

@@ -76,6 +76,31 @@ def test_minhash_lsh_duplicate_doc_id_rows_union(spark):
     assert abs(out[0].jaccard - want) < 1e-9, (out[0].jaccard, want)
 
 
+def test_paragraph_dedup_keep_first_semantics(spark):
+    """Repeated 10-word spans are scrubbed everywhere except their FIRST
+    occurrence by (doc_id, pos): a verbatim late duplicate comes back
+    fully empty, a doc repeating a span internally keeps only the first
+    copy, unique text is untouched, and n_chunks/n_removed count spans
+    (ceil(words/10)), not words."""
+    from database_syncer_spark.pipeline.dedup import paragraph_dedup
+
+    span = "one two three four five six seven eight nine ten"
+    uniq = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [
+        (1, span + " " + uniq),     # first occurrence of both spans
+        (2, span),                  # late exact duplicate -> scrubbed
+        (3, span + " " + span),     # internal repeat: pos 1 removed too
+        (4, "lone tail words"),     # short doc = 1 chunk, untouched
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: (r.clean_text, r.n_chunks, r.n_removed)
+           for r in paragraph_dedup(docs).collect()}
+    assert got[1] == (span + " " + uniq, 2, 0)
+    assert got[2] == ("", 1, 1)
+    assert got[3] == ("", 2, 2)     # doc 1 owns the first occurrence
+    assert got[4] == ("lone tail words", 1, 0)
+
+
 def test_soft_keep_counts_duplicate_instances(spark):
     """cluster_size counts corpus ROWS (duplicate instances), never
     component nodes: 3 rows of one doc_id with no near-dup partner form
@@ -601,7 +626,13 @@ def test_embedding_lsh_blocking_recall_total(spark):
 
     # sf0.001 legitimately has ZERO pairs at τ=0.5 (exhaustive-verified);
     # the driver fixture and the bench fixture must be non-vacuous or the
-    # recall pin proves nothing there.
+    # recall pin proves nothing there. At sf0.1 the exhaustive truth
+    # comes from the engine-exact Spark-free numpy mirror (the Spark
+    # all-pairs unrolled-dot join there cost ~30 s of suite wall, r7
+    # advice); the mirror itself is cross-checked against the Spark
+    # exhaustive scan at the two small SFs below.
+    from ann_reference import exhaustive_cosine_pairs, load_embeddings
+
     min_pairs = {"sf0.001": 0, "sf0.01": 1, "sf0.1": 1}
     for name in ["sf0.001", "sf0.01", "sf0.1"]:
         emb = load_table(spark, sf_path(name), "embeddings") \
@@ -609,9 +640,14 @@ def test_embedding_lsh_blocking_recall_total(spark):
         lsh = {(r.vec_a, r.vec_b, r.cosine)
                for r in embedding_near_dup(
                    emb, threshold=0.5, corpus_n=emb.count()).collect()}
-        exhaustive = {(r.vec_a, r.vec_b, r.cosine)
-                      for r in embedding_near_dup(
-                          emb, threshold=0.5, block_col="allblk").collect()}
+        exhaustive = exhaustive_cosine_pairs(
+            *load_embeddings(sf_path(name)), threshold=0.5)
+        if name != "sf0.1":  # keep the mirror honest where Spark is cheap
+            spark_exhaustive = {(r.vec_a, r.vec_b, r.cosine)
+                                for r in embedding_near_dup(
+                                    emb, threshold=0.5,
+                                    block_col="allblk").collect()}
+            assert exhaustive == spark_exhaustive, name
         assert lsh <= exhaustive, name  # cosine verify: no false positives
         assert lsh == exhaustive, (name, exhaustive - lsh)
         assert len(exhaustive) >= min_pairs[name], name

@@ -349,9 +349,26 @@ def test_soft_keep_rides_lsh_not_inverted_index(spark, sf_dir):
     shingle-hash one."""
     from database_syncer_spark.registry import all_queries
 
-    plan = _plan(all_queries()["dedup_soft_keep"](spark, sf_dir))
+    # r8: connected_components eagerly localCheckpoints its result (so
+    # the pairs-sized edge cache can be dropped without the unpersist
+    # CASCADE re-executing the chain), which truncates the returned
+    # lineage to a Scan ExistingRDD — the composed soft_keep plan no
+    # longer shows the generator. Guard the two facts separately:
+    # (a) the generator's own plan is the banded join, Python-free;
+    # (b) soft_keep_weights is WIRED to that generator (source-level —
+    #     the wiring is a one-line composition).
+    import inspect
+
+    from database_syncer_spark.catalog import load_table
+    from database_syncer_spark.pipeline.dedup import (minhash_lsh_dedup,
+                                                      soft_keep_weights)
+
+    plan = _plan(minhash_lsh_dedup(load_table(spark, sf_dir, "documents")))
     assert "band_id" in plan, "expected the banded-LSH candidate join"
     assert "BatchEvalPython" not in plan
+    src = inspect.getsource(soft_keep_weights)
+    assert "minhash_lsh_dedup" in src, "soft_keep lost its LSH generator"
+    assert "ngram_jaccard_pairs" not in src
 
 
 def test_cdc_compact_executes_each_diff_once(spark, sf_dir):
