@@ -900,7 +900,7 @@ def read_sql_dump_with_schemas(
     spark: SparkSession, path: str, typed: bool = True, dedup_pk: bool = True,
     tokenizer: str = "python", keep_seq: bool = False,
     tables: list[str] | None = None, ignore_missing: bool = False,
-    on_split_string: str = "error",
+    on_split_string: str = "error", cache_statements: bool = False,
 ) -> tuple[dict[str, DataFrame], dict[str, TableSchema]]:
     """`read_sql_dump` plus the parsed DDL, from ONE statement scan.
 
@@ -912,8 +912,24 @@ def read_sql_dump_with_schemas(
     SLOWER end-to-end: materializing 15M parsed rows into the block
     store to save that 3s scan costs more than the scan, and for
     single-table dumps it forces a cache the downstream diff (its only
-    consumer) never needed. So: two scans, no cache unless several
-    tables share the parse.
+    consumer) never needed. So by default: two scans, no cache unless
+    several tables share the parse.
+
+    ``cache_statements=True`` is the SKINNY single-scan variant that DID
+    win (r8 A/B, 30 M rows/side, fresh JVM + dropped page caches per
+    run): persist the pre-tokenization STATEMENT frame so the DDL
+    collect materializes it once and the row parse reads it back from
+    the block store instead of re-reading + re-splitting the raw file.
+    Unlike the rejected full-parse persist, nothing Python-crossed or
+    tokenized is cached — one string per statement. Measured cold
+    101.0/95.7/99.1 s vs 138.5/96.7/108.2 s base across three
+    alternating pairs (never slower, much lower variance under
+    co-tenant load; warm pair 81.0 vs 122.6 s on a loaded host). The
+    cache is input-sized (spills to disk past storage memory) and is
+    deliberately NOT unpersisted here: the returned frames descend from
+    it, and DataFrame.unpersist cascades through CacheManager to every
+    dependent cached plan (the r7 connected_components lesson) —
+    callers reclaim it via clearCache between syncs if needed.
 
     ``keep_seq``: retain the ``__seq_hi/__seq_lo`` file-order key on
     undeduplicated frames so callers can fuse last-wins dedup into a
@@ -931,6 +947,10 @@ def read_sql_dump_with_schemas(
 
     stmts = read_dump_statements(spark, path,
                                  on_split_string=on_split_string)
+    if cache_statements:
+        from pyspark import StorageLevel
+
+        stmts = stmts.persist(StorageLevel.MEMORY_AND_DISK)
     create_stmts = [
         r.stmt for r in
         stmts.where(F.upper(F.col("stmt")).startswith("CREATE TABLE")).collect()
@@ -949,6 +969,8 @@ def read_sql_dump_with_schemas(
                 f"(dump has: {sorted(schemas)})")
         schemas = {n: ts for n, ts in schemas.items() if n in want}
     if not schemas:
+        if cache_statements:  # nothing descends from it on this path
+            stmts.unpersist()
         return {}, {}
 
     inserts = stmts.where(F.upper(F.col("stmt")).startswith("INSERT INTO"))
@@ -1238,12 +1260,16 @@ def sync_dumps(spark: SparkSession, prod_path: str, backup_path: str,
     # what the catalog diff reports), so each side ignores missing names
     # inside its own (single) DDL scan — a separate get_dump_schemas
     # prescan would repeat the full statement scan per side.
+    # cache_statements: the r8-measured skinny single-scan — the DDL
+    # collect materializes the statement frame once, the row parse
+    # reads it back instead of re-scanning the raw file (see the
+    # read_sql_dump_with_schemas docstring for the A/B numbers)
     prod, prod_schemas = read_sql_dump_with_schemas(
         spark, prod_path, dedup_pk=False, keep_seq=True,
-        tables=tables, ignore_missing=True)
+        tables=tables, ignore_missing=True, cache_statements=True)
     backup, _ = read_sql_dump_with_schemas(
         spark, backup_path, dedup_pk=False, keep_seq=True,
-        tables=tables, ignore_missing=True)
+        tables=tables, ignore_missing=True, cache_statements=True)
     if tables is not None:
         nowhere = set(tables) - set(prod) - set(backup)
         if nowhere:
