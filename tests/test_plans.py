@@ -371,6 +371,21 @@ def test_soft_keep_rides_lsh_not_inverted_index(spark, sf_dir):
     assert "ngram_jaccard_pairs" not in src
 
 
+def test_paragraph_dedup_aggregates_not_windows(spark, sf_dir):
+    """dedup_paragraph's keep-first must be the partial-aggregable
+    min(struct(doc_id,pos)) groupBy, NEVER a row_number window over
+    partition-by-chunk: at corpus scale boilerplate chunks repeat
+    millions of times and a window's per-chunk sort partition inherits
+    exactly that skew, while min() reduces map-side. Also: no Python in
+    the plan — the whole key is codegen built-ins."""
+    from database_syncer_spark.registry import all_queries
+
+    plan = _plan(all_queries()["dedup_paragraph"](spark, sf_dir))
+    assert "Window" not in plan, "keep-first regressed to a window sort"
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+
+
 def test_cdc_compact_executes_each_diff_once(spark, sf_dir):
     """The NULL-PK bypass must ride the single compaction aggregation
     (synthetic group key), NOT a filter-and-union that re-executes the
