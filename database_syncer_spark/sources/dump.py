@@ -900,7 +900,7 @@ def read_sql_dump_with_schemas(
     spark: SparkSession, path: str, typed: bool = True, dedup_pk: bool = True,
     tokenizer: str = "python", keep_seq: bool = False,
     tables: list[str] | None = None, ignore_missing: bool = False,
-    on_split_string: str = "error", cache_statements: bool = False,
+    on_split_string: str = "error", cache_statements: bool | None = False,
 ) -> tuple[dict[str, DataFrame], dict[str, TableSchema]]:
     """`read_sql_dump` plus the parsed DDL, from ONE statement scan.
 
@@ -931,6 +931,15 @@ def read_sql_dump_with_schemas(
     dependent cached plan (the r7 connected_components lesson) —
     callers reclaim it via clearCache between syncs if needed.
 
+    ``cache_statements=None`` (the sync_dumps default) auto-gates by
+    input size: cache only dumps ≤ ``_CACHE_STMT_MAX_BYTES`` (3 GB).
+    The win does NOT extend to arbitrary inputs — at 60 M rows/side
+    (4.9 GB/dump, ~10 GB of statements cached across the sync's two
+    sides) the same-load A/B measured cache 253.0 s vs no-cache
+    241.4 s: past the storage-memory comfort zone the cache contends
+    with the diff's execution memory and erodes its own saving. The
+    gate keeps the measured-win regime and skips the measured-loss one.
+
     ``keep_seq``: retain the ``__seq_hi/__seq_lo`` file-order key on
     undeduplicated frames so callers can fuse last-wins dedup into a
     downstream aggregation (see ``snapshot_diff_fused``).
@@ -947,6 +956,8 @@ def read_sql_dump_with_schemas(
 
     stmts = read_dump_statements(spark, path,
                                  on_split_string=on_split_string)
+    if cache_statements is None:
+        cache_statements = _input_bytes(path) <= _CACHE_STMT_MAX_BYTES
     if cache_statements:
         from pyspark import StorageLevel
 
@@ -1201,6 +1212,25 @@ def compare_sql_files(spark: SparkSession, production_file: str,
     return {"changes": changes, "catalog": catalog, "table_stats": stats}
 
 
+#: statement-cache auto-gate (read_sql_dump_with_schemas docstring):
+#: 2.4 GB dumps measured a clear win, 4.9 GB a slight loss — gate at 3 GB
+_CACHE_STMT_MAX_BYTES = 3 << 30
+
+
+def _input_bytes(path: str) -> int:
+    """Local input size (file or flat dump directory); 2**63-1 when the
+    path can't be stat'd (non-local storage) so the auto-gate declines
+    to cache rather than guessing."""
+    try:
+        if os.path.isdir(path):
+            return sum(
+                os.path.getsize(os.path.join(path, f))
+                for f in os.listdir(path) if not f.startswith(("_", ".")))
+        return os.path.getsize(path)
+    except OSError:
+        return (1 << 63) - 1
+
+
 def _size_shuffle_partitions(spark: SparkSession, *paths: str) -> None:
     """Raise ``spark.sql.shuffle.partitions`` to match the input volume.
 
@@ -1260,16 +1290,18 @@ def sync_dumps(spark: SparkSession, prod_path: str, backup_path: str,
     # what the catalog diff reports), so each side ignores missing names
     # inside its own (single) DDL scan — a separate get_dump_schemas
     # prescan would repeat the full statement scan per side.
-    # cache_statements: the r8-measured skinny single-scan — the DDL
-    # collect materializes the statement frame once, the row parse
-    # reads it back instead of re-scanning the raw file (see the
-    # read_sql_dump_with_schemas docstring for the A/B numbers)
+    # cache_statements=None: the r8-measured skinny single-scan with the
+    # size auto-gate — the DDL collect materializes the statement frame
+    # once and the row parse reads it back instead of re-scanning the
+    # raw file, but only for dumps small enough that the cache doesn't
+    # contend with the diff's execution memory (see the
+    # read_sql_dump_with_schemas docstring for both A/Bs)
     prod, prod_schemas = read_sql_dump_with_schemas(
         spark, prod_path, dedup_pk=False, keep_seq=True,
-        tables=tables, ignore_missing=True, cache_statements=True)
+        tables=tables, ignore_missing=True, cache_statements=None)
     backup, _ = read_sql_dump_with_schemas(
         spark, backup_path, dedup_pk=False, keep_seq=True,
-        tables=tables, ignore_missing=True, cache_statements=True)
+        tables=tables, ignore_missing=True, cache_statements=None)
     if tables is not None:
         nowhere = set(tables) - set(prod) - set(backup)
         if nowhere:
