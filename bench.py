@@ -74,6 +74,9 @@ SECONDARY = [
     # r5 additions
     "sample_temperature_mix",      # domain-rebalanced sampling
     "dedup_soft_keep",             # components + 1/cluster down-weighting
+    # r8 additions
+    "dedup_paragraph",             # repeated-span scrub (chunk freq + keep-first)
+    "corpus_curate",               # composed filter→scrub→dedup→pack pipeline
 ]
 
 
