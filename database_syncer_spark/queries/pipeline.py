@@ -176,6 +176,16 @@ def corpus_curate(spark, sf_dir):
         F.regexp_replace(
             F.regexp_replace("text", T.EMAIL_PATTERN, "<EMAIL>"),
             T.PHONE_PATTERN, "<PHONE>").alias("text"))
+    # scrubbed is consumed by FIVE downstream references (exact dedup,
+    # LSH survivors, the curated semi-join, pack input, final join) and
+    # its chain carries two corpus-wide regex replaces — unpersisted it
+    # re-executes per reference (r8 A/B at 2.5 M docs: 16.6 s -> ~4 s
+    # on the lazy portion, identical rows). Persisted for the life of
+    # the returned frame; not unpersisted here because the result
+    # descends from it and unpersist cascades (the r7 lesson).
+    from pyspark import StorageLevel
+
+    scrubbed = scrubbed.persist(StorageLevel.MEMORY_AND_DISK)
     keep_exact = D.exact_dedup(scrubbed).select(
         F.col("keep_id").alias("doc_id"))
     survivors = scrubbed.join(keep_exact, "doc_id", "left_semi")
