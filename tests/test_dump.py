@@ -110,6 +110,32 @@ def test_read_sql_dump_typed(spark, tmp_path):
     assert rows[3].name == "o'brien"
 
 
+def test_statement_cache_value_identical_and_gated(spark, tmp_path):
+    """cache_statements must be a pure performance knob: cached,
+    uncached, and auto-gated reads return identical rows. The auto gate
+    caches small local dumps and declines on non-stat-able paths."""
+    from database_syncer_spark.sources.dump import (_CACHE_STMT_MAX_BYTES,
+                                                    _input_bytes,
+                                                    read_sql_dump_with_schemas)
+
+    dump = USERS_DDL + textwrap.dedent("""\
+        INSERT INTO `users` (`id`,`name`,`bal`) VALUES (1,'alice',10.50),(2,'bob',NULL);
+        INSERT INTO `users` (`id`,`name`,`bal`) VALUES (2,'bobby',3.25),(4,'dan',1.00);
+    """)
+    path = _write(tmp_path, "gate.sql", dump)
+    results = []
+    for cache in (False, True, None):
+        tables, _ = read_sql_dump_with_schemas(
+            spark, path, cache_statements=cache)
+        results.append(sorted(
+            (r.id, r.name, None if r.bal is None else float(r.bal))
+            for r in tables["users"].collect()))
+        spark.catalog.clearCache()
+    assert results[0] == results[1] == results[2]
+    assert 0 < _input_bytes(path) <= _CACHE_STMT_MAX_BYTES  # would cache
+    assert _input_bytes("/nonexistent/x.sql") > _CACHE_STMT_MAX_BYTES
+
+
 def test_read_sql_dump_raw_mode(spark, tmp_path):
     """typed=False keeps raw literal strings (reference semantics: '1' and
     '1.0' differ, SURVEY §1.2)."""

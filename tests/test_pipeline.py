@@ -101,6 +101,83 @@ def test_paragraph_dedup_keep_first_semantics(spark):
     assert got[4] == ("lone tail words", 1, 0)
 
 
+def test_paragraph_dedup_matches_python_reference(spark):
+    """Randomized (seeded) corpus vs a from-scratch pure-Python
+    reference: 300 docs over a tiny vocabulary with planted exact
+    duplicates and shared prefixes, exact row equality on
+    (clean_text, n_chunks, n_removed). One Spark job — the reference
+    is the per-example oracle a property test would use, amortized."""
+    import math
+    import random
+    from collections import Counter, defaultdict
+
+    from database_syncer_spark.pipeline.dedup import paragraph_dedup
+
+    rng = random.Random(42)
+    vocab = "red blue green lake stone river cloud iron moon salt".split()
+    rows = []
+    for d in range(1, 301):
+        if d % 17 == 0 and rows:          # planted exact duplicate
+            rows.append((d, rows[rng.randrange(len(rows))][1]))
+        else:
+            n = rng.randint(1, 35)
+            rows.append((d, " ".join(rng.choice(vocab) for _ in range(n))))
+
+    def reference(rows, k=10):
+        chunks = []
+        for doc_id, text in rows:
+            ws = text.split(" ")
+            for i in range(math.ceil(len(ws) / k)):
+                chunks.append((doc_id, i, " ".join(ws[i * k:(i + 1) * k])))
+        freq = Counter(c for _, _, c in chunks)
+        first = {}
+        for d, p, c in sorted(chunks):
+            first.setdefault(c, (d, p))
+        per_doc = defaultdict(list)
+        for d, p, c in chunks:
+            per_doc[d].append((p, c))
+        return {d: (" ".join(c for p, c in sorted(lst)
+                             if freq[c] == 1 or first[c] == (d, p)),
+                    len(lst),
+                    sum(1 for p, c in lst
+                        if freq[c] > 1 and first[c] != (d, p)))
+                for d, lst in per_doc.items()}
+
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: (r.clean_text, r.n_chunks, r.n_removed)
+           for r in paragraph_dedup(docs).collect()}
+    want = reference(rows)
+    assert got == want
+    assert sum(v[2] for v in want.values()) > 0  # non-vacuous
+
+
+def test_corpus_curate_stage_semantics(spark, tmp_path):
+    """The composed pipeline's stage ordering on a planted corpus:
+    low-quality docs never reach packing, the PII slice is scrubbed
+    (had_pii=True and n_tokens reflects the SCRUBBED text), exact
+    duplicates collapse to the min doc_id AFTER scrubbing."""
+    from database_syncer_spark.queries.pipeline import corpus_curate
+
+    # disjoint vocabularies per doc — shared words would (correctly)
+    # make them near-dups and collapse them, which is not this test
+    rows = [(1, " ".join(f"w{i}" for i in range(40))),   # score 0.40
+            (2, " ".join(f"v{i}" for i in range(30))),   # 0.30 < 0.35
+            (3, " ".join(f"x{i}" for i in range(41))),   # planted-PII slice
+            (21, " ".join(f"y{i}" for i in range(42))),  # exact dups...
+            (41, " ".join(f"y{i}" for i in range(42)))]  # ...of each other
+    sf = str(tmp_path)
+    spark.createDataFrame(rows, "doc_id long, text string") \
+        .write.parquet(f"{sf}/documents.parquet")
+    got = {r.doc_id: r for r in corpus_curate(spark, sf).collect()}
+    assert 2 not in got                      # quality-filtered out
+    assert 41 not in got and 21 in got       # exact dedup keeps min id
+    assert got[3].had_pii and not got[1].had_pii
+    assert got[1].n_tokens == 40 and got[21].n_tokens == 42
+    # planted " contact agentN@example.com now" scrubs to
+    # " contact <EMAIL> now": 41 base tokens + 3 scrubbed-suffix tokens
+    assert got[3].n_tokens == 44
+
+
 def test_soft_keep_counts_duplicate_instances(spark):
     """cluster_size counts corpus ROWS (duplicate instances), never
     component nodes: 3 rows of one doc_id with no near-dup partner form
