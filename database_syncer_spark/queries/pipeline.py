@@ -180,9 +180,11 @@ def corpus_curate(spark, sf_dir):
     # LSH survivors, the curated semi-join, pack input, final join) and
     # its chain carries two corpus-wide regex replaces — unpersisted it
     # re-executes per reference (r8 A/B at 2.5 M docs: 16.6 s -> ~4 s
-    # on the lazy portion, identical rows). Persisted for the life of
-    # the returned frame; not unpersisted here because the result
-    # descends from it and unpersist cascades (the r7 lesson).
+    # on the lazy portion, identical rows). Persisted while the stages
+    # run, then released below once `curated` is checkpointed — the
+    # cache must not outlive the call (a registry sweep runs many keys
+    # per session; the connected_components lesson about unpersist
+    # cascading is dodged by truncating lineage first).
     from pyspark import StorageLevel
 
     scrubbed = scrubbed.persist(StorageLevel.MEMORY_AND_DISK)
@@ -193,7 +195,15 @@ def corpus_curate(spark, sf_dir):
     dropped = comp.where(
         F.col("component") != F.col("doc_id")).select("doc_id")
     kept = keep_exact.join(dropped, "doc_id", "left_anti")
-    curated = scrubbed.join(kept, "doc_id", "left_semi")
+    # Eagerly checkpoint the curated survivors (node-sized), after which
+    # the corpus-sized scrubbed cache can be dropped safely: both
+    # remaining consumers (pack input, final join) descend from the
+    # checkpoint, not from scrubbed, so the unpersist cannot cascade
+    # into the returned plan. The checkpointed RDD itself is freed by
+    # the ContextCleaner once the caller drops the result.
+    curated = (scrubbed.join(kept, "doc_id", "left_semi")
+               .localCheckpoint(eager=True))
+    scrubbed.unpersist()
     packed = T.pack_greedy(curated.select("doc_id", "text"))
     return (packed
             .join(curated.select("doc_id", "quality_score", "had_pii"),
