@@ -103,7 +103,13 @@ def dedup_corpus_keep(spark, sf_dir):
     (tests/ann_reference.py). The exactness option remains one
     substitution away: connected_components(ngram_jaccard_pairs(s))."""
     docs = load_table(spark, sf_dir, "documents")
-    keep_exact = D.exact_dedup(docs).select(F.col("keep_id").alias("doc_id"))
+    # keep_exact (the sha2 groupBy over the whole corpus) feeds BOTH the
+    # survivors semi-join and the final anti-join; unmaterialized it
+    # executes twice (43.1 s/pass at 10 M docs). Eager localCheckpoint:
+    # node-sized, freed with the result, no cache left behind (r8).
+    keep_exact = (D.exact_dedup(docs)
+                  .select(F.col("keep_id").alias("doc_id"))
+                  .localCheckpoint(eager=True))
     survivors = docs.join(keep_exact, "doc_id", "left_semi")
     comp = D.connected_components(D.minhash_lsh_dedup(survivors))
     dropped = comp.where(F.col("component") != F.col("doc_id")).select("doc_id")
