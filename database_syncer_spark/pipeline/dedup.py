@@ -539,7 +539,10 @@ def paragraph_dedup(documents: DataFrame,
     min() reduces it on the map side. The join back is chunk-frequency
     sized per chunk but row-preserving (one agg row per distinct
     chunk), and AQE's skew-join split covers the residual probe skew."""
-    words = F.split("text", " ")
+    # NULL text must still emit its one output row (split(NULL) would
+    # otherwise yield size -1, NULL chunks, and a null-unsafe join that
+    # silently DROPS the document — r8 review finding): treat NULL as ''
+    words = F.split(F.coalesce(F.col("text"), F.lit("")), " ")
     n = F.ceil(F.size(words) / F.lit(chunk_words)).cast("int")
     chunks = F.transform(
         F.sequence(F.lit(0), n - 1),

@@ -130,10 +130,16 @@ def dedup_embedding_incremental(spark, sf_dir):
     # batch slice is ~1/16 of the table, and near the 50 k _lsh_params
     # boundary the extra 1/16 could flip the blocking into the scale
     # regime while the actual corpus is still in the total-recall
-    # fixture regime (r7 advice). Derived, not recounted — one count().
+    # fixture regime (r7 advice). Derived (one count(), not recounted)
+    # as a deliberate UNDERestimate — the exact slice count depends on
+    # the id distribution and can exceed n//16 by one, and the safe
+    # boundary error is the one that keeps the total-recall regime: a
+    # 50,001-vector corpus blocked with fixture params is merely slower,
+    # the reverse flip breaks the exhaustive oracle's completeness.
     return D.embedding_incremental_near_dup(
         emb.where(is_batch), emb.where(~is_batch),
-        threshold=0.5, dim=dim, corpus_n=n - n // _BATCH_MOD)
+        threshold=0.5, dim=dim,
+        corpus_n=max(1, n - n // _BATCH_MOD - 1))
 
 
 #: corpus_curate stage parameters: quality floor (6-dp-rounded score,
@@ -194,8 +200,12 @@ def corpus_curate(spark, sf_dir):
     from pyspark import StorageLevel
 
     scrubbed = scrubbed.persist(StorageLevel.MEMORY_AND_DISK)
-    keep_exact = D.exact_dedup(scrubbed).select(
-        F.col("keep_id").alias("doc_id"))
+    # same double-execution shape dedup_corpus_keep fixed: keep_exact's
+    # corpus-wide sha2 groupBy feeds two consumers — checkpoint it
+    # (node-sized) so the aggregation runs once (r8 review finding)
+    keep_exact = (D.exact_dedup(scrubbed)
+                  .select(F.col("keep_id").alias("doc_id"))
+                  .localCheckpoint(eager=True))
     survivors = scrubbed.join(keep_exact, "doc_id", "left_semi")
     comp = D.connected_components(D.minhash_lsh_dedup(survivors))
     dropped = comp.where(
@@ -538,6 +548,45 @@ FROM inter WHERE round(CAST(c AS DOUBLE) / (na + nb - c), 6) >= {threshold}
 
 _NGRAM_SQL = _ngram_sql(0.2)
 
+
+def _ngram_pairs_ctes(threshold: float, rel: str = "documents") -> str:
+    """CTE list `t, sh, inter, pairs`: shingle -> inverted index ->
+    exact-jaccard pairs ≥ threshold over source relation ``rel``. The
+    single source of truth for every recursive-components oracle (an r8
+    review found four diverging inline copies — a threshold or rounding
+    fix applied to one would silently miss the others)."""
+    return f"""t AS (SELECT doc_id, {_SHINGLE_SQL} AS shingles FROM {rel}),
+sh AS (SELECT doc_id, len(shingles) AS n_sh, unnest(shingles) AS sh FROM t),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.n_sh AS na, b.n_sh AS nb,
+         count(*) AS c
+  FROM sh a JOIN sh b USING (sh)
+  WHERE a.doc_id < b.doc_id
+  GROUP BY 1, 2, 3, 4
+),
+pairs AS (
+  SELECT doc_a, doc_b FROM inter
+  WHERE round(CAST(c AS DOUBLE) / (na + nb - c), 6) >= {threshold}
+)"""
+
+
+#: CTE list `sym, reach, comp`: min-label connected components over a
+#: `pairs(doc_a, doc_b)` CTE — shared by every clustering oracle
+_COMPONENTS_CTES = """sym AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION
+  SELECT doc_b, doc_a FROM pairs
+),
+reach(src, dst) AS (
+  SELECT a, b FROM sym
+  UNION
+  SELECT r.src, s.b FROM reach r JOIN sym s ON r.dst = s.a
+),
+comp AS (
+  SELECT src AS doc_id, least(src, min(dst)) AS component
+  FROM reach GROUP BY src
+)"""
+
 # dedup_minhash_lsh oracle: LSH candidate recall is VERIFIED TOTAL on the
 # fixtures (the banded-LSH pair set equals the exact inverted-index pair
 # set at the key's 0.5 threshold on sf0.001 AND sf0.01, checked
@@ -621,41 +670,17 @@ SELECT doc_id, term, tfidf, rn FROM (
   FROM scored) WHERE rn <= 3
 """
 
+# τ=0.5 everywhere below: the threshold where the Spark side's LSH
+# candidate recall is verified total on the fixtures (same as
+# _MINHASH_SQL) — the exact inverted index is the ground truth for
+# those LSH edges
 _CORPUS_KEEP_SQL = f"""
 WITH RECURSIVE ek AS (
   SELECT min(doc_id) AS doc_id FROM documents GROUP BY sha256(text)
 ),
 d2 AS (SELECT d.doc_id, d.text FROM documents d JOIN ek USING (doc_id)),
-t AS (SELECT doc_id, {_SHINGLE_SQL} AS shingles FROM d2),
-sh AS (SELECT doc_id, len(shingles) AS n_sh, unnest(shingles) AS sh FROM t),
-inter AS (
-  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.n_sh AS na, b.n_sh AS nb,
-         count(*) AS c
-  FROM sh a JOIN sh b USING (sh)
-  WHERE a.doc_id < b.doc_id
-  GROUP BY 1, 2, 3, 4
-),
-pairs AS (
-  -- τ=0.5: the threshold where the Spark side's LSH candidate recall is
-  -- verified total on the fixtures (same as _MINHASH_SQL) — the exact
-  -- inverted index here is the ground truth for those LSH edges
-  SELECT doc_a, doc_b FROM inter
-  WHERE round(CAST(c AS DOUBLE) / (na + nb - c), 6) >= 0.5
-),
-sym AS (
-  SELECT doc_a AS a, doc_b AS b FROM pairs
-  UNION
-  SELECT doc_b, doc_a FROM pairs
-),
-reach(src, dst) AS (
-  SELECT a, b FROM sym
-  UNION
-  SELECT r.src, s.b FROM reach r JOIN sym s ON r.dst = s.a
-),
-comp AS (
-  SELECT src AS doc_id, least(src, min(dst)) AS component
-  FROM reach GROUP BY src
-)
+{_ngram_pairs_ctes(0.5, rel="d2")},
+{_COMPONENTS_CTES}
 SELECT ek.doc_id FROM ek LEFT JOIN comp USING (doc_id)
 WHERE comp.doc_id IS NULL OR comp.component = ek.doc_id
 """
@@ -960,33 +985,8 @@ scrub AS (
 ),
 ek AS (SELECT min(doc_id) AS doc_id FROM scrub GROUP BY sha256(text)),
 d2 AS (SELECT s.doc_id, s.text FROM scrub s JOIN ek USING (doc_id)),
-t AS (SELECT doc_id, {_SHINGLE_SQL} AS shingles FROM d2),
-sh AS (SELECT doc_id, len(shingles) AS n_sh, unnest(shingles) AS sh FROM t),
-inter AS (
-  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.n_sh AS na, b.n_sh AS nb,
-         count(*) AS c
-  FROM sh a JOIN sh b USING (sh)
-  WHERE a.doc_id < b.doc_id
-  GROUP BY 1, 2, 3, 4
-),
-pairs AS (
-  SELECT doc_a, doc_b FROM inter
-  WHERE round(CAST(c AS DOUBLE) / (na + nb - c), 6) >= 0.5
-),
-sym AS (
-  SELECT doc_a AS a, doc_b AS b FROM pairs
-  UNION
-  SELECT doc_b, doc_a FROM pairs
-),
-reach(src, dst) AS (
-  SELECT a, b FROM sym
-  UNION
-  SELECT r.src, s.b FROM reach r JOIN sym s ON r.dst = s.a
-),
-comp AS (
-  SELECT src AS doc_id, least(src, min(dst)) AS component
-  FROM reach GROUP BY src
-),
+{_ngram_pairs_ctes(0.5, rel="d2")},
+{_COMPONENTS_CTES},
 keep AS (
   SELECT ek.doc_id FROM ek LEFT JOIN comp USING (doc_id)
   WHERE comp.doc_id IS NULL OR comp.component = ek.doc_id
@@ -1017,7 +1017,9 @@ FROM pr JOIN cur c USING (doc_id)
     # repeated-span scrub: 10-word positional chunks, keep-first by
     # (doc_id, pos) — pure relational algebra, recomputed from scratch
     "dedup_paragraph": """
-WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+WITH w AS (SELECT doc_id,
+                  string_split(coalesce(text, ''), ' ') AS ws
+           FROM documents),
 ch AS (
   SELECT doc_id, i AS pos,
          array_to_string(ws[i*10+1 : i*10+10], ' ') AS chunk
@@ -1052,40 +1054,17 @@ FROM documents GROUP BY sha256(text)
     # inverted-index SQL is a complete oracle for the key's LSH edges
     # (recall verified total at 0.5; same argument as dedup_minhash_lsh)
     "dedup_cluster_components": f"""
-WITH RECURSIVE pairs AS ({_MINHASH_SQL}),
-sym AS (
-  SELECT doc_a AS a, doc_b AS b FROM pairs
-  UNION
-  SELECT doc_b, doc_a FROM pairs
-),
-reach(src, dst) AS (
-  SELECT a, b FROM sym
-  UNION
-  SELECT r.src, s.b FROM reach r JOIN sym s ON r.dst = s.a
-)
-SELECT src AS doc_id, least(src, min(dst)) AS component
-FROM reach GROUP BY src
+WITH RECURSIVE {_ngram_pairs_ctes(0.5)},
+{_COMPONENTS_CTES}
+SELECT doc_id, component FROM comp
 """,
     # recursive-CTE components over the τ=0.5 pair set (the exact
     # inverted-index SQL — a complete oracle for the LSH edges, same
     # argument as dedup_minhash_lsh), then the soft-dedup weighting:
     # integer keep_ppm + Knuth-hash membership, engine-exact
     "dedup_soft_keep": f"""
-WITH RECURSIVE pairs AS ({_MINHASH_SQL}),
-sym AS (
-  SELECT doc_a AS a, doc_b AS b FROM pairs
-  UNION
-  SELECT doc_b, doc_a FROM pairs
-),
-reach(src, dst) AS (
-  SELECT a, b FROM sym
-  UNION
-  SELECT r.src, s.b FROM reach r JOIN sym s ON r.dst = s.a
-),
-comp AS (
-  SELECT src AS doc_id, least(src, min(dst)) AS component
-  FROM reach GROUP BY src
-),
+WITH RECURSIVE {_ngram_pairs_ctes(0.5)},
+{_COMPONENTS_CTES},
 allc AS (
   SELECT d.doc_id, coalesce(c.component, d.doc_id) AS component
   FROM documents d LEFT JOIN comp c USING (doc_id)

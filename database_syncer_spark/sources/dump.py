@@ -975,6 +975,8 @@ def read_sql_dump_with_schemas(
         want = set(tables)
         missing = want - set(schemas)
         if missing and not ignore_missing:
+            if cache_statements:  # don't pin a dump-sized cache on raise
+                stmts.unpersist()
             raise ValueError(
                 f"tables not in dump: {sorted(missing)} "
                 f"(dump has: {sorted(schemas)})")

@@ -2,6 +2,11 @@
 join families under deliberately zipfian key distributions (all prior
 probe fixtures were uniform-ish)."""
 import math, os, sys, time
+
+if len(sys.argv) < 2:   # fail in ms, not after minutes of fixture gen
+    sys.exit("usage: skew_probe.py <mode> [fixture_dir]  "
+             "(modes: sessionize_zipf sessionize_uniform salted "
+             "salted_smj plain plain_noskewfix)")
 sys.path.insert(0, "/root/repo")
 from pyspark.sql import functions as F
 from database_syncer_spark.session import get_spark

@@ -91,6 +91,7 @@ def test_paragraph_dedup_keep_first_semantics(spark):
         (2, span),                  # late exact duplicate -> scrubbed
         (3, span + " " + span),     # internal repeat: pos 1 removed too
         (4, "lone tail words"),     # short doc = 1 chunk, untouched
+        (5, None),                  # NULL text must still emit its row
     ]
     docs = spark.createDataFrame(rows, "doc_id long, text string")
     got = {r.doc_id: (r.clean_text, r.n_chunks, r.n_removed)
@@ -99,6 +100,7 @@ def test_paragraph_dedup_keep_first_semantics(spark):
     assert got[2] == ("", 1, 1)
     assert got[3] == ("", 2, 2)     # doc 1 owns the first occurrence
     assert got[4] == ("lone tail words", 1, 0)
+    assert got[5] == ("", 1, 0)     # one-row-per-input-doc contract
 
 
 def test_paragraph_dedup_matches_python_reference(spark):
