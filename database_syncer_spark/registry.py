@@ -57,12 +57,14 @@ _KEY_ORDER = [
     "sync_dump_to_dump", "text_quality_score", "text_tfidf_topk",
     "udaf_pandas_grouped", "udtf_statement_split", "win_lag_lead_change",
     "win_rank_topn_per_group", "win_running_sum",
-    # --- pass-r6 keys whose upstream modules r8 touched (pipeline/
-    # dedup.py, queries/pipeline.py text family) — fill the rest of the
-    # 50-key window [39-49] ---
+    # --- keys whose code r8 directly touched (checkpoint rewires in
+    # corpus_keep/soft_keep — value-neutral, parity-verified locally,
+    # but freshest driver rows belong on touched code) plus pass-r6
+    # keys in touched modules — fill the rest of the window [39-49] ---
+    "dedup_corpus_keep", "dedup_soft_keep",
     "dedup_exact", "dedup_incremental", "dedup_minhash_lsh",
-    "dedup_simhash", "text_chunk_split", "text_decontaminate",
-    "text_langid", "text_length_histogram", "text_ngram_lm_score",
+    "dedup_simhash", "text_decontaminate",
+    "text_langid", "text_length_histogram",
     "text_pack_greedy", "text_pii_scrub",
     # --- last driver value row: r6 — remaining, outside the window ---
     "agg_approx_distinct", "agg_approx_quantile", "agg_bitmap_distinct",
@@ -74,12 +76,13 @@ _KEY_ORDER = [
     "join_theta_range", "project_columns", "project_key_concat",
     "scan_binary_files", "scan_parquet", "scan_sql_dump_sharded",
     "set_except", "set_intersect", "set_union", "sink_cdc_compact",
-    "sort_multi_col", "sync_sharded_dumps",
+    "sort_multi_col", "sync_sharded_dumps", "text_chunk_split",
+    "text_ngram_lm_score",
     "text_repetition", "topk_limit", "tpch_q12_priority_classes",
     "win_funnel_steps", "win_ntile_cume", "win_range_frame",
     "win_rolling_median", "win_row_number_dedup", "win_sessionize",
     # --- last driver value row: r7 (freshest hard signal) — last ---
-    "dedup_embedding_cosine", "dedup_corpus_keep",
+    "dedup_embedding_cosine",
     "agg_argmax_minby", "agg_collect_sorted", "agg_cube", "agg_distinct",
     "agg_global_sums", "agg_groupby_counts", "agg_multi_measures",
     "agg_percentile_median", "agg_rollup", "fn_array", "fn_case_when",
@@ -92,7 +95,7 @@ _KEY_ORDER = [
     "text_tokens_tf", "tpch_q16_supplier_cnt", "tpch_q4_order_priority",
     "udf_tokenizer", "multimodal_columns", "sim_topk_cosine",
     "sim_lsh_ann", "sim_ivf_ann", "sim_pq_ann", "sim_ivfpq_ann",
-    "dedup_soft_keep", "dedup_ngram_jaccard", "stream_stateful_custom",
+    "dedup_ngram_jaccard", "stream_stateful_custom",
     "stream_transform_with_state", "sync_catalog_ddl",
     "sink_merge_executor",
 ]
