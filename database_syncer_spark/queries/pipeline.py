@@ -17,6 +17,7 @@ import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import Window as W
 
 from database_syncer_spark.catalog import load_table
 from database_syncer_spark.pipeline import dedup as D
@@ -226,6 +227,50 @@ def corpus_curate(spark, sf_dir):
                   "doc_id")
             .select("doc_id", "shard", "bin_id", "n_tokens",
                     "quality_score", "had_pii"))
+
+
+def sample_token_budget(spark, sf_dir):
+    """Token-budget corpus selection — the data-mixing step after
+    scoring: keep the highest-quality documents, in (quality_score
+    DESC, doc_id) order, while the cumulative token count stays within
+    a budget (here total_tokens DIV 20, ~5%). Output one row per
+    selected doc with its exact global running total (cum_tokens), so
+    the driver hash pins the ORDERING, not just membership.
+
+    The naive formulation is a global running-sum window — one
+    Exchange SinglePartition and a full-corpus sort through a single
+    task, the textbook 100-TB scale-killer. This plan is the two-level
+    prefix sum instead: (1) per-score token sums (≤1e6+1 distinct
+    6-dp scores, a bounded model-state-sized table) aggregate
+    map-side and land on the driver, which computes each score group's
+    starting offset and the boundary score; (2) only docs at scores
+    ≥ the boundary survive the scan filter, and the running sum is a
+    window partitioned BY score (parallel, small partitions) plus the
+    broadcast per-score offset. Exact same rows/values as the global
+    window, no global sort anywhere (plan-guarded)."""
+    docs = load_table(spark, sf_dir, "documents")
+    d = T.quality_score(docs).select("doc_id", "quality_score",
+                                     F.col("n_tokens").cast("long")
+                                     .alias("n_tokens"))
+    levels = sorted(
+        d.groupBy("quality_score").agg(F.sum("n_tokens").alias("toks"))
+        .collect(), key=lambda r: -r.quality_score)
+    total = sum(r.toks for r in levels)
+    budget = total // 20
+    offsets, cum = [], 0
+    for r in levels:  # offset = tokens strictly above this score
+        if cum > budget:
+            break   # no doc at this score can be selected
+        offsets.append((r.quality_score, cum))
+        cum += r.toks
+    off = spark.createDataFrame(offsets, "quality_score double, off long")
+    w = (W.partitionBy("quality_score").orderBy("doc_id")
+         .rowsBetween(W.unboundedPreceding, W.currentRow))
+    return (d.join(F.broadcast(off), "quality_score")
+            .withColumn("cum_tokens",
+                        F.sum("n_tokens").over(w) + F.col("off"))
+            .where(F.col("cum_tokens") <= F.lit(budget))
+            .select("doc_id", "quality_score", "n_tokens", "cum_tokens"))
 
 
 def dedup_paragraph(spark, sf_dir):
@@ -501,6 +546,7 @@ QUERIES = {
     "dedup_soft_keep": dedup_soft_keep,
     "dedup_paragraph": dedup_paragraph,
     "corpus_curate": corpus_curate,
+    "sample_token_budget": sample_token_budget,
     "dedup_embedding_cosine": dedup_embedding_cosine,
     "dedup_embedding_incremental": dedup_embedding_incremental,
     "sim_topk_cosine": sim_topk_cosine,
@@ -1013,6 +1059,30 @@ SELECT pr.doc_id, pr.shard,
        CAST(pr.shard AS BIGINT) * 2199023255552 + pr.bin_local AS bin_id,
        pr.n_tokens, c.quality_score, c.had_pii
 FROM pr JOIN cur c USING (doc_id)
+""",
+    # token-budget selection: the oracle states the NAIVE global
+    # running-sum window the Spark side deliberately avoids (two-level
+    # prefix sum) — identical rows proves the decomposition exact
+    "sample_token_budget": f"""
+WITH d AS (
+  SELECT doc_id,
+         round(least(1.0, CAST(len(string_split(text, ' ')) AS DOUBLE)
+                          / 100.0)
+               * (1.0 - CAST(len(list_filter(string_split(text, ' '),
+                    t -> list_contains({_STOP_SQL}, t))) AS DOUBLE)
+                  / len(string_split(text, ' '))), 6) AS quality_score,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+  FROM documents
+),
+tot AS (SELECT CAST(sum(n_tokens) // 20 AS BIGINT) AS budget FROM d),
+r AS (
+  SELECT doc_id, quality_score, n_tokens,
+         CAST(sum(n_tokens) OVER (ORDER BY quality_score DESC, doc_id)
+              AS BIGINT) AS cum_tokens
+  FROM d
+)
+SELECT r.doc_id, r.quality_score, r.n_tokens, r.cum_tokens
+FROM r, tot WHERE r.cum_tokens <= tot.budget
 """,
     # repeated-span scrub: 10-word positional chunks, keep-first by
     # (doc_id, pos) — pure relational algebra, recomputed from scratch

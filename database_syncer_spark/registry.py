@@ -40,8 +40,8 @@ _MODULES = [
 # after every insertion (the r7 off-by-one put a to-refresh key at index
 # 50). REGENERATE after each round's CORRECTNESS lands.
 _KEY_ORDER = [
-    # --- NEW in r8 (never driver-checked) — verify first [0-1] ---
-    "corpus_curate", "dedup_paragraph",
+    # --- NEW in r8 (never driver-checked) — verify first [0-2] ---
+    "sample_token_budget", "corpus_curate", "dedup_paragraph",
     # --- r8 code-churn keys (LSH edge source / corpus-slice n) [2-3] ---
     "dedup_cluster_components", "dedup_embedding_incremental",
     # --- last driver value row: r5 (stalest) — refresh next [4-38] ---
@@ -65,7 +65,7 @@ _KEY_ORDER = [
     "dedup_exact", "dedup_incremental", "dedup_minhash_lsh",
     "dedup_simhash", "text_decontaminate",
     "text_langid", "text_length_histogram",
-    "text_pack_greedy", "text_pii_scrub",
+    "text_pack_greedy",
     # --- last driver value row: r6 — remaining, outside the window ---
     "agg_approx_distinct", "agg_approx_quantile", "agg_bitmap_distinct",
     "agg_mode_histogram", "diff_scd2_history",
@@ -77,7 +77,7 @@ _KEY_ORDER = [
     "scan_binary_files", "scan_parquet", "scan_sql_dump_sharded",
     "set_except", "set_intersect", "set_union", "sink_cdc_compact",
     "sort_multi_col", "sync_sharded_dumps", "text_chunk_split",
-    "text_ngram_lm_score",
+    "text_ngram_lm_score", "text_pii_scrub",
     "text_repetition", "topk_limit", "tpch_q12_priority_classes",
     "win_funnel_steps", "win_ntile_cume", "win_range_frame",
     "win_rolling_median", "win_row_number_dedup", "win_sessionize",

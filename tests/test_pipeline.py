@@ -180,6 +180,28 @@ def test_corpus_curate_stage_semantics(spark, tmp_path):
     assert got[3].n_tokens == 44
 
 
+def test_token_budget_selection_semantics(spark, tmp_path):
+    """Selection is the exact prefix of the (quality DESC, doc_id)
+    ordering under cum_tokens <= total//20: a boundary-score group is
+    split mid-group by doc_id order, and cum_tokens carries the exact
+    global running total across score groups."""
+    from database_syncer_spark.queries.pipeline import sample_token_budget
+
+    # 20 high-quality docs of 50 tokens (score 0.5), 20 low (25 tokens,
+    # score 0.25): total = 1500, budget = 75 -> the first high doc
+    # (50) fits, the second (cum 100) does not.
+    hi = " ".join(f"h{i}" for i in range(50))
+    lo = " ".join(f"l{i}" for i in range(25))
+    rows = ([(i, hi) for i in range(1, 21)]
+            + [(100 + i, lo) for i in range(1, 21)])
+    sf = str(tmp_path)
+    spark.createDataFrame(rows, "doc_id long, text string") \
+        .write.parquet(f"{sf}/documents.parquet")
+    got = {r.doc_id: r.cum_tokens
+           for r in sample_token_budget(spark, sf).collect()}
+    assert got == {1: 50}
+
+
 def test_soft_keep_counts_duplicate_instances(spark):
     """cluster_size counts corpus ROWS (duplicate instances), never
     component nodes: 3 rows of one doc_id with no near-dup partner form

@@ -386,6 +386,21 @@ def test_paragraph_dedup_aggregates_not_windows(spark, sf_dir):
     assert "ArrowEvalPython" not in plan
 
 
+def test_token_budget_avoids_global_window(spark, sf_dir):
+    """sample_token_budget's running total must be the two-level prefix
+    sum (window partitioned BY quality_score + broadcast per-score
+    offsets), never the naive GLOBAL running-sum window — an
+    unpartitioned window is an Exchange SinglePartition and a
+    full-corpus sort through one task at scale."""
+    from database_syncer_spark.registry import all_queries
+
+    plan = _plan(all_queries()["sample_token_budget"](spark, sf_dir))
+    assert plan.count("windowspecdefinition") == 1, plan
+    assert "windowspecdefinition(quality_score" in plan, \
+        "running sum regressed to an unpartitioned global window"
+    assert "BatchEvalPython" not in plan
+
+
 def test_cdc_compact_executes_each_diff_once(spark, sf_dir):
     """The NULL-PK bypass must ride the single compaction aggregation
     (synthetic group key), NOT a filter-and-union that re-executes the
