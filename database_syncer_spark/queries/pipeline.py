@@ -239,36 +239,80 @@ def sample_token_budget(spark, sf_dir):
 
     The naive formulation is a global running-sum window — one
     Exchange SinglePartition and a full-corpus sort through a single
-    task, the textbook 100-TB scale-killer. This plan is the two-level
+    task, the textbook 100-TB scale-killer. This plan is a THREE-level
     prefix sum instead: (1) per-score token sums (≤1e6+1 distinct
     6-dp scores, a bounded model-state-sized table) aggregate
     map-side and land on the driver, which computes each score group's
     starting offset and the boundary score; (2) only docs at scores
-    ≥ the boundary survive the scan filter, and the running sum is a
-    window partitioned BY score (parallel, small partitions) plus the
-    broadcast per-score offset. Exact same rows/values as the global
-    window, no global sort anywhere (plan-guarded)."""
+    ≥ the boundary survive the scan filter (~budget-sized, here ~5%
+    of the corpus), each assigned a doc_id-contiguous sub-bucket
+    (doc_id DIV W, W sized so the global id range splits into
+    _BUDGET_BUCKETS ranges); per-(score, bucket) sums get an
+    exclusive-prefix offset via a window over the ≤_BUDGET_BUCKETS
+    rows of each score (tiny partitions by construction); (3) the
+    running sum is a window partitioned by (score, bucket) plus the
+    two offsets. Level 3 exists because level 2 alone is
+    distribution-conditional (r8 verdict): a heavily discretized score
+    (integer classifier buckets, worst case one distinct score)
+    re-concentrates the per-score window into few partitions —
+    sub-buckets keep partitions bounded REGARDLESS of the score
+    distribution (probed: 11-level 1 M-doc corpus, SCALE.md). Exact
+    same rows/values as the global window — buckets are contiguous
+    doc_id ranges within a score, so bucket-prefix + score-prefix +
+    within-bucket running sum telescopes to the global running sum.
+    No global sort anywhere (plan-guarded); the (score, bucket)
+    machinery shuffles only the boundary-eligible slice, and its
+    aggregate/join/window share one clustering."""
     docs = load_table(spark, sf_dir, "documents")
     d = T.quality_score(docs).select("doc_id", "quality_score",
                                      F.col("n_tokens").cast("long")
                                      .alias("n_tokens"))
+    return _token_budget_select(spark, d)
+
+
+#: sub-bucket count for sample_token_budget's level-3 split: the worst
+#: case (ONE distinct score) still yields this many window partitions
+_BUDGET_BUCKETS = 1024
+
+
+def _token_budget_select(spark, d, budget_div: int = 20,
+                         n_buckets: int = _BUDGET_BUCKETS):
+    """Three-level prefix-sum token-budget selection over ``d``
+    (doc_id, quality_score, n_tokens) — see sample_token_budget.
+    NULL scores (NULL-text docs) are excluded up front: they sort last
+    in the (score DESC, doc_id) order and can never beat the boundary,
+    and the driver-side sort must not compare None (r8 advice)."""
+    d = d.where(F.col("quality_score").isNotNull())
     levels = sorted(
-        d.groupBy("quality_score").agg(F.sum("n_tokens").alias("toks"))
+        d.groupBy("quality_score").agg(F.sum("n_tokens").alias("toks"),
+                                       F.max("doc_id").alias("max_id"))
         .collect(), key=lambda r: -r.quality_score)
     total = sum(r.toks for r in levels)
-    budget = total // 20
+    budget = total // budget_div
     offsets, cum = [], 0
     for r in levels:  # offset = tokens strictly above this score
         if cum > budget:
             break   # no doc at this score can be selected
         offsets.append((r.quality_score, cum))
         cum += r.toks
+    max_id = max((r.max_id for r in levels), default=0)
+    width = max(1, max_id // n_buckets + 1)
     off = spark.createDataFrame(offsets, "quality_score double, off long")
-    w = (W.partitionBy("quality_score").orderBy("doc_id")
+    elig = (d.join(F.broadcast(off), "quality_score")
+            .withColumn("bkt", F.expr(f"doc_id DIV {int(width)}L")))
+    wb = (W.partitionBy("quality_score").orderBy("bkt")
+          .rowsBetween(W.unboundedPreceding, -1))
+    boff = (elig.groupBy("quality_score", "bkt")
+            .agg(F.sum("n_tokens").alias("btoks"))
+            .withColumn("boff", F.coalesce(F.sum("btoks").over(wb),
+                                           F.lit(0).cast("long")))
+            .select("quality_score", "bkt", "boff"))
+    w = (W.partitionBy("quality_score", "bkt").orderBy("doc_id")
          .rowsBetween(W.unboundedPreceding, W.currentRow))
-    return (d.join(F.broadcast(off), "quality_score")
+    return (elig.join(boff, ["quality_score", "bkt"])
             .withColumn("cum_tokens",
-                        F.sum("n_tokens").over(w) + F.col("off"))
+                        F.sum("n_tokens").over(w) + F.col("off")
+                        + F.col("boff"))
             .where(F.col("cum_tokens") <= F.lit(budget))
             .select("doc_id", "quality_score", "n_tokens", "cum_tokens"))
 

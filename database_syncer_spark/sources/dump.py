@@ -952,8 +952,6 @@ def read_sql_dump_with_schemas(
     independently skips tables absent from ``schemas``, so the filter is
     purely an optimization — correctness never depends on it.
     """
-    from database_syncer_spark.core.diff import dedup_last_wins
-
     stmts = read_dump_statements(spark, path,
                                  on_split_string=on_split_string)
     if cache_statements is None:
@@ -962,6 +960,25 @@ def read_sql_dump_with_schemas(
         from pyspark import StorageLevel
 
         stmts = stmts.persist(StorageLevel.MEMORY_AND_DISK)
+    # Any raise between the persist above and the final return must not
+    # pin a dump-sized cache for the process lifetime (r8 advice: only
+    # the missing-tables path unpersisted; a DDL collect/parse failure
+    # leaked). Unpersist-and-reraise covers every exception path; the
+    # empty-schemas RETURN keeps its explicit unpersist below.
+    try:
+        return _read_dump_body(
+            spark, stmts, cache_statements, tables, ignore_missing,
+            typed, dedup_pk, keep_seq, tokenizer)
+    except Exception:
+        if cache_statements:
+            stmts.unpersist()
+        raise
+
+
+def _read_dump_body(spark, stmts, cache_statements, tables, ignore_missing,
+                    typed, dedup_pk, keep_seq, tokenizer):
+    from database_syncer_spark.core.diff import dedup_last_wins
+
     create_stmts = [
         r.stmt for r in
         stmts.where(F.upper(F.col("stmt")).startswith("CREATE TABLE")).collect()
@@ -975,9 +992,7 @@ def read_sql_dump_with_schemas(
         want = set(tables)
         missing = want - set(schemas)
         if missing and not ignore_missing:
-            if cache_statements:  # don't pin a dump-sized cache on raise
-                stmts.unpersist()
-            raise ValueError(
+            raise ValueError(  # caller's except unpersists the cache
                 f"tables not in dump: {sorted(missing)} "
                 f"(dump has: {sorted(schemas)})")
         schemas = {n: ts for n, ts in schemas.items() if n in want}
@@ -1225,9 +1240,17 @@ def _input_bytes(path: str) -> int:
     to cache rather than guessing."""
     try:
         if os.path.isdir(path):
-            return sum(
-                os.path.getsize(os.path.join(path, f))
-                for f in os.listdir(path) if not f.startswith(("_", ".")))
+            # Recurse: a nested shard directory must contribute its
+            # contents, not its ~4 KB inode size — undercounting would
+            # enable the statement cache on exactly the >3 GB dumps
+            # where it measured a loss (r8 advice).
+            total = 0
+            for root, dirs, files in os.walk(path):
+                dirs[:] = [d for d in dirs if not d.startswith(("_", "."))]
+                for f in files:
+                    if not f.startswith(("_", ".")):
+                        total += os.path.getsize(os.path.join(root, f))
+            return total
         return os.path.getsize(path)
     except OSError:
         return (1 << 63) - 1

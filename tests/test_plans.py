@@ -387,17 +387,24 @@ def test_paragraph_dedup_aggregates_not_windows(spark, sf_dir):
 
 
 def test_token_budget_avoids_global_window(spark, sf_dir):
-    """sample_token_budget's running total must be the two-level prefix
-    sum (window partitioned BY quality_score + broadcast per-score
-    offsets), never the naive GLOBAL running-sum window — an
-    unpartitioned window is an Exchange SinglePartition and a
-    full-corpus sort through one task at scale."""
+    """sample_token_budget's running total must be the three-level
+    prefix sum (per-score driver offsets + per-(score, bucket) window
+    offsets + a window partitioned by (score, bucket)), never the
+    naive GLOBAL running-sum window — an unpartitioned window is an
+    Exchange SinglePartition and a full-corpus sort through one task
+    at scale. Two windows exactly: the exclusive bucket-prefix (over
+    ≤_BUDGET_BUCKETS rows per score) and the main running sum; BOTH
+    must carry quality_score in their partition spec, and the main one
+    the bkt sub-bucket too (the r8→r9 fix for degenerate score
+    distributions)."""
     from database_syncer_spark.registry import all_queries
 
     plan = _plan(all_queries()["sample_token_budget"](spark, sf_dir))
-    assert plan.count("windowspecdefinition") == 1, plan
+    assert plan.count("windowspecdefinition") == 2, plan
     assert "windowspecdefinition(quality_score" in plan, \
         "running sum regressed to an unpartitioned global window"
+    assert plan.count("windowspecdefinition(quality_score") == 2, plan
+    assert "bkt" in plan, "level-3 sub-bucket missing from the plan"
     assert "BatchEvalPython" not in plan
 
 
