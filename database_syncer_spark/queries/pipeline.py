@@ -317,6 +317,92 @@ def _token_budget_select(spark, d, budget_div: int = 20,
             .select("doc_id", "quality_score", "n_tokens", "cum_tokens"))
 
 
+#: corpus_version_diff's deterministic v0→v1 release edit slices
+_VDIFF_MOD, _VDIFF_DROP, _VDIFF_EDIT = 17, 2, 5
+_VDIFF_ADD_MOD, _VDIFF_ADD_REM = 23, 1
+
+
+def corpus_version_diff(spark, sf_dir):
+    """Dataset-release CDC — "what changed between corpus v1 and v0",
+    the question every curated-dataset version bump asks. Composes the
+    verified snapshot-diff core (core/diff.py, the engine the dump-sync
+    keys ride) over two corpus versions keyed by doc_id, comparing a
+    TEXT HASH instead of raw text: v1 is derived deterministically from
+    the documents fixture (doc_id % 17 == 2 dropped, % 17 == 5 edited
+    with a rev-2 suffix, % 23 == 1 re-keyed negative as new docs — the
+    derive_backup trick, core/snapshots.py:26), and each side is
+    projected to (doc_id, digest, lang, n_chars) BEFORE the diff, so
+    the full-outer join shuffles 64-byte digests, never document
+    bodies. Output: one row per changed doc with change_type
+    INSERT/UPDATE/DELETE and the post-image (pre-image for DELETE),
+    reference DELETE/post-image semantics included (sync.py:199-215).
+    At 100 TB: hash projection at the scan, one PK-partitioned
+    full-outer join — the same shape diff_cdc_fullouter proved at
+    60 M rows/side."""
+    from database_syncer_spark.core.diff import snapshot_diff
+
+    docs = load_table(spark, sf_dir, "documents")
+    mod = F.col("doc_id") % _VDIFF_MOD
+    edited = docs.where(mod != _VDIFF_DROP).select(
+        "doc_id",
+        F.when(mod == _VDIFF_EDIT,
+               F.concat(F.col("text"), F.lit(" (rev 2)")))
+        .otherwise(F.col("text")).alias("text"),
+        "lang")
+    added = (docs.where((F.col("doc_id") % _VDIFF_ADD_MOD == _VDIFF_ADD_REM)
+                        & (F.col("doc_id") > 0))
+             .select((-F.col("doc_id")).alias("doc_id"),
+                     F.concat(F.col("text"),
+                              F.lit(" (new in v1)")).alias("text"),
+                     "lang"))
+    v1 = edited.unionByName(added)
+
+    def hashed(df):
+        return df.select("doc_id", F.sha2(F.col("text"), 256).alias("digest"),
+                         "lang",
+                         F.length("text").cast("long").alias("n_chars"))
+
+    # compare on all three projected value columns: digest-equality
+    # implies text-equality implies n_chars-equality and lang is never
+    # edited, so classification is exactly the digest compare while the
+    # output keeps the (digest, lang, n_chars) images the release notes
+    # want.
+    return snapshot_diff(hashed(v1),
+                         hashed(docs.select("doc_id", "text", "lang")),
+                         pk_cols=["doc_id"])
+
+
+#: sample_reshard_seeded parameters: seeded engine-exact Knuth hash
+#: (mod-first, overflow-proof — see sample_hash_threshold) over doc_id
+_RESHARD_SEED = 77
+_RESHARD_M = 1_000_003
+_RESHARD_SHARDS = 64
+
+
+def sample_reshard_seeded(spark, sf_dir, n_shards: int = _RESHARD_SHARDS):
+    """Reproducible training-order reshard — the deterministic global
+    (shard, position) assignment a training run replays: shard =
+    knuth(seed + doc_id) % S, within-shard order by (hash, doc_id).
+    Seeded and engine-exact (the mod-first multiplicative hash both
+    engines compute in exact bigint arithmetic — unlike rand(), whose
+    stream is engine- and partitioning-specific), so re-running the
+    job, changing cluster size, or porting engines yields the SAME
+    training order. Zero global sorts: positions come from per-shard
+    row_number windows on the shard hash-partitioning — ONE exchange,
+    S-way parallel (plan-guarded). ``n_shards`` is fixture-sized here;
+    a production reshard sets S so a shard is one task's worth, which
+    is exactly how the parallelism scales to 100 TB."""
+    docs = load_table(spark, sf_dir, "documents")
+    h = F.pmod(F.pmod(F.col("doc_id") + _RESHARD_SEED, F.lit(_RESHARD_M))
+               * F.lit(2654435761), F.lit(_RESHARD_M))
+    w = (W.partitionBy("shard").orderBy("h", "doc_id"))
+    return (docs.select("doc_id", h.alias("h"))
+            .withColumn("shard", F.pmod(F.col("h"), F.lit(n_shards))
+                        .cast("int"))
+            .withColumn("pos", F.row_number().over(w).cast("long"))
+            .select("doc_id", "shard", "pos"))
+
+
 def dedup_paragraph(spark, sf_dir):
     """Sub-document repeated-span scrub (pipeline/dedup.py:
     paragraph_dedup) — the C4/RefinedWeb line-level dedup granularity:
@@ -590,7 +676,9 @@ QUERIES = {
     "dedup_soft_keep": dedup_soft_keep,
     "dedup_paragraph": dedup_paragraph,
     "corpus_curate": corpus_curate,
+    "corpus_version_diff": corpus_version_diff,
     "sample_token_budget": sample_token_budget,
+    "sample_reshard_seeded": sample_reshard_seeded,
     "dedup_embedding_cosine": dedup_embedding_cosine,
     "dedup_embedding_incremental": dedup_embedding_incremental,
     "sim_topk_cosine": sim_topk_cosine,
@@ -1104,8 +1192,56 @@ SELECT pr.doc_id, pr.shard,
        pr.n_tokens, c.quality_score, c.had_pii
 FROM pr JOIN cur c USING (doc_id)
 """,
+    # dataset-release CDC: derive v1 in plain SQL, hash both sides,
+    # full-outer classify — DELETE carries the pre-image like the
+    # reference (sync.py:199-215)
+    "corpus_version_diff": f"""
+WITH v1raw AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % {_VDIFF_MOD} = {_VDIFF_EDIT}
+              THEN text || ' (rev 2)' ELSE text END AS text,
+         lang
+  FROM documents WHERE doc_id % {_VDIFF_MOD} <> {_VDIFF_DROP}
+  UNION ALL
+  SELECT -doc_id, text || ' (new in v1)', lang
+  FROM documents
+  WHERE doc_id % {_VDIFF_ADD_MOD} = {_VDIFF_ADD_REM} AND doc_id > 0
+),
+v1 AS (SELECT doc_id, sha256(text) AS digest, lang,
+              len(text) AS n_chars FROM v1raw),
+v0 AS (SELECT doc_id, sha256(text) AS digest, lang,
+              len(text) AS n_chars FROM documents)
+SELECT coalesce(p.doc_id, b.doc_id) AS doc_id,
+       CASE WHEN b.doc_id IS NULL THEN 'INSERT'
+            WHEN p.doc_id IS NULL THEN 'DELETE'
+            ELSE 'UPDATE' END AS change_type,
+       CASE WHEN p.doc_id IS NULL THEN b.digest ELSE p.digest END AS digest,
+       CASE WHEN p.doc_id IS NULL THEN b.lang ELSE p.lang END AS lang,
+       CASE WHEN p.doc_id IS NULL THEN b.n_chars
+            ELSE p.n_chars END AS n_chars
+FROM v1 p FULL OUTER JOIN v0 b ON p.doc_id = b.doc_id
+WHERE b.doc_id IS NULL OR p.doc_id IS NULL
+   OR NOT (p.digest IS NOT DISTINCT FROM b.digest
+           AND p.lang IS NOT DISTINCT FROM b.lang
+           AND p.n_chars IS NOT DISTINCT FROM b.n_chars)
+""",
+    # seeded reshard: the mod-first Knuth hash is exact bigint
+    # arithmetic in both engines; fixture doc_ids are non-negative so
+    # DuckDB's sign-of-dividend % equals Spark's pmod
+    "sample_reshard_seeded": f"""
+WITH h AS (
+  SELECT doc_id,
+         ((doc_id + {_RESHARD_SEED}) % {_RESHARD_M} * 2654435761)
+           % {_RESHARD_M} AS h
+  FROM documents
+)
+SELECT doc_id, CAST(h % {_RESHARD_SHARDS} AS INT) AS shard,
+       CAST(row_number() OVER (PARTITION BY h % {_RESHARD_SHARDS}
+                               ORDER BY h, doc_id) AS BIGINT) AS pos
+FROM h
+""",
     # token-budget selection: the oracle states the NAIVE global
-    # running-sum window the Spark side deliberately avoids (two-level
+    # running-sum window the Spark side deliberately avoids (three-level
     # prefix sum) — identical rows proves the decomposition exact
     "sample_token_budget": f"""
 WITH d AS (

