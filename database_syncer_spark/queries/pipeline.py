@@ -154,21 +154,36 @@ _PII_MOD, _PII_REM = 20, 3
 def corpus_curate(spark, sf_dir):
     """END-TO-END curation — the composed pipeline a training-data user
     actually runs, under ONE driver hash: quality filter -> PII scrub ->
-    corpus dedup -> greedy packing. Every stage is an already-verified
-    operator (text_quality_score, text_pii_scrub, dedup_corpus_keep,
-    text_pack_greedy); this key pins their COMPOSITION — ordering
-    (score raw text, scrub before dedup so redaction-equal docs
-    collapse, pack only survivors), column threading, and the packing's
-    sensitivity to exactly which docs survive.
+    doc-level corpus dedup -> span-level (paragraph) dedup -> greedy
+    packing. Every stage is an already-verified operator
+    (text_quality_score, text_pii_scrub, dedup_corpus_keep,
+    dedup_paragraph, text_pack_greedy); this key pins their
+    COMPOSITION — ordering, column threading, and the packing's
+    sensitivity to exactly which docs (and which spans) survive.
+
+    Stage-ordering decisions the hash canonicalizes (r9, VERDICT r8
+    stretch item): score raw text; scrub BEFORE dedup so
+    redaction-equal docs collapse; doc-level dedup (exact sha2 +
+    banded LSH) BEFORE span-level dedup — the RefinedWeb ordering —
+    because (1) span frequencies are then computed over the deduped
+    corpus, so they measure cross-document boilerplate rather than
+    duplicate-document multiplicity, (2) span-scrubbing first would
+    rewrite texts before the sha2/minhash stages and hand the
+    doc-merge decision to the wrong operator, and (3) the corpus-sized
+    span explode runs over survivors only. Docs whose text is empty
+    after span dedup (late exact-duplicates whose every span repeats)
+    are dropped before packing; packing token counts are over the
+    CLEANED text.
 
     Docs with doc_id % 20 == 3 get a deterministic planted email
     appended first (the fixtures have no organic PII); the scrub turns
     those suffixes into identical '<EMAIL>' spans before dedup runs.
     Output: one row per packed doc (doc_id, shard, bin_id, n_tokens,
     quality_score, had_pii). Scale shape: each stage keeps its own
-    audited plan (exact sha2 groupBy, banded LSH pairs, sharded
-    applyInPandas packing); the curated corpus is ~linearly smaller at
-    every stage boundary, never wider."""
+    audited plan (exact sha2 groupBy, banded LSH pairs, one-shuffle
+    span freq + keep-first agg, sharded applyInPandas packing); the
+    curated corpus is ~linearly smaller at every stage boundary, never
+    wider."""
     docs = load_table(spark, sf_dir, "documents")
     planted = docs.select(
         "doc_id",
@@ -221,7 +236,13 @@ def corpus_curate(spark, sf_dir):
     curated = (scrubbed.join(kept, "doc_id", "left_semi")
                .localCheckpoint(eager=True))
     scrubbed.unpersist()
-    packed = T.pack_greedy(curated.select("doc_id", "text"))
+    # span-level dedup over the doc-level survivors (single consumer:
+    # it streams straight into packing; the per-doc removal stats are
+    # the standalone dedup_paragraph key's surface, not this manifest's)
+    para = D.paragraph_dedup(curated.select("doc_id", "text"))
+    cleaned = (para.where(F.col("clean_text") != "")
+               .select("doc_id", F.col("clean_text").alias("text")))
+    packed = T.pack_greedy(cleaned)
     return (packed
             .join(curated.select("doc_id", "quality_score", "had_pii"),
                   "doc_id")
@@ -748,6 +769,35 @@ pairs AS (
 )"""
 
 
+def _paragraph_ctes(rel: str = "documents") -> str:
+    """CTE list `w, ch, firsts, marked`: 10-word positional chunks ->
+    corpus frequency + first occurrence -> per-chunk kept flag over
+    source relation ``rel`` — the single source of truth for the
+    paragraph-dedup SQL (shared by the dedup_paragraph oracle and the
+    corpus_curate composition; the r8 review's diverging-copies lesson
+    applies here too)."""
+    return f"""w AS (SELECT doc_id,
+           string_split(coalesce(text, ''), ' ') AS ws
+    FROM {rel}),
+ch AS (
+  SELECT doc_id, i AS pos,
+         array_to_string(ws[i*10+1 : i*10+10], ' ') AS chunk
+  FROM w, LATERAL unnest(generate_series(
+       0, CAST(ceil(len(ws) / 10.0) AS BIGINT) - 1)) AS t(i)
+),
+firsts AS (
+  SELECT chunk, count(*) AS freq,
+         min(struct_pack(doc_id := doc_id, pos := pos)) AS first
+  FROM ch GROUP BY chunk
+),
+marked AS (
+  SELECT c.doc_id, c.pos, c.chunk,
+         (f.freq = 1 OR (c.doc_id = f.first.doc_id
+                         AND c.pos = f.first.pos)) AS kept
+  FROM ch c JOIN firsts f USING (chunk)
+)"""
+
+
 #: CTE list `sym, reach, comp`: min-label connected components over a
 #: `pairs(doc_a, doc_b)` CTE — shared by every clustering oracle
 _COMPONENTS_CTES = """sym AS (
@@ -1170,11 +1220,18 @@ keep AS (
   WHERE comp.doc_id IS NULL OR comp.component = ek.doc_id
 ),
 cur AS (SELECT s.* FROM scrub s JOIN keep USING (doc_id)),
+{_paragraph_ctes("cur")},
+cleaned AS (
+  SELECT doc_id,
+         coalesce(string_agg(CASE WHEN kept THEN chunk END, ' '
+                             ORDER BY pos), '') AS text
+  FROM marked GROUP BY doc_id
+),
 pd AS (
   SELECT doc_id, CAST(doc_id % 8 AS INT) AS shard,
          CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
          row_number() OVER (PARTITION BY doc_id % 8 ORDER BY doc_id) AS rn
-  FROM cur
+  FROM cleaned WHERE text <> ''
 ),
 pr AS (
   SELECT shard, rn, doc_id, n_tokens, 1 AS bin_local, n_tokens AS fill
@@ -1266,27 +1323,8 @@ FROM r, tot WHERE r.cum_tokens <= tot.budget
 """,
     # repeated-span scrub: 10-word positional chunks, keep-first by
     # (doc_id, pos) — pure relational algebra, recomputed from scratch
-    "dedup_paragraph": """
-WITH w AS (SELECT doc_id,
-                  string_split(coalesce(text, ''), ' ') AS ws
-           FROM documents),
-ch AS (
-  SELECT doc_id, i AS pos,
-         array_to_string(ws[i*10+1 : i*10+10], ' ') AS chunk
-  FROM w, LATERAL unnest(generate_series(
-       0, CAST(ceil(len(ws) / 10.0) AS BIGINT) - 1)) AS t(i)
-),
-firsts AS (
-  SELECT chunk, count(*) AS freq,
-         min(struct_pack(doc_id := doc_id, pos := pos)) AS first
-  FROM ch GROUP BY chunk
-),
-marked AS (
-  SELECT c.doc_id, c.pos, c.chunk,
-         (f.freq = 1 OR (c.doc_id = f.first.doc_id
-                         AND c.pos = f.first.pos)) AS kept
-  FROM ch c JOIN firsts f USING (chunk)
-)
+    "dedup_paragraph": f"""
+WITH {_paragraph_ctes("documents")}
 SELECT doc_id,
        coalesce(string_agg(CASE WHEN kept THEN chunk END, ' '
                            ORDER BY pos), '') AS clean_text,
