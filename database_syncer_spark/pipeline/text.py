@@ -89,6 +89,54 @@ def quality_score(documents: DataFrame) -> DataFrame:
     )
 
 
+def gopher_filters(documents: DataFrame) -> DataFrame:
+    """Gopher-style heuristic rule battery (the document-level quality
+    rules of Rae et al. 2021 §A1.1, thresholds adapted to the fixture's
+    value ranges): per-document feature columns, one boolean flag PER
+    RULE, and the combined keep decision — so a curation run can audit
+    WHICH rule rejected a document, which the single blended
+    quality_score cannot.
+
+    Rules: word-count bounds, mean-word-length bounds, distinct-word
+    fraction (repetition proxy), and minimum distinct-stopword count
+    (the "contains ≥2 of a tiny stopword list" gibberish screen).
+
+    Scale shape: every feature is a built-in expression over ONE
+    split() of the text — a single whole-stage-codegen projection, zero
+    shuffles, corpus-linear. Flags compare the 6-dp ROUNDED values so
+    the DuckDB oracle's IEEE round matches bit-for-bit."""
+    toks = tokens(F.col("text"))
+    n_words = F.size(toks)
+    mean_word_len = F.round(
+        F.length(F.replace(F.col("text"), F.lit(" "), F.lit("")))
+        .cast("double") / n_words, 6)
+    distinct_frac = F.round(
+        F.size(F.array_distinct(toks)).cast("double") / n_words, 6)
+    # count how many of the 6 stopwords occur (distinct-by-construction:
+    # iterate the stopword list, not the tokens — exact in both engines
+    # regardless of how each dedupes array intersection)
+    n_stop_distinct = F.size(F.filter(
+        F.array(*[F.lit(s) for s in STOPWORDS]),
+        lambda s: F.array_contains(toks, s)))
+    flag_word_count = (n_words >= 30) & (n_words <= 1000)
+    flag_mean_len = (mean_word_len >= 4.0) & (mean_word_len <= 5.0)
+    flag_distinct = distinct_frac >= 0.4
+    flag_stopwords = n_stop_distinct >= 2
+    return documents.select(
+        "doc_id",
+        n_words.cast("int").alias("n_words"),
+        mean_word_len.alias("mean_word_len"),
+        distinct_frac.alias("distinct_frac"),
+        n_stop_distinct.cast("int").alias("n_stop_distinct"),
+        flag_word_count.alias("flag_word_count"),
+        flag_mean_len.alias("flag_mean_len"),
+        flag_distinct.alias("flag_distinct"),
+        flag_stopwords.alias("flag_stopwords"),
+        (flag_word_count & flag_mean_len & flag_distinct
+         & flag_stopwords).alias("keep"),
+    )
+
+
 def token_count_bpe(documents: DataFrame) -> DataFrame:
     """Regex token counting (BPE-ish segmentation), whitespace count, and
     chars-per-token — the budget metric of every training pipeline."""

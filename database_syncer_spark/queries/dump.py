@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 
 from database_syncer_spark.catalog import load_table
 from database_syncer_spark.sources.dump import read_sql_dump, write_sql_dump
+from database_syncer_spark.sources.pg_dump import read_pg_dump
 
 _SLICE = 200  # o_orderkey < 200 at any sf
 
@@ -310,8 +311,55 @@ def scan_sql_dump_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderdate", F.col("o_orderdate").cast("timestamp_ntz"))
 
 
+def _orders_pg_dump(spark: SparkSession, sf_dir: str) -> str:
+    """Render-if-missing: a TWO-table PostgreSQL plain-format dump
+    (orders slice + region) in one file. Two COPY blocks force the
+    reader's positional line→block assignment to actually discriminate
+    (a single-block file would pass even if ranges were ignored), and
+    the orders slice nulls o_orderpriority on '1-URGENT' rows so real
+    ``\\N`` fields flow through the COPY unescape path."""
+    from database_syncer_spark.sources.pg_dump import write_pg_dump
+
+    path = _dump_path(sf_dir, "orders_pg")
+    if not _cached(path):
+        orders = (load_table(spark, sf_dir, "orders")
+                  .where(F.col("o_orderkey") < _SLICE)
+                  .withColumn("o_orderpriority",
+                              F.expr("nullif(o_orderpriority, '1-URGENT')")))
+        region = load_table(spark, sf_dir, "region")
+        tmp_orders = path + ".orders.part"
+        tmp_region = path + ".region.part"
+        write_pg_dump(orders, "orders", ["o_orderkey"], tmp_orders)
+        write_pg_dump(region, "region", ["r_regionkey"], tmp_region)
+        tmp = path + ".tmp2"
+        with open(tmp, "w", encoding="utf-8") as out:
+            for p in (tmp_orders, tmp_region):
+                with open(p, encoding="utf-8") as fh:
+                    out.write(fh.read())
+                out.write("\n")
+                os.remove(p)
+        os.replace(tmp, path)
+    return path
+
+
+def scan_pg_dump(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fourth ingest shape: the OTHER public dump dialect — PostgreSQL
+    plain format (``COPY ... FROM stdin`` tab-separated text protocol),
+    via the positional block-assignment reader in sources/pg_dump.py
+    (line-parallel scan, KB-scale marker collect, broadcast range join,
+    built-in unescape/cast). The fixture dump carries two tables and
+    real ``\\N`` NULLs; the oracle is the source slice, so one driver
+    hash verifies block assignment + field split + NULL marking +
+    unescape + DDL-typed cast end to end. The reference has no pg
+    ingestion at all (sync.py parses only mysqldump INSERTs,
+    sync.py:29-120) — this is engine breadth, same contract."""
+    back = read_pg_dump(spark, _orders_pg_dump(spark, sf_dir))["orders"]
+    return back
+
+
 QUERIES = {
     "scan_sql_dump": scan_sql_dump,
+    "scan_pg_dump": scan_pg_dump,
     "scan_sql_dump_composite": scan_sql_dump_composite,
     "scan_sql_dump_sharded": scan_sql_dump_sharded,
     "sync_dump_to_dump": sync_dump_to_dump,
@@ -323,6 +371,11 @@ ORACLES = {
     "scan_sql_dump": f"""
 SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate,
        o_orderpriority
+FROM orders WHERE o_orderkey < {_SLICE}
+""",
+    "scan_pg_dump": f"""
+SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate,
+       nullif(o_orderpriority, '1-URGENT') AS o_orderpriority
 FROM orders WHERE o_orderkey < {_SLICE}
 """,
     "scan_sql_dump_composite": f"""

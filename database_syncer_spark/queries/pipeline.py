@@ -424,6 +424,52 @@ def sample_reshard_seeded(spark, sf_dir, n_shards: int = _RESHARD_SHARDS):
             .select("doc_id", "shard", "pos"))
 
 
+def sample_mix_epochs(spark, sf_dir):
+    """Deterministic UPSAMPLING with repetition — the half of training-
+    data mixing `sample_temperature_mix` cannot express: when a domain's
+    target share exceeds its size, the mix repeats it (epochs), it
+    doesn't subsample. Targets here balance every language to the
+    largest one's token mass (the standard "equalize domains" mix):
+    repeat ratio r = target_tokens / domain_tokens ≥ 1, materialized as
+    floor(r) whole epochs per doc plus one extra epoch for the
+    deterministic hash-selected frac(r) of docs — so each domain's
+    EXPECTED emitted tokens hit the target exactly while every emitted
+    row is reproducible across runs, partitionings, and engines
+    (same mod-first Knuth hash discipline as sample_hash_threshold;
+    ratio in ppm via DECIMAL(38) integer division, no float anywhere).
+    Output one row per (doc, epoch) — what a sequence-packing stage
+    consumes.
+
+    At 100 TB: the stats side is domain-cardinality-sized (KBs),
+    broadcast back onto the corpus; the corpus streams through one
+    broadcast join + a map-side sequence/explode — zero corpus
+    shuffles, output linear in the POST-mix size (bounded by
+    n_domains × the largest domain)."""
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id", "lang",
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tokens"))
+    stats = d.groupBy("lang").agg(F.sum("n_tokens").alias("toks"))
+    target = stats.agg(F.max("toks").alias("target"))
+    r = (stats.crossJoin(F.broadcast(target))
+         .withColumn("r_ppm", F.expr(
+             "CAST((CAST(1000000 AS DECIMAL(38,0)) * target) DIV toks"
+             " AS BIGINT)"))
+         .select("lang", "r_ppm"))
+    hash_ppm = (F.pmod(F.col("doc_id"), F.lit(1000000))
+                * F.lit(2654435761)) % F.lit(1000000)
+    e = (d.join(F.broadcast(r), "lang")
+         .withColumn(
+             "n_epochs",
+             (F.expr("r_ppm DIV 1000000")
+              + F.when(hash_ppm < F.col("r_ppm") % F.lit(1000000), 1)
+              .otherwise(0)).cast("int")))
+    return e.select(
+        "doc_id", "lang",
+        F.explode(F.sequence(F.lit(0), F.col("n_epochs") - 1)).alias("epoch"),
+        "n_epochs")
+
+
 def dedup_paragraph(spark, sf_dir):
     """Sub-document repeated-span scrub (pipeline/dedup.py:
     paragraph_dedup) — the C4/RefinedWeb line-level dedup granularity:
@@ -601,6 +647,13 @@ def text_repetition(spark, sf_dir):
     return T.repetition_score(load_table(spark, sf_dir, "documents"))
 
 
+def text_gopher_filters(spark, sf_dir):
+    """Gopher-style rule battery: per-rule boolean flags + combined keep
+    (pipeline/text.py:gopher_filters) — the auditable complement to the
+    blended text_quality_score."""
+    return T.gopher_filters(load_table(spark, sf_dir, "documents"))
+
+
 def text_pii_scrub(spark, sf_dir):
     return T.pii_scrub(load_table(spark, sf_dir, "documents"))
 
@@ -700,6 +753,7 @@ QUERIES = {
     "corpus_version_diff": corpus_version_diff,
     "sample_token_budget": sample_token_budget,
     "sample_reshard_seeded": sample_reshard_seeded,
+    "sample_mix_epochs": sample_mix_epochs,
     "dedup_embedding_cosine": dedup_embedding_cosine,
     "dedup_embedding_incremental": dedup_embedding_incremental,
     "sim_topk_cosine": sim_topk_cosine,
@@ -717,6 +771,7 @@ QUERIES = {
     "text_tfidf_topk": text_tfidf_topk,
     "text_decontaminate": text_decontaminate,
     "text_repetition": text_repetition,
+    "text_gopher_filters": text_gopher_filters,
     "text_chunk_split": text_chunk_split,
     "text_ngram_lm_score": text_ngram_lm_score,
     "text_pack_greedy": text_pack_greedy,
@@ -1297,6 +1352,33 @@ SELECT doc_id, CAST(h % {_RESHARD_SHARDS} AS INT) AS shard,
                                ORDER BY h, doc_id) AS BIGINT) AS pos
 FROM h
 """,
+    # epoch upsampling: HUGEINT integer division mirrors the Spark
+    # DECIMAL(38) DIV bit-for-bit, so membership of the fractional-epoch
+    # slice matches row-for-row
+    "sample_mix_epochs": """
+WITH d AS (
+  SELECT doc_id, lang,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+  FROM documents
+), stats AS (
+  SELECT lang, sum(n_tokens) AS toks FROM d GROUP BY lang
+), tgt AS (
+  SELECT max(toks) AS target FROM stats
+), r AS (
+  SELECT lang, CAST((1000000::HUGEINT * target) // toks AS BIGINT) AS r_ppm
+  FROM stats, tgt
+), e AS (
+  SELECT d.doc_id, d.lang,
+         CAST(r_ppm // 1000000
+              + CASE WHEN (d.doc_id % 1000000 * 2654435761) % 1000000
+                          < r_ppm % 1000000 THEN 1 ELSE 0 END
+              AS INT) AS n_epochs
+  FROM d JOIN r USING (lang)
+)
+SELECT doc_id, lang,
+       CAST(unnest(range(0, n_epochs)) AS INT) AS epoch, n_epochs
+FROM e
+""",
     # token-budget selection: the oracle states the NAIVE global
     # running-sum window the Spark side deliberately avoids (three-level
     # prefix sum) — identical rows proves the decomposition exact
@@ -1470,6 +1552,32 @@ SELECT doc_id, n_tokens,
        punct_count,
        round(least(1.0, CAST(n_tokens AS DOUBLE) / 100.0)
              * (1.0 - stop_hits / n_tokens), 6) AS quality_score
+FROM t
+""",
+    # flags compare the 6-dp ROUNDED features, so the boolean columns are
+    # engine-exact wherever the features are (same discipline as
+    # text_quality_score's rounded ratios)
+    "text_gopher_filters": f"""
+WITH t AS (
+  SELECT doc_id,
+         CAST(len(string_split(text, ' ')) AS INT) AS n_words,
+         round(CAST(length(replace(text, ' ', '')) AS DOUBLE)
+               / len(string_split(text, ' ')), 6) AS mean_word_len,
+         round(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+               / len(string_split(text, ' ')), 6) AS distinct_frac,
+         CAST(len(list_filter({_STOP_SQL},
+              s -> list_contains(string_split(text, ' '), s))) AS INT)
+           AS n_stop_distinct
+  FROM documents
+)
+SELECT doc_id, n_words, mean_word_len, distinct_frac, n_stop_distinct,
+       (n_words >= 30 AND n_words <= 1000) AS flag_word_count,
+       (mean_word_len >= 4.0 AND mean_word_len <= 5.0) AS flag_mean_len,
+       (distinct_frac >= 0.4) AS flag_distinct,
+       (n_stop_distinct >= 2) AS flag_stopwords,
+       ((n_words >= 30 AND n_words <= 1000)
+        AND (mean_word_len >= 4.0 AND mean_word_len <= 5.0)
+        AND distinct_frac >= 0.4 AND n_stop_distinct >= 2) AS keep
 FROM t
 """,
     "text_token_count": f"""

@@ -1,0 +1,184 @@
+"""Golden tests for the PostgreSQL plain-dump source (sources/pg_dump.py).
+
+The reference has no pg ingestion (sync.py parses only mysqldump
+INSERTs); these pin the COPY text-protocol semantics the new reader
+implements: positional line→block assignment, tab splitting, ``\\N``
+NULL marking before unescape, the backslash escape chain, DDL-typed
+casts, and multi-file (sharded) dumps.
+"""
+
+from __future__ import annotations
+
+import datetime
+import textwrap
+from decimal import Decimal
+
+import pytest
+
+from database_syncer_spark.sources.pg_dump import (
+    parse_pg_create_table,
+    read_pg_dump,
+    write_pg_dump,
+)
+
+
+def _write(tmp_path, name, text):
+    p = tmp_path / name
+    p.write_text(text)
+    return str(p)
+
+
+# --- DDL parse ---------------------------------------------------------------
+
+def test_parse_pg_create_table_types_and_constraints():
+    tbl, cols = parse_pg_create_table(textwrap.dedent("""\
+        CREATE TABLE public.users (
+            id bigint NOT NULL,
+            name text,
+            bal numeric(12,2) DEFAULT 0,
+            joined timestamp without time zone,
+            active boolean,
+            PRIMARY KEY (id),
+            CONSTRAINT users_chk CHECK (bal >= 0)
+        )"""))
+    assert tbl == "users"
+    assert cols == [
+        ("id", "bigint"), ("name", "text"), ("bal", "numeric(12,2)"),
+        ("joined", "timestamp without time zone"), ("active", "boolean")]
+
+
+def test_parse_pg_create_table_quoted_and_unschemad():
+    tbl, cols = parse_pg_create_table(
+        'CREATE TABLE "orders" ("id" integer, "note" character varying(40))')
+    assert tbl == "orders"
+    assert cols == [("id", "integer"), ("note", "character varying(40)")]
+
+
+# --- writer/reader round trip -------------------------------------------------
+
+def test_pg_roundtrip_escapes_and_nulls(spark, tmp_path):
+    """Tab / newline / CR / backslash / literal two-char '\\N' string /
+    empty string / NULL all survive write->read byte-exact. A literal
+    '\\N' VALUE is escaped on disk as '\\\\N' and must stay data — only
+    the unescaped single-backslash marker means NULL."""
+    rows = [
+        (1, "plain"),
+        (2, "tab\there"),
+        (3, "line\nbreak"),
+        (4, "cr\rhere"),
+        (5, "back\\slash"),
+        (6, "\\N"),          # literal backslash-N string, NOT null
+        (7, ""),
+        (8, None),
+        (9, "trailing\\"),
+    ]
+    df = spark.createDataFrame(rows, "id bigint, v string")
+    path = str(tmp_path / "esc.sql")
+    write_pg_dump(df, "t", ["id"], path)
+    back = read_pg_dump(spark, path)["t"]
+    assert {(r.id, r.v) for r in back.collect()} == set(rows)
+
+
+def test_pg_roundtrip_typed_columns(spark, tmp_path):
+    rows = [
+        (1, Decimal("12.34"), 0.5, True,
+         datetime.datetime(2024, 2, 29, 12, 30, 45, 123456),
+         datetime.date(2024, 2, 29)),
+        (2, None, None, False, None, None),
+    ]
+    df = spark.createDataFrame(
+        rows, "id bigint, bal decimal(12,2), x double, ok boolean, "
+              "ts timestamp_ntz, d date")
+    path = str(tmp_path / "typed.sql")
+    write_pg_dump(df, "t", ["id"], path)
+    back = read_pg_dump(spark, path)["t"]
+    assert dict(back.dtypes) == {
+        "id": "bigint", "bal": "decimal(12,2)", "x": "double",
+        "ok": "boolean", "ts": "timestamp_ntz", "d": "date"}
+    assert {tuple(r) for r in back.collect()} == set(rows)
+
+
+# --- block assignment ----------------------------------------------------------
+
+def test_pg_multi_block_assignment_and_header_lookalike(spark, tmp_path):
+    """Two COPY blocks in one file: every line lands in ITS table, and a
+    data line that looks exactly like a COPY header stays data (inside a
+    block only '\\.' is a marker — pg's own COPY-mode rule)."""
+    path = _write(tmp_path, "multi.sql", textwrap.dedent("""\
+        CREATE TABLE public.a (
+            id bigint NOT NULL,
+            v text
+        );
+        CREATE TABLE public.b (
+            id bigint NOT NULL,
+            w text
+        );
+        COPY public.a (id, v) FROM stdin;
+        1\tx
+        2\tCOPY public.fake (id) FROM stdin;
+        \\.
+        COPY public.b (id, w) FROM stdin;
+        10\ty
+        \\.
+        """))
+    out = read_pg_dump(spark, path)
+    assert set(out) == {"a", "b"}
+    a = {(r.id, r.v) for r in out["a"].collect()}
+    assert a == {(1, "x"), (2, "COPY public.fake (id) FROM stdin;")}
+    assert {(r.id, r.w) for r in out["b"].collect()} == {(10, "y")}
+
+
+def test_pg_column_list_free_header_uses_ddl_order(spark, tmp_path):
+    path = _write(tmp_path, "nolist.sql", textwrap.dedent("""\
+        CREATE TABLE public.t (
+            id bigint NOT NULL,
+            v text
+        );
+        COPY public.t FROM stdin;
+        5\thello
+        \\.
+        """))
+    assert {(r.id, r.v) for r in read_pg_dump(spark, path)["t"].collect()} \
+        == {(5, "hello")}
+
+
+def test_pg_sharded_directory(spark, tmp_path):
+    """A directory of shard files, each with its own COPY block for the
+    same table, unions — and per-file range assignment never leaks a
+    line across shards."""
+    d = tmp_path / "shards"
+    d.mkdir()
+    ddl = "CREATE TABLE public.t (\n    id bigint NOT NULL,\n    v text\n);\n"
+    (d / "part-000.sql").write_text(
+        ddl + "COPY public.t (id, v) FROM stdin;\n1\ta\n2\tb\n\\.\n")
+    (d / "part-001.sql").write_text(
+        ddl + "COPY public.t (id, v) FROM stdin;\n3\tc\n\\.\n")
+    back = read_pg_dump(spark, str(d))["t"]
+    assert {(r.id, r.v) for r in back.collect()} == {
+        (1, "a"), (2, "b"), (3, "c")}
+
+
+def test_pg_missing_terminator_raises(spark, tmp_path):
+    path = _write(tmp_path, "trunc.sql", textwrap.dedent("""\
+        CREATE TABLE public.t (
+            id bigint NOT NULL
+        );
+        COPY public.t (id) FROM stdin;
+        1
+        """))
+    with pytest.raises(ValueError, match="no .. terminator"):
+        read_pg_dump(spark, path)
+
+
+def test_pg_raw_mode_skips_cast(spark, tmp_path):
+    path = _write(tmp_path, "raw.sql", textwrap.dedent("""\
+        CREATE TABLE public.t (
+            id bigint NOT NULL
+        );
+        COPY public.t (id) FROM stdin;
+        7
+        \\.
+        """))
+    back = read_pg_dump(spark, path, typed=False)["t"]
+    assert dict(back.dtypes) == {"id": "string"}
+    assert [r.id for r in back.collect()] == ["7"]
