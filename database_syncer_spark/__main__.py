@@ -6,6 +6,10 @@ Usage (positional defaults match the reference):
 
 ``--tables``: sync only the named tables — the projection pushes into
 both dump reads, so unrequested tables' DML is never tokenized.
+
+Each input's dialect is auto-detected (mysqldump INSERT format or
+PostgreSQL plain ``COPY`` format, sources/pg_dump.py:sniff_dump_dialect)
+— mixed pairs sync cross-dialect through the shared diff core.
 """
 
 from __future__ import annotations

@@ -60,31 +60,47 @@ def length_histogram(documents: DataFrame,
     )
 
 
+#: stopword-token counter as a single anchored-alternation regex: the
+#: leading group consumes the preceding delimiter, the trailing
+#: LOOKAHEAD doesn't — so adjacent stopwords ("of the a") all match.
+#: Counts tokens WITH multiplicity, exactly like filtering the split
+#: array. Exists because the natural higher-order form
+#: ``F.filter(toks, isin(STOPWORDS))`` is a lambda expression — those
+#: evaluate interpreted (no codegen), and the r9 2.5 M-doc A/B measured
+#: the whole key 30.7 s (lambda) vs 13.0 s (regex) on a cold JVM with
+#: ZERO value mismatches (warm runs converge, but registry sweeps and
+#: one-shot curation jobs pay the cold cost).
+_STOP_COUNT_PATTERN = "(^| )(" + "|".join(STOPWORDS) + ")(?=( |$))"
+
+
 def quality_score(documents: DataFrame) -> DataFrame:
     """Heuristic quality features + score (length / stopword / punct
     ratios — the standard pre-training corpus filters)."""
-    toks = tokens(F.col("text"))
-    n_tokens = F.size(toks)
-    stop_hits = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS)))
     # translate() is a plain per-char map; the equivalent negated-class
     # regex ([^a-z0-9 ]) measured 41 s vs 1.2 s at the 1 M-doc probe
     # (bit-identical counts verified on the full fixture, r5)
-    punct_count = F.length(F.translate(
-        F.col("text"), "abcdefghijklmnopqrstuvwxyz0123456789 ", ""))
-    avg_tok_len = (
+    base = documents.select(
+        "doc_id",
+        tokens(F.col("text")).alias("__toks"),
+        F.regexp_count("text", F.lit(_STOP_COUNT_PATTERN)).alias("__stop"),
         F.length(F.replace(F.col("text"), F.lit(" "), F.lit("")))
-        .cast("double") / n_tokens
+        .alias("__nonsp"),
+        F.length(F.translate(
+            F.col("text"), "abcdefghijklmnopqrstuvwxyz0123456789 ", ""))
+        .alias("__punct"),
     )
-    stop_ratio = stop_hits.cast("double") / n_tokens
+    n_tokens = F.size(F.col("__toks"))
+    stop_ratio = F.col("__stop").cast("double") / n_tokens
     score = F.round(
         F.least(F.lit(1.0), n_tokens.cast("double") / 100.0)
         * (1.0 - stop_ratio), 6)
-    return documents.select(
+    return base.select(
         "doc_id",
         n_tokens.alias("n_tokens"),
-        F.round(avg_tok_len, 6).alias("avg_token_len"),
+        F.round(F.col("__nonsp").cast("double") / n_tokens, 6)
+        .alias("avg_token_len"),
         F.round(stop_ratio, 6).alias("stopword_ratio"),
-        punct_count.alias("punct_count"),
+        F.col("__punct").alias("punct_count"),
         score.alias("quality_score"),
     )
 
@@ -101,33 +117,48 @@ def gopher_filters(documents: DataFrame) -> DataFrame:
     fraction (repetition proxy), and minimum distinct-stopword count
     (the "contains ≥2 of a tiny stopword list" gibberish screen).
 
-    Scale shape: every feature is a built-in expression over ONE
-    split() of the text — a single whole-stage-codegen projection, zero
-    shuffles, corpus-linear. Flags compare the 6-dp ROUNDED values so
-    the DuckDB oracle's IEEE round matches bit-for-bit."""
-    toks = tokens(F.col("text"))
+    Scale shape: zero shuffles, corpus-linear — one scan, layered
+    projections. The layering is deliberate: building every flag
+    inline would repeat the split() a dozen times per row in one
+    collapsed Project; aliasing the token array and the rounded
+    features in their own selects makes Catalyst's CollapseProject
+    keep them (non-cheap aliases referenced more than once don't
+    inline), so the plan tokenizes each document ONCE (plan-guarded:
+    a single split() in the whole plan). Flags compare the 6-dp
+    ROUNDED values so the DuckDB oracle's IEEE round matches
+    bit-for-bit."""
+    toks = F.col("__toks")
     n_words = F.size(toks)
-    mean_word_len = F.round(
-        F.length(F.replace(F.col("text"), F.lit(" "), F.lit("")))
-        .cast("double") / n_words, 6)
-    distinct_frac = F.round(
-        F.size(F.array_distinct(toks)).cast("double") / n_words, 6)
-    # count how many of the 6 stopwords occur (distinct-by-construction:
-    # iterate the stopword list, not the tokens — exact in both engines
-    # regardless of how each dedupes array intersection)
-    n_stop_distinct = F.size(F.filter(
-        F.array(*[F.lit(s) for s in STOPWORDS]),
-        lambda s: F.array_contains(toks, s)))
-    flag_word_count = (n_words >= 30) & (n_words <= 1000)
-    flag_mean_len = (mean_word_len >= 4.0) & (mean_word_len <= 5.0)
-    flag_distinct = distinct_frac >= 0.4
-    flag_stopwords = n_stop_distinct >= 2
-    return documents.select(
+    base = documents.select("doc_id", tokens(F.col("text")).alias("__toks"),
+                            F.length(F.replace(F.col("text"), F.lit(" "),
+                                               F.lit(""))).alias("__nonsp"))
+    # count how many of the 6 stopwords occur: array_intersect with the
+    # DISTINCT literal stopword array on the LEFT — the result is then
+    # distinct-by-construction whatever either engine's dedup semantics
+    # for the right side, so the count equals the oracle's "stopwords s
+    # where s ∈ tokens". Deliberately NOT a higher-order
+    # F.filter(..., lambda): lambda expressions evaluate interpreted
+    # (no codegen) and measured 43× slower at the 2.5 M-doc probe
+    # (94.7 s vs 2.2 s, SCALE.md r9).
+    feats = base.select(
         "doc_id",
         n_words.cast("int").alias("n_words"),
-        mean_word_len.alias("mean_word_len"),
-        distinct_frac.alias("distinct_frac"),
-        n_stop_distinct.cast("int").alias("n_stop_distinct"),
+        F.round(F.col("__nonsp").cast("double") / n_words, 6)
+        .alias("mean_word_len"),
+        F.round(F.size(F.array_distinct(toks)).cast("double") / n_words, 6)
+        .alias("distinct_frac"),
+        F.size(F.array_intersect(
+            F.array(*[F.lit(s) for s in STOPWORDS]), toks))
+        .cast("int").alias("n_stop_distinct"),
+    )
+    flag_word_count = (F.col("n_words") >= 30) & (F.col("n_words") <= 1000)
+    flag_mean_len = ((F.col("mean_word_len") >= 4.0)
+                     & (F.col("mean_word_len") <= 5.0))
+    flag_distinct = F.col("distinct_frac") >= 0.4
+    flag_stopwords = F.col("n_stop_distinct") >= 2
+    return feats.select(
+        "doc_id", "n_words", "mean_word_len", "distinct_frac",
+        "n_stop_distinct",
         flag_word_count.alias("flag_word_count"),
         flag_mean_len.alias("flag_mean_len"),
         flag_distinct.alias("flag_distinct"),

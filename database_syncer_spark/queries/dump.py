@@ -357,9 +357,108 @@ def scan_pg_dump(spark: SparkSession, sf_dir: str) -> DataFrame:
     return back
 
 
+def _orders_pg_sharded_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Render-if-missing: a SHARDED pg dump directory — the orders slice
+    split horizontally by key parity across two COPY files (the shape a
+    parallel pg export produces; unlike the mysql sharded fixture there
+    are no cross-shard overrides because COPY cannot express PK
+    overwrites — shards partition, they don't supersede)."""
+    import shutil
+
+    from database_syncer_spark.sources.pg_dump import write_pg_dump
+
+    dirpath = _dump_path(sf_dir, "orders_pg_sharded")[:-4]  # strip .sql
+    if os.path.isdir(dirpath):
+        if _cached(os.path.join(dirpath, "part-001.sql")):
+            return dirpath
+        shutil.rmtree(dirpath, ignore_errors=True)
+    orders = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderkey") < _SLICE)
+    tmp = f"{dirpath}.tmp{os.getpid()}"
+    os.makedirs(tmp, exist_ok=True)
+    write_pg_dump(orders.where(F.col("o_orderkey") % 2 == 0), "orders",
+                  ["o_orderkey"], os.path.join(tmp, "part-000.sql"))
+    write_pg_dump(orders.where(F.col("o_orderkey") % 2 == 1), "orders",
+                  ["o_orderkey"], os.path.join(tmp, "part-001.sql"))
+    try:
+        os.rename(tmp, dirpath)
+    except OSError:  # concurrent winner published first
+        shutil.rmtree(tmp, ignore_errors=True)
+    return dirpath
+
+
+def scan_pg_dump_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sharded pg ingest: a DIRECTORY of COPY files, one block per
+    shard. Exercises the reader's per-file marker/range machinery (line
+    ids are only ordered WITHIN a file — block bounds are keyed by
+    input_file_name, so a cross-file id comparison can never leak a
+    line into another shard's block) and the multi-block union. Oracle
+    = the unsharded source slice."""
+    return read_pg_dump(spark, _orders_pg_sharded_dir(spark, sf_dir))["orders"]
+
+
+def sync_pg_to_mysql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CROSS-DIALECT sync: the production snapshot arrives as a
+    PostgreSQL plain dump (COPY protocol), the backup as a mysqldump
+    file — the heterogeneous-fleet migration shape (syncing a pg
+    primary against a mysql replica's export) the reference cannot
+    touch (it parses one dialect, sync.py:29-120). Both ingests land in
+    the SAME typed DataFrame contract, so the verified diff core runs
+    unchanged — which is the point: dialect lives entirely at the
+    source boundary. The pg side's planted NULL priorities ('1-URGENT'
+    rows) surface as extra UPDATEs against the mysql backup, so the
+    diff also proves NULL-vs-value classification across dialects."""
+    from database_syncer_spark.core.diff import snapshot_diff
+
+    prod = read_pg_dump(spark, _orders_pg_dump(spark, sf_dir))["orders"]
+    backup = read_sql_dump(
+        spark, _orders_backup_dump(spark, sf_dir))["orders"]
+    backup = backup.withColumn(
+        "o_orderdate", F.col("o_orderdate").cast("timestamp_ntz"))
+    return snapshot_diff(prod, backup, pk_cols=["o_orderkey"])
+
+
+def _pg_mysql_diff_sql() -> str:
+    """Oracle for sync_pg_to_mysql: prod is the PG-dump content (slice
+    with '1-URGENT' priorities nulled), backup derives from the PLAIN
+    slice — same diff template as _dump_diff_sql."""
+    from database_syncer_spark.core.snapshots import derive_backup_sql
+
+    cols = ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+            "o_orderdate", "o_orderpriority"]
+    non_pk = [c for c in cols if c != "o_orderkey"]
+    plain_slice = (f"(SELECT {', '.join(cols)} FROM orders "
+                   f"WHERE o_orderkey < {_SLICE})")
+    pg_cols = ", ".join(
+        "nullif(o_orderpriority, '1-URGENT') AS o_orderpriority"
+        if c == "o_orderpriority" else c for c in cols)
+    backup = derive_backup_sql(
+        plain_slice + " AS s", "o_orderkey", "o_totalprice", cols)
+    post_image = ",\n  ".join(
+        f"CASE WHEN p.o_orderkey IS NULL THEN b.{c} ELSE p.{c} END AS {c}"
+        for c in non_pk)
+    unchanged = " AND ".join(
+        f"p.{c} IS NOT DISTINCT FROM b.{c}" for c in non_pk)
+    return f"""
+WITH prod AS (SELECT {pg_cols} FROM {plain_slice} p0),
+backup AS ({backup})
+SELECT
+  coalesce(p.o_orderkey, b.o_orderkey) AS o_orderkey,
+  CASE WHEN b.o_orderkey IS NULL THEN 'INSERT'
+       WHEN p.o_orderkey IS NULL THEN 'DELETE'
+       ELSE 'UPDATE' END AS change_type,
+  {post_image}
+FROM prod p
+FULL OUTER JOIN backup b ON p.o_orderkey = b.o_orderkey
+WHERE b.o_orderkey IS NULL OR p.o_orderkey IS NULL OR NOT ({unchanged})
+"""
+
+
 QUERIES = {
     "scan_sql_dump": scan_sql_dump,
     "scan_pg_dump": scan_pg_dump,
+    "scan_pg_dump_sharded": scan_pg_dump_sharded,
+    "sync_pg_to_mysql": sync_pg_to_mysql,
     "scan_sql_dump_composite": scan_sql_dump_composite,
     "scan_sql_dump_sharded": scan_sql_dump_sharded,
     "sync_dump_to_dump": sync_dump_to_dump,
@@ -378,6 +477,15 @@ SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate,
        nullif(o_orderpriority, '1-URGENT') AS o_orderpriority
 FROM orders WHERE o_orderkey < {_SLICE}
 """,
+    # the pg shards partition the slice (no overrides possible in COPY),
+    # so the sharded oracle is the plain slice — unlike the mysql
+    # sharded key, whose oracle must apply part-001's last-wins override
+    "scan_pg_dump_sharded": f"""
+SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate,
+       o_orderpriority
+FROM orders WHERE o_orderkey < {_SLICE}
+""",
+    "sync_pg_to_mysql": _pg_mysql_diff_sql(),
     "scan_sql_dump_composite": f"""
 SELECT l_orderkey, l_linenumber,
        CAST(CAST(l_quantity AS DECIMAL(12,2)) AS DOUBLE) AS l_quantity,

@@ -1306,8 +1306,13 @@ def sync_dumps(spark: SparkSession, prod_path: str, backup_path: str,
 
     from database_syncer_spark.core.diff import catalog_diff, snapshot_diff_fused
     from database_syncer_spark.core.script import generate_sync_script
+    from database_syncer_spark.sources.pg_dump import sniff_dump_dialect
 
     _size_shuffle_partitions(spark, prod_path, backup_path)
+    dialects = (sniff_dump_dialect(prod_path), sniff_dump_dialect(backup_path))
+    if "postgres" in dialects:
+        return _sync_dumps_cross_dialect(spark, prod_path, backup_path,
+                                         dialects, tables)
     # keep_seq + no dedup: last-wins resolution happens INSIDE the diff's
     # single shuffle (snapshot_diff_fused) instead of as a per-side
     # aggregation before a join — one wide stage less per table.
@@ -1336,6 +1341,63 @@ def sync_dumps(spark: SparkSession, prod_path: str, backup_path: str,
     for name in catalog["common"]:
         pk = prod_schemas[name].pk_cols
         ch = snapshot_diff_fused(prod[name], backup[name], pk).persist(
+            StorageLevel.MEMORY_AND_DISK)
+        changes[name] = ch
+        scripts[name] = generate_sync_script(ch, name, pk)
+    return changes, catalog, scripts, prod_schemas
+
+
+def _sync_dumps_cross_dialect(spark, prod_path, backup_path, dialects,
+                              tables):
+    """sync_dumps when at least one side is a PostgreSQL plain dump
+    (auto-sniffed): each side reads through its dialect's reader into
+    the SAME typed-DataFrame contract, then the shared diff/script core
+    runs unchanged — dialect lives entirely at the source boundary.
+
+    Differences vs the all-mysql fast path, both deliberate:
+    - plain ``snapshot_diff`` per table instead of the fused
+      last-wins+diff: a COPY block cannot express PK overwrites, so the
+      pg side needs no last-wins; the mysql side (if any) deduplicates
+      in its own reader (``dedup_pk=True``).
+    - columns are aligned to the PROD side's schema order before the
+      diff (the two dialects' DDL may list columns differently); a
+      backup missing a prod column fails loudly in the select, same as
+      the reference's positional mismatch would.
+    PK columns come from the prod side (pg: inline constraint or
+    pg_dump's post-data ALTER; mysql: PRIMARY KEY clause)."""
+    from pyspark import StorageLevel
+
+    from database_syncer_spark.core.diff import catalog_diff, snapshot_diff
+    from database_syncer_spark.core.script import generate_sync_script
+    from database_syncer_spark.sources.pg_dump import read_pg_dump_with_schemas
+
+    def _read(path, dialect):
+        if dialect == "postgres":
+            return read_pg_dump_with_schemas(spark, path, tables=tables)
+        return read_sql_dump_with_schemas(
+            spark, path, dedup_pk=True, tables=tables, ignore_missing=True,
+            cache_statements=None)
+
+    prod, prod_schemas = _read(prod_path, dialects[0])
+    backup, backup_schemas = _read(backup_path, dialects[1])
+    if tables is not None:
+        nowhere = set(tables) - set(prod) - set(backup)
+        if nowhere:
+            raise ValueError(f"tables in neither dump: {sorted(nowhere)}")
+    catalog = catalog_diff(prod, backup)
+    changes, scripts = {}, {}
+    for name in catalog["common"]:
+        pk = prod_schemas[name].pk_cols
+        cols = [c for c in prod[name].columns
+                if c not in ("__seq_hi", "__seq_lo")]
+        p = prod[name].select(*cols)
+        # cross-dialect type drift (e.g. mysql datetime -> timestamp vs
+        # pg -> timestamp_ntz) must not classify every row as changed:
+        # cast the backup to the prod side's exact column types.
+        p_types = dict(p.dtypes)
+        b = backup[name].select(
+            *[F.col(c).cast(p_types[c]).alias(c) for c in cols])
+        ch = snapshot_diff(p, b, pk_cols=pk).persist(
             StorageLevel.MEMORY_AND_DISK)
         changes[name] = ch
         scripts[name] = generate_sync_script(ch, name, pk)

@@ -61,10 +61,15 @@ from __future__ import annotations
 import os
 import re
 
+from dataclasses import dataclass
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-__all__ = ["read_pg_dump", "write_pg_dump", "parse_pg_create_table"]
+__all__ = [
+    "read_pg_dump", "read_pg_dump_with_schemas", "write_pg_dump",
+    "parse_pg_create_table", "sniff_dump_dialect", "PgTableSchema",
+]
 
 # --- DDL ------------------------------------------------------------------
 
@@ -150,6 +155,72 @@ def _split_commas(body: str) -> list[str]:
     return out
 
 
+@dataclass
+class PgTableSchema:
+    """TableSchema-shaped metadata for a pg dump table (same interface
+    the mysql reader's TableSchema exposes to sync_dumps/ddl paths)."""
+    name: str
+    columns: list[tuple[str, str]]          # (name, pg_type)
+    pk_cols: list[str]
+    create_stmt: str
+
+    @property
+    def column_names(self) -> list[str]:
+        return [c for c, _ in self.columns]
+
+    def spark_types(self) -> list[tuple[str, str]]:
+        return [(c, _pg_spark_type(t)) for c, t in self.columns]
+
+
+_PG_INLINE_PK_RE = re.compile(r"PRIMARY\s+KEY\s*\(([^)]*)\)", re.I)
+_PG_ALTER_PK_RE = re.compile(
+    r'ALTER\s+TABLE\s+(?:ONLY\s+)?(?:[\w$]+\.)?"?(\w+)"?\s+'
+    r"ADD\s+CONSTRAINT\s+\S+\s+PRIMARY\s+KEY\s*\(([^)]*)\)",
+    re.I | re.S)
+
+
+def _pg_pk_cols(table: str, create_stmt: str, ddl_text: str,
+                col_names: list[str]) -> list[str]:
+    """PK columns for ``table``: inline table constraint first, then the
+    post-data ALTER (pg_dump's layout), else the same heuristic ladder
+    the mysql reader uses — an 'id' column, else the first column."""
+    m = _PG_INLINE_PK_RE.search(create_stmt)
+    if m:
+        return [c.strip().strip('"') for c in m.group(1).split(",")]
+    for am in _PG_ALTER_PK_RE.finditer(ddl_text):
+        if am.group(1) == table:
+            return [c.strip().strip('"') for c in am.group(2).split(",")]
+    if "id" in col_names:
+        return ["id"]
+    return col_names[:1]
+
+
+def sniff_dump_dialect(path: str) -> str:
+    """'postgres' | 'mysql' from the first ~64 KB of a dump file (or the
+    first file of a sharded directory) — driver-side, KB-scale. pg plain
+    dumps announce themselves (`-- PostgreSQL database dump`) or carry a
+    COPY header; mysqldump files carry INSERT INTO / ENGINE= / backtick
+    DDL. Defaults to mysql (the reference's only dialect) when neither
+    signature appears."""
+    p = path
+    if os.path.isdir(path):
+        entries = sorted(
+            f for f in os.listdir(path)
+            if os.path.isfile(os.path.join(path, f)))
+        if not entries:
+            return "mysql"
+        p = os.path.join(path, entries[0])
+    try:
+        with open(p, "r", encoding="utf-8", errors="replace") as fh:
+            head = fh.read(65536)
+    except OSError:
+        return "mysql"
+    if ("PostgreSQL database dump" in head
+            or re.search(r"^COPY\s.+\sFROM stdin;\s*$", head, re.M)):
+        return "postgres"
+    return "mysql"
+
+
 # --- read -----------------------------------------------------------------
 
 def _unescape(col: F.Column) -> F.Column:
@@ -164,10 +235,25 @@ def _unescape(col: F.Column) -> F.Column:
 
 
 def read_pg_dump(spark: SparkSession, path: str,
-                 typed: bool = True) -> dict[str, DataFrame]:
+                 typed: bool = True,
+                 tables: list[str] | None = None) -> dict[str, DataFrame]:
     """Ingest a pg_dump plain-format file (or a directory of shard
     files) -> {table_name: DataFrame}. See the module docstring for the
     four-stage distributed shape."""
+    return read_pg_dump_with_schemas(spark, path, typed=typed,
+                                     tables=tables)[0]
+
+
+def read_pg_dump_with_schemas(
+    spark: SparkSession, path: str, typed: bool = True,
+    tables: list[str] | None = None,
+) -> tuple[dict[str, DataFrame], dict[str, PgTableSchema]]:
+    """``read_pg_dump`` plus TableSchema-shaped DDL metadata (columns,
+    PK from the inline constraint or pg_dump's post-data ALTER) — what
+    the cross-dialect sync path consumes. ``tables`` restricts ingest:
+    unrequested tables' COPY blocks are dropped at the RANGE level, so
+    their data lines are filtered by the broadcast join without ever
+    being split or unescaped."""
     lines = (spark.read.text(path)
              .select(F.monotonically_increasing_id().alias("lid"),
                      F.input_file_name().alias("fname"),
@@ -209,22 +295,34 @@ def read_pg_dump(spark: SparkSession, path: str,
                                & (F.col("lid") >= s) & (F.col("lid") <= e))
     ddl_text = "\n".join(
         r.value for r in lines.where(~in_block).collect())
-    schemas: dict[str, list[tuple[str, str]]] = {}
+    schemas: dict[str, PgTableSchema] = {}
     for stmt in ddl_text.split(";"):
         parsed = parse_pg_create_table(stmt)
         if parsed:
-            schemas[parsed[0]] = parsed[1]
+            name, cols = parsed
+            schemas[name] = PgTableSchema(
+                name=name, columns=cols,
+                # no trailing ";" — consumers (ddl_statements) append it,
+                # matching the mysql TableSchema convention
+                pk_cols=_pg_pk_cols(name, stmt, ddl_text,
+                                    [c for c, _ in cols]),
+                create_stmt=stmt.strip())
 
     out: dict[str, DataFrame] = {}
-    tables = sorted({t for _, _, _, t, _ in ranges})
-    for table in tables:
+    found_tables = sorted({t for _, _, _, t, _ in ranges})
+    if tables is not None:
+        found_tables = [t for t in found_tables if t in set(tables)]
+        schemas = {n: s for n, s in schemas.items() if n in set(tables)}
+    for table in found_tables:
         t_ranges = [(f, s, e, cols) for f, s, e, t, cols in ranges
                     if t == table]
         cols_csv = t_ranges[0][3]
         if cols_csv:
             col_names = [c.strip().strip('"') for c in cols_csv.split(",")]
+        elif table in schemas:
+            col_names = schemas[table].column_names
         else:
-            col_names = [c for c, _ in schemas.get(table, [])]
+            col_names = []
         if not col_names:
             raise ValueError(f"pg dump: no column list or DDL for {table}")
 
@@ -247,13 +345,13 @@ def read_pg_dump(spark: SparkSession, path: str,
             for i, name in enumerate(col_names)]
         df = data.select(*raw_cols)
         if typed and table in schemas:
-            pg_types = dict(schemas[table])
+            pg_types = dict(schemas[table].columns)
             df = df.select(*[
                 F.col(c).cast(_pg_spark_type(pg_types[c])).alias(c)
                 if c in pg_types else F.col(c)
                 for c in col_names])
         out[table] = df
-    return out
+    return out, schemas
 
 
 # --- write ----------------------------------------------------------------

@@ -67,6 +67,16 @@ KEYS = [
      "repeated-span scrub (r8): chunk explode -> ONE (chunk) shuffle for freq + min(struct) keep-first (partial-aggregable, no row_number sort over boilerplate-skewed partitions) -> join back -> one (doc_id) reassembly agg"),
     ("sample_token_budget",
      "token-budget selection (r8): two-level prefix sum — bounded per-score aggregate, broadcast driver offsets, ONE score-partitioned window; no Exchange SinglePartition, no global sort"),
+    ("corpus_version_diff",
+     "release CDC (r9): both corpus versions project to (doc_id, sha2 digest, lang, n_chars) BEFORE the full-outer join — exchanges carry digests, never document text"),
+    ("sample_reshard_seeded",
+     "seeded reshard (r9): ONE shard hash-partitioned exchange, per-shard row_number windows — no rangepartitioning, no SinglePartition"),
+    ("scan_pg_dump",
+     "pg COPY ingest (r9): line-parallel text scan, broadcast range join assigns lines to blocks (no corpus shuffle), built-in tab-split/unescape/typed-cast"),
+    ("text_gopher_filters",
+     "rule battery (r9): layered projections keep ONE split() per document (CollapseProject spares multi-referenced non-cheap aliases); zero Exchanges, no lambda expressions (interpreted — the measured 43x tax)"),
+    ("sample_mix_epochs",
+     "epoch upsampling (r9): domain-sized ratio table broadcast onto the corpus scan, epochs fan out in a map-side Generate explode — zero corpus shuffles"),
 ]
 
 

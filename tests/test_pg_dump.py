@@ -182,3 +182,79 @@ def test_pg_raw_mode_skips_cast(spark, tmp_path):
     back = read_pg_dump(spark, path, typed=False)["t"]
     assert dict(back.dtypes) == {"id": "string"}
     assert [r.id for r in back.collect()] == ["7"]
+
+
+# --- dialect sniff + cross-dialect sync ---------------------------------------
+
+PG_PROD = textwrap.dedent("""\
+    --
+    -- PostgreSQL database dump
+    --
+
+    CREATE TABLE public.t (
+        id bigint NOT NULL,
+        v text
+    );
+
+    COPY public.t (id, v) FROM stdin;
+    1\tkeep
+    2\tnew
+    3\tadded
+    \\.
+
+    ALTER TABLE ONLY public.t
+        ADD CONSTRAINT t_pkey PRIMARY KEY (id);
+    """)
+
+MY_BACKUP = textwrap.dedent("""\
+    CREATE TABLE `t` (
+      `id` int(11) NOT NULL,
+      `v` varchar(100) DEFAULT NULL,
+      PRIMARY KEY (`id`)
+    ) ENGINE=InnoDB;
+    INSERT INTO `t` (`id`, `v`) VALUES (1,'keep'),(2,'old'),(4,'gone');
+    """)
+
+
+def test_sniff_dump_dialect(tmp_path):
+    from database_syncer_spark.sources.pg_dump import sniff_dump_dialect
+
+    pg = _write(tmp_path, "p.sql", PG_PROD)
+    my = _write(tmp_path, "m.sql", MY_BACKUP)
+    assert sniff_dump_dialect(pg) == "postgres"
+    assert sniff_dump_dialect(my) == "mysql"
+    # sharded dir: sniffs the first file
+    d = tmp_path / "shards"
+    d.mkdir()
+    (d / "part-000.sql").write_text(PG_PROD)
+    assert sniff_dump_dialect(str(d)) == "postgres"
+
+
+def test_pg_schemas_pk_from_post_data_alter(spark, tmp_path):
+    from database_syncer_spark.sources.pg_dump import read_pg_dump_with_schemas
+
+    path = _write(tmp_path, "p.sql", PG_PROD)
+    _, schemas = read_pg_dump_with_schemas(spark, path)
+    assert schemas["t"].pk_cols == ["id"]
+    assert schemas["t"].column_names == ["id", "v"]
+
+
+def test_cross_dialect_sync_pg_prod_mysql_backup(spark, tmp_path, capsys):
+    """compare_sql_files auto-detects a pg production dump against a
+    mysql backup and runs the shared diff core: UPDATE (2: old->new),
+    INSERT (3), DELETE (4) — the backup's int PK is cast to the prod
+    side's bigint so type drift alone never classifies rows as
+    changed."""
+    from database_syncer_spark.sources.dump import compare_sql_files
+
+    prod = _write(tmp_path, "prod.sql", PG_PROD)
+    backup = _write(tmp_path, "backup.sql", MY_BACKUP)
+    out = str(tmp_path / "sync.sql")
+    result = compare_sql_files(spark, prod, backup, out)
+    assert result is not None
+    assert result["table_stats"]["t"] == {
+        "INSERT": 1, "UPDATE": 1, "DELETE": 1}
+    script = open(out).read()
+    assert "DELETE FROM `t` WHERE `id` = 4;" in script
+    assert "'added'" in script and "'new'" in script
+    assert "'keep'" not in script  # unchanged rows emit nothing

@@ -453,3 +453,50 @@ def test_cdc_compact_executes_each_diff_once(spark, sf_dir):
 
     plan = _plan(all_queries()["sink_cdc_compact"](spark, sf_dir))
     assert plan.count("SortMergeJoin") <= 2, plan.count("SortMergeJoin")
+
+
+def test_gopher_filters_zero_shuffle_single_tokenize(spark, sf_dir):
+    """text_gopher_filters is projections over the scan: no Exchange of
+    any kind, no Python, no join — an Exchange means someone turned a
+    per-row rule battery into a corpus shuffle. And the plan tokenizes
+    each document ONCE: the layered selects alias the token array so
+    CollapseProject keeps it; a single collapsed Project would repeat
+    split() per flag (~12× per row — the regression this pins)."""
+    from database_syncer_spark.registry import all_queries
+
+    plan = _plan(all_queries()["text_gopher_filters"](spark, sf_dir))
+    assert "Exchange" not in plan, plan
+    assert "BatchEvalPython" not in plan
+    assert plan.count("split(") == 1, plan.count("split(")
+
+
+def test_mix_epochs_corpus_side_broadcast_only(spark, sf_dir):
+    """sample_mix_epochs' corpus pass must be scan -> broadcast hash
+    join -> explode: the per-domain repeat-ratio table is
+    domain-cardinality-sized and must broadcast (same discipline as
+    sample_temperature_mix); a SortMergeJoin would shuffle the corpus
+    to apply a KB-sized ratio table, and the epoch fan-out must be a
+    map-side Generate, not a join against a numbers table."""
+    from database_syncer_spark.registry import all_queries
+
+    plan = _plan(all_queries()["sample_mix_epochs"](spark, sf_dir))
+    assert "SortMergeJoin" not in plan, plan
+    assert "BroadcastHashJoin" in plan
+    assert "Generate explode" in plan, plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_pg_dump_line_assignment_broadcasts(spark, sf_dir):
+    """scan_pg_dump's line->COPY-block assignment must be a broadcast
+    join against the KB-scale range table (equality on the file name
+    carries the hash; the lid bounds ride as join conditions) — the
+    data lines themselves must NEVER shuffle (no Exchange
+    hashpartitioning of the corpus, no SortMergeJoin, no cartesian)."""
+    from database_syncer_spark.registry import all_queries
+
+    plan = _plan(all_queries()["scan_pg_dump"](spark, sf_dir))
+    assert "SortMergeJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "Exchange hashpartitioning" not in plan, plan
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "BatchEvalPython" not in plan
