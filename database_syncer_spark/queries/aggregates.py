@@ -98,6 +98,56 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def agg_hll_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The STORABLE-sketch workflow `agg_approx_distinct` doesn't cover:
+    build per-group Datasketches HLL sketches (`hll_sketch_agg`), write
+    the binary sketch column to parquet and READ IT BACK (the store-now/
+    merge-later contract a 100-TB rollup table depends on — daily
+    sketches merged into monthly distincts without rescanning the
+    corpus), then `hll_union_agg` the restored sketches into the global
+    estimate. Verified surface follows the agg_approx_distinct
+    discipline: the oracle recomputes EXACT per-group and global
+    distincts; the sketch estimates ride as within-10%-of-exact flags
+    (Datasketches HLL is deterministic, so the flags are stable). A
+    broken sketch build, serialization round trip, or union flips a
+    flag and fails the driver hash.
+
+    Plan notes: sketches and exact distincts are SEPARATE aggregates
+    joined on the group (mixing countDistinct with sketches in one agg
+    plans an Expand that multiplies the scan — the agg_approx_distinct
+    lesson); the union-merge side is group-cardinality-sized."""
+    import os
+    import tempfile
+
+    o = load_table(spark, sf_dir, "orders")
+    sk = (o.groupBy("o_orderpriority")
+          .agg(F.hll_sketch_agg("o_custkey").alias("sk")))
+    # serialization round trip: binary sketches at rest, then restored
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    path = os.path.join(tempfile.gettempdir(), f"dss_hll_{tag}.parquet")
+    sk.write.mode("overwrite").parquet(path)
+    stored = spark.read.parquet(path)
+    per_group = (stored.select(
+        "o_orderpriority",
+        F.hll_sketch_estimate("sk").alias("est")))
+    exact_g = o.groupBy("o_orderpriority").agg(
+        F.countDistinct("o_custkey").alias("exact_custs"))
+    grp = (per_group.join(exact_g, "o_orderpriority")
+           .select(
+               F.col("o_orderpriority").alias("grp"),
+               "exact_custs",
+               (F.abs(F.col("est") - F.col("exact_custs"))
+                <= 0.10 * F.col("exact_custs")).alias("within_10pct")))
+    merged = stored.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est"))
+    exact_t = o.agg(F.countDistinct("o_custkey").alias("exact_custs"))
+    total = (merged.crossJoin(exact_t)
+             .select(F.lit("ALL").alias("grp"), "exact_custs",
+                     (F.abs(F.col("est") - F.col("exact_custs"))
+                      <= 0.10 * F.col("exact_custs")).alias("within_10pct")))
+    return grp.unionByName(total)
+
+
 def agg_approx_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch-based quantiles (approx_percentile — the 100-TB path where
     exact percentiles would sort every partition's values). Same
@@ -240,6 +290,7 @@ QUERIES = {
     "agg_distinct": agg_distinct,
     "agg_approx_distinct": agg_approx_distinct,  # exact counts + HLL bound flags
     "agg_approx_quantile": agg_approx_quantile,  # exact quantiles + sketch flags
+    "agg_hll_sketch_merge": agg_hll_sketch_merge,  # storable sketches: build→store→union
     "agg_percentile_median": agg_percentile_median,
     "agg_rollup": agg_rollup,
     "agg_cube": agg_cube,
@@ -258,6 +309,14 @@ SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS exact_orders,
        TRUE AS approx_orders_within_10pct,
        TRUE AS approx_parts_within_10pct
 FROM lineitem
+""",
+    "agg_hll_sketch_merge": """
+SELECT o_orderpriority AS grp,
+       CAST(count(DISTINCT o_custkey) AS BIGINT) AS exact_custs,
+       TRUE AS within_10pct
+FROM orders GROUP BY o_orderpriority
+UNION ALL
+SELECT 'ALL', CAST(count(DISTINCT o_custkey) AS BIGINT), TRUE FROM orders
 """,
     "agg_approx_quantile": """
 SELECT round(quantile_cont(l_extendedprice, 0.5), 4) AS p50_exact,

@@ -470,6 +470,42 @@ def sample_mix_epochs(spark, sf_dir):
         "n_epochs")
 
 
+def corpus_datacard(spark, sf_dir):
+    """The dataset-release DATA CARD in one frame: per-language doc/
+    token/char totals, corpus share, and exact-duplicate exposure — the
+    summary table every corpus release publishes (and the first thing a
+    consumer reads). One row per language; integer-exact everywhere
+    (share in ppm via DECIMAL DIV) so the oracle matches bit-for-bit.
+
+    Scale shape: doc rows reduce to skinny (lang, counts, sha2 digest)
+    projections at the scan; duplicate exposure is a digest-keyed
+    frequency aggregate joined back on the digest — two partial-
+    aggregable shuffles of digest-sized rows, never a window over raw
+    text (the oracle states that naive window). The language rollup is
+    group-cardinality-sized and the corpus total is a 1-row
+    broadcast."""
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select(
+        "lang",
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tokens"),
+        F.col("n_chars").cast("long").alias("n_chars"),
+        F.sha2(F.col("text"), 256).alias("h"))
+    freq = d.groupBy("h").agg(F.count("*").alias("freq"))
+    per = (d.join(freq, "h")
+           .groupBy("lang")
+           .agg(F.count("*").alias("n_docs"),
+                F.sum("n_tokens").alias("total_tokens"),
+                F.sum("n_chars").alias("total_chars"),
+                F.sum(F.when(F.col("freq") > 1, 1).otherwise(0))
+                .cast("long").alias("n_dup_docs")))
+    tot = per.agg(F.sum("n_docs").alias("corpus_docs"))
+    return (per.crossJoin(F.broadcast(tot))
+            .select("lang", "n_docs", "total_tokens", "total_chars",
+                    "n_dup_docs",
+                    F.expr("CAST((CAST(1000000 AS DECIMAL(38,0)) * n_docs)"
+                           " DIV corpus_docs AS BIGINT)").alias("share_ppm")))
+
+
 def dedup_paragraph(spark, sf_dir):
     """Sub-document repeated-span scrub (pipeline/dedup.py:
     paragraph_dedup) — the C4/RefinedWeb line-level dedup granularity:
@@ -754,6 +790,7 @@ QUERIES = {
     "sample_token_budget": sample_token_budget,
     "sample_reshard_seeded": sample_reshard_seeded,
     "sample_mix_epochs": sample_mix_epochs,
+    "corpus_datacard": corpus_datacard,
     "dedup_embedding_cosine": dedup_embedding_cosine,
     "dedup_embedding_incremental": dedup_embedding_incremental,
     "sim_topk_cosine": sim_topk_cosine,
@@ -1351,6 +1388,29 @@ SELECT doc_id, CAST(h % {_RESHARD_SHARDS} AS INT) AS shard,
        CAST(row_number() OVER (PARTITION BY h % {_RESHARD_SHARDS}
                                ORDER BY h, doc_id) AS BIGINT) AS pos
 FROM h
+""",
+    # the data card's dup exposure stated as the naive window the Spark
+    # side avoids (digest-freq aggregate ≡ count() over (partition by
+    # text) absent sha2 collisions)
+    "corpus_datacard": """
+WITH d AS (
+  SELECT lang,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         CAST(n_chars AS BIGINT) AS n_chars,
+         count(*) OVER (PARTITION BY text) AS freq
+  FROM documents
+), per AS (
+  SELECT lang, count(*) AS n_docs,
+         CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+         CAST(sum(n_chars) AS BIGINT) AS total_chars,
+         CAST(sum(CASE WHEN freq > 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_dup_docs
+  FROM d GROUP BY lang
+), tot AS (SELECT sum(n_docs) AS corpus_docs FROM per)
+SELECT lang, n_docs, total_tokens, total_chars, n_dup_docs,
+       CAST((1000000::HUGEINT * n_docs) // corpus_docs AS BIGINT)
+         AS share_ppm
+FROM per, tot
 """,
     # epoch upsampling: HUGEINT integer division mirrors the Spark
     # DECIMAL(38) DIV bit-for-bit, so membership of the fractional-epoch

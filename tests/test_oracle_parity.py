@@ -26,8 +26,8 @@ def test_every_oracle_key_has_a_query():
 # sibling of join_range_banded. Anything NEW showing a BNLJ must either
 # be justified here or re-planned.
 _BNLJ_OK = {
-    "agg_approx_distinct", "join_theta_range", "sample_mix_epochs",
-    "sample_temperature_mix",
+    "agg_approx_distinct", "agg_hll_sketch_merge", "corpus_datacard",
+    "join_theta_range", "sample_mix_epochs", "sample_temperature_mix",
     "sim_ivf_ann", "sim_ivfpq_ann", "sim_lsh_ann", "sim_pq_ann",
     "sim_topk_cosine", "text_langid", "text_tfidf_topk",
 }

@@ -500,3 +500,32 @@ def test_pg_dump_line_assignment_broadcasts(spark, sf_dir):
     assert "Exchange hashpartitioning" not in plan, plan
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_datacard_shuffles_digests_not_text(spark, sf_dir):
+    """corpus_datacard's duplicate-exposure join must ride sha2 digests:
+    no Exchange may carry the raw text column (the naive alternative —
+    a window over text — would shuffle and sort full document
+    bodies)."""
+    from database_syncer_spark.registry import all_queries
+
+    df = all_queries()["corpus_datacard"](spark, sf_dir)
+    df.collect()
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted")
+    plan = df._jdf.queryExecution().explainString(mode)
+    for seg in plan.split("\n\n"):
+        if seg.strip().startswith("(") and "Exchange" in seg.split("\n")[0]:
+            assert "text#" not in seg, seg
+
+
+def test_hll_sketch_no_expand(spark, sf_dir):
+    """agg_hll_sketch_merge keeps sketches and exact distincts in
+    SEPARATE aggregates: mixing them in one agg plans an Expand that
+    multiplies the scan by the distinct-group count (the measured
+    agg_approx_distinct lesson — 1.58 s vs 0.55 s at sf0.1)."""
+    from database_syncer_spark.registry import all_queries
+
+    plan = _plan(all_queries()["agg_hll_sketch_merge"](spark, sf_dir))
+    assert "Expand" not in plan, "sketch agg regressed into an Expand plan"
+    assert "BatchEvalPython" not in plan
