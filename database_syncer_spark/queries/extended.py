@@ -590,6 +590,53 @@ def win_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
                   .cast("double").alias("session_value")))
 
 
+def win_retention_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix over the event log — the third
+    product-analytics staple next to win_funnel_steps (ordered
+    conversion) and win_sessionize (gap sessions): users are cohorted
+    by the calendar DAY of their FIRST event, and each (cohort_day,
+    day_offset) cell counts how many of that cohort were active offset
+    days later — the D1/D7/D30 retention matrix — with the cohort's
+    size and an integer-ppm retention rate (offset 0 is the cohort day
+    itself, retention_ppm = 1000000 by construction — a built-in
+    self-check the oracle hash pins).
+
+    Scale shape: ONE user-keyed aggregation does both dedup and
+    cohorting — collect_set(active day) partial-aggregates map-side
+    (per-user state is bounded by the CALENDAR, distinct days, not by
+    event count), array_min gives the cohort day and explode restores
+    one row per (user, active day) WITHOUT the naive plan's
+    corpus-wide DISTINCT + first-event self-join (two extra event-log
+    shuffles). The second exchange carries only (cohort, offset)
+    partials; the cohort_size window runs over the calendar²-bounded
+    matrix, never over events. Offset math is exact integer datediff
+    days — no float time arithmetic. The reference has no analytics
+    surface (engine breadth, SURVEY §2 Part B); the oracle states the
+    naive DISTINCT-join-window plan, so equality proves the rewrite."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.to_date(F.col("ts").cast("timestamp")).alias("d"))
+    act = (ev.groupBy("user_id")
+           .agg(F.collect_set("d").alias("days"))
+           .select("user_id", F.array_min("days").alias("cohort_day"),
+                   F.explode("days").alias("d")))
+    ret = (act.withColumn("day_offset",
+                          F.datediff("d", "cohort_day").cast("int"))
+           .groupBy("cohort_day", "day_offset")
+           .agg(F.count("*").alias("n_active")))
+    wcoh = W.partitionBy("cohort_day")
+    return (ret.withColumn(
+                "cohort_size",
+                F.max(F.when(F.col("day_offset") == 0, F.col("n_active")))
+                .over(wcoh))
+            .withColumn(
+                "retention_ppm",
+                F.expr("CAST((1000000 * n_active) DIV cohort_size"
+                       " AS BIGINT)"))
+            .select("cohort_day", "day_offset", "n_active",
+                    "cohort_size", "retention_ppm"))
+
+
 def scan_binary_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``binaryFile`` source — the multimodal INGEST path: a directory
     of opaque media blobs read as (path, modificationTime, length,
@@ -680,6 +727,7 @@ QUERIES = {
     "join_runtime_bloom": join_runtime_bloom,
     "win_funnel_steps": win_funnel_steps,
     "win_sessionize": win_sessionize,
+    "win_retention_cohort": win_retention_cohort,
     "win_rolling_median": win_rolling_median,
     "agg_bitmap_distinct": agg_bitmap_distinct,
     "scan_binary_files": scan_binary_files,
@@ -769,6 +817,26 @@ SELECT s.user_id, s.signup_ts, c.click_ts, p.purchase_ts,
               + (CASE WHEN p.purchase_ts IS NULL THEN 0 ELSE 1 END)
             AS INT) AS steps_completed
 FROM s LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)
+""",
+    # the naive DISTINCT + first-event join + matrix window plan the
+    # collect_set rewrite must equal exactly; day_offset is exact
+    # integer calendar-day arithmetic on both engines
+    "win_retention_cohort": """
+WITH a AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+f AS (SELECT user_id, min(d) AS cohort_day FROM a GROUP BY user_id),
+r AS (SELECT f.cohort_day,
+             CAST(date_diff('day', f.cohort_day, a.d) AS INT)
+                 AS day_offset,
+             count(*) AS n_active
+      FROM a JOIN f USING (user_id) GROUP BY 1, 2)
+SELECT cohort_day, day_offset, n_active,
+       max(CASE WHEN day_offset = 0 THEN n_active END)
+           OVER (PARTITION BY cohort_day) AS cohort_size,
+       CAST((1000000 * n_active) // max(CASE WHEN day_offset = 0
+                                             THEN n_active END)
+                                       OVER (PARTITION BY cohort_day)
+            AS BIGINT) AS retention_ppm
+FROM r
 """,
     "join_runtime_bloom": """
 SELECT o_orderstatus, count(*) AS n_lines,

@@ -26,23 +26,23 @@ _MODULES = [
 # showed the driver checks a bounded prefix (exactly the first 50 keys get a
 # CORRECTNESS row each round). After r8 every key's latest driver row is
 # ≤2 rounds old (50 r8 + 46 r7 + 42 r6). r9 window (positions 0-49,
-# 9+2+2+37 = 50): positions 0-8 the keys ADDED in r9 (scan_pg_dump,
-# scan_pg_dump_sharded, sync_pg_to_mysql, text_gopher_filters,
+# 10+2+2+36 = 50): positions 0-9 the keys ADDED in r9 (win_retention_cohort,
+# scan_pg_dump, scan_pg_dump_sharded, sync_pg_to_mysql, text_gopher_filters,
 # sample_mix_epochs, corpus_datacard, agg_hll_sketch_merge,
 # corpus_version_diff, sample_reshard_seeded — never
-# driver-checked); positions 9-10 the keys r9
+# driver-checked); positions 10-11 the keys r9
 # REWROTE (sample_token_budget — three-level prefix sum + NULL-score
 # filter; corpus_curate — span-dedup stage composed in, membership and
-# n_tokens changed); positions 11-12 scan_sql_dump_sharded /
+# n_tokens changed); positions 12-13 scan_sql_dump_sharded /
 # sync_sharded_dumps (their latest rows are r6 and their shared read path
 # changed in BOTH r8 — the statement-cache gate — and r9 — _input_bytes
-# walk + unpersist-on-raise); positions 13-49 thirty-seven of the 40
-# pass-r6 keys (stalest block). The nine r9 additions squeeze THREE r6
-# keys out of the window: sort_multi_col, topk_limit, project_columns
-# (chosen as the lowest-risk defers — a plain ORDER BY, a LIMIT, and a
-# projection, none changed since r6, in-repo parity covers them) sit at
-# positions 50-52 and stay r6-stale until r10, where they go first among
-# the stale. The remaining r7 keys (including
+# walk + unpersist-on-raise); positions 14-49 thirty-six of the 40
+# pass-r6 keys (stalest block). The ten r9 additions squeeze FOUR r6
+# keys out of the window: sort_multi_col, topk_limit, project_columns,
+# project_key_concat (chosen as the lowest-risk defers — a plain ORDER
+# BY, a LIMIT, and two projections, none changed since r6, in-repo
+# parity covers them) sit at positions 50-53 and stay r6-stale until
+# r10, where they go first among the stale. The remaining r7 keys (including
 # dedup_embedding_cosine / agg_argmax_minby/agg_collect_sorted/agg_cube,
 # displaced earlier) and the 46 pass-r8 keys
 # (freshest) come last. Keys missing from this list are checked FIRST
@@ -51,24 +51,25 @@ _MODULES = [
 # to-refresh key at index 50). REGENERATE after each round's CORRECTNESS
 # lands.
 _KEY_ORDER = [
-    # --- NEW in r9 (never driver-checked) — verify first [0-8] ---
+    # --- NEW in r9 (never driver-checked) — verify first [0-9] ---
+    "win_retention_cohort",
     "scan_pg_dump", "scan_pg_dump_sharded", "sync_pg_to_mysql",
     "text_gopher_filters", "sample_mix_epochs", "corpus_datacard",
     "agg_hll_sketch_merge",
     "corpus_version_diff", "sample_reshard_seeded",
     # --- r9 code-churn: rewritten running sum; curate gained the
-    # span-dedup stage (output membership + n_tokens changed) [9-10] ---
+    # span-dedup stage (output membership + n_tokens changed) [10-11] ---
     "sample_token_budget", "corpus_curate",
-    # --- r6 rows + read path changed in r8 AND r9 (sources/dump.py) [11-12] ---
+    # --- r6 rows + read path changed in r8 AND r9 (sources/dump.py) [12-13] ---
     "scan_sql_dump_sharded", "sync_sharded_dumps",
-    # --- last driver value row: r6 (stalest block) — refresh [13-49] ---
+    # --- last driver value row: r6 (stalest block) — refresh [14-49] ---
     "agg_approx_distinct", "agg_approx_quantile", "agg_bitmap_distinct",
     "agg_mode_histogram", "diff_scd2_history",
     "filter_null_safe_eq", "filter_predicate", "join_asof",
     "join_asof_tolerance", "join_broadcast", "join_full_outer", "join_inner",
     "join_left_anti", "join_left_outer", "join_left_semi",
     "join_multiway_star", "join_range_banded", "join_skew_salted",
-    "join_theta_range", "project_key_concat",
+    "join_theta_range",
     "scan_binary_files", "scan_parquet",
     "set_except", "set_intersect", "set_union", "sink_cdc_compact",
     "text_chunk_split",
@@ -76,8 +77,9 @@ _KEY_ORDER = [
     "text_repetition", "tpch_q12_priority_classes",
     "win_funnel_steps", "win_ntile_cume", "win_range_frame",
     "win_rolling_median", "win_row_number_dedup", "win_sessionize",
-    # --- deferred r6 keys (positions 50-52, see header comment) ---
+    # --- deferred r6 keys (positions 50-53, see header comment) ---
     "sort_multi_col", "topk_limit", "project_columns",
+    "project_key_concat",
     # --- last driver value row: r7 — remaining, outside the window ---
     "dedup_embedding_cosine",
     "agg_argmax_minby", "agg_collect_sorted", "agg_cube",

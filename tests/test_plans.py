@@ -529,3 +529,23 @@ def test_hll_sketch_no_expand(spark, sf_dir):
     plan = _plan(all_queries()["agg_hll_sketch_merge"](spark, sf_dir))
     assert "Expand" not in plan, "sketch agg regressed into an Expand plan"
     assert "BatchEvalPython" not in plan
+
+
+def test_retention_cohort_three_exchanges_no_distinct_join(spark, sf_dir):
+    """win_retention_cohort's collect_set rewrite must keep exactly
+    three Exchanges (user dedup+cohort agg, matrix-cell agg, cohort
+    window over the calendar²-bounded matrix) with the set partially
+    aggregated map-side — the naive DISTINCT + first-event self-join
+    plan the oracle states would add two more event-log shuffles and a
+    join. Scan must prune to (ts, user_id); everything stays JVM-side."""
+    from database_syncer_spark.registry import all_queries
+
+    df = all_queries()["win_retention_cohort"](spark, sf_dir)
+    plan = _plan(df)
+    assert plan.count("Exchange hashpartitioning") == 3, plan
+    assert "partial_collect_set" in plan, plan
+    assert "Join" not in plan, plan
+    assert "BatchEvalPython" not in plan
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m and set(c.split(":")[0] for c in m.group(1).split(",")) == {
+        "ts", "user_id"}, plan

@@ -77,3 +77,42 @@ def test_funnel_steps_ordering_constraints(spark):
     finally:
         cat.load_table = orig
     assert got == {1: 3, 2: 1, 3: 2}
+
+
+def test_retention_cohort_matrix_semantics(spark):
+    """Hand-checkable cohort matrix: cohort day = first event day,
+    each (cohort, offset) cell counts distinct active users, offset 0
+    is the full cohort (ppm exactly 1000000), and multiple events on
+    one day count a user once."""
+    import datetime as dt
+
+    from database_syncer_spark.queries.extended import win_retention_cohort
+
+    d = lambda day, h=0: dt.datetime(2026, 1, day, h)
+    rows = [
+        # cohort Jan 1: users 1,2. user 1 returns day+1 twice (dedup),
+        # user 2 never returns.
+        (1, d(1)), (1, d(2, 3)), (1, d(2, 9)),
+        (2, d(1, 5)),
+        # cohort Jan 3: user 3 alone, returns at offset 2
+        (3, d(3)), (3, d(5)),
+    ]
+    ev = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    ev.write.mode("overwrite").parquet("/tmp/dss_retention_events")
+
+    import database_syncer_spark.queries.extended as ext
+    orig = ext.load_table
+    try:
+        ext.load_table = lambda sp, sf, name: sp.read.parquet(
+            "/tmp/dss_retention_events")
+        got = {(r.cohort_day.isoformat(), r.day_offset):
+               (r.n_active, r.cohort_size, r.retention_ppm)
+               for r in win_retention_cohort(spark, "ignored").collect()}
+    finally:
+        ext.load_table = orig
+    assert got == {
+        ("2026-01-01", 0): (2, 2, 1000000),
+        ("2026-01-01", 1): (1, 2, 500000),
+        ("2026-01-03", 0): (1, 1, 1000000),
+        ("2026-01-03", 2): (1, 1, 1000000),
+    }
