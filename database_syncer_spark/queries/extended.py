@@ -601,25 +601,34 @@ def win_retention_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
     itself, retention_ppm = 1000000 by construction — a built-in
     self-check the oracle hash pins).
 
-    Scale shape: ONE user-keyed aggregation does both dedup and
-    cohorting — collect_set(active day) partial-aggregates map-side
-    (per-user state is bounded by the CALENDAR, distinct days, not by
-    event count), array_min gives the cohort day and explode restores
-    one row per (user, active day) WITHOUT the naive plan's
-    corpus-wide DISTINCT + first-event self-join (two extra event-log
-    shuffles). The second exchange carries only (cohort, offset)
-    partials; the cohort_size window runs over the calendar²-bounded
-    matrix, never over events. Offset math is exact integer datediff
-    days — no float time arithmetic. The reference has no analytics
-    surface (engine breadth, SURVEY §2 Part B); the oracle states the
-    naive DISTINCT-join-window plan, so equality proves the rewrite."""
+    Scale shape: a codegen (user, day) HashAggregate dedups the event
+    log map-side (partial agg: per-task state is one entry per
+    distinct (user, day), never a per-user set object), then ONE
+    user-partitioned window takes min(day) as the cohort day over the
+    already-deduped rows — no first-event self-join back to the event
+    log (the oracle states that naive DISTINCT + join plan). Four
+    Exchanges total, but only the first two touch event-derived rows
+    and BOTH carry the deduped (user, day) stream (the first ships
+    map-side-deduped partials — at 100 TB, shuffle volume is bounded
+    by distinct user-days, not raw events); the last two carry
+    (cohort, offset) matrix partials, calendar²-bounded. The
+    cohort_size window runs over that matrix, never over events. Deliberately NOT
+    collect_set(day) per user: collect_set plans as
+    ObjectHashAggregate, which falls back to sort-based aggregation
+    after spark.sql.objectHashAggregate.sortBased.fallbackThreshold
+    (default 128) in-memory groups — at 10 M events / 15 M users the
+    measured warm A/B is 81 s (collect_set, both agg phases degrade
+    to full sorts with set-object serialization) vs 6.3 s for this
+    plan (SCALE.md). Offset math is exact integer datediff days — no
+    float time arithmetic. The reference has no analytics surface
+    (engine breadth, SURVEY §2 Part B)."""
     ev = load_table(spark, sf_dir, "events").select(
         "user_id",
         F.to_date(F.col("ts").cast("timestamp")).alias("d"))
-    act = (ev.groupBy("user_id")
-           .agg(F.collect_set("d").alias("days"))
-           .select("user_id", F.array_min("days").alias("cohort_day"),
-                   F.explode("days").alias("d")))
+    act = (ev.groupBy("user_id", "d").agg(F.lit(1).alias("__one"))
+           .select("user_id", "d",
+                   F.min("d").over(W.partitionBy("user_id"))
+                   .alias("cohort_day")))
     ret = (act.withColumn("day_offset",
                           F.datediff("d", "cohort_day").cast("int"))
            .groupBy("cohort_day", "day_offset")

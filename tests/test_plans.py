@@ -532,18 +532,22 @@ def test_hll_sketch_no_expand(spark, sf_dir):
 
 
 def test_retention_cohort_three_exchanges_no_distinct_join(spark, sf_dir):
-    """win_retention_cohort's collect_set rewrite must keep exactly
-    three Exchanges (user dedup+cohort agg, matrix-cell agg, cohort
-    window over the calendar²-bounded matrix) with the set partially
-    aggregated map-side — the naive DISTINCT + first-event self-join
-    plan the oracle states would add two more event-log shuffles and a
-    join. Scan must prune to (ts, user_id); everything stays JVM-side."""
+    """win_retention_cohort must keep exactly four Exchanges ((user,
+    day) dedup agg, user window, matrix-cell agg, cohort window over
+    the calendar²-bounded matrix — only the first two touch
+    event-derived rows and both carry the deduped (user, day) stream)
+    with the dedup partially aggregated map-side in a codegen
+    HashAggregate — NOT an ObjectHashAggregate collect_set
+    (sort-based fallback past 128 in-memory groups: 13× slower at
+    10 M events, SCALE.md) and NOT the naive DISTINCT + first-event
+    self-join the oracle states. Scan must prune to (ts, user_id);
+    everything stays JVM-side."""
     from database_syncer_spark.registry import all_queries
 
     df = all_queries()["win_retention_cohort"](spark, sf_dir)
     plan = _plan(df)
-    assert plan.count("Exchange hashpartitioning") == 3, plan
-    assert "partial_collect_set" in plan, plan
+    assert plan.count("Exchange hashpartitioning") == 4, plan
+    assert "ObjectHashAggregate" not in plan, plan
     assert "Join" not in plan, plan
     assert "BatchEvalPython" not in plan
     m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
