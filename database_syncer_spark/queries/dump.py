@@ -407,15 +407,18 @@ def sync_pg_to_mysql(spark: SparkSession, sf_dir: str) -> DataFrame:
     unchanged — which is the point: dialect lives entirely at the
     source boundary. The pg side's planted NULL priorities ('1-URGENT'
     rows) surface as extra UPDATEs against the mysql backup, so the
-    diff also proves NULL-vs-value classification across dialects."""
-    from database_syncer_spark.core.diff import snapshot_diff
+    diff also proves NULL-vs-value classification across dialects.
 
-    prod = read_pg_dump(spark, _orders_pg_dump(spark, sf_dir))["orders"]
-    backup = read_sql_dump(
-        spark, _orders_backup_dump(spark, sf_dir))["orders"]
-    backup = backup.withColumn(
-        "o_orderdate", F.col("o_orderdate").cast("timestamp_ntz"))
-    return snapshot_diff(prod, backup, pk_cols=["o_orderkey"])
+    Rides the production ``sync_dumps`` entry point (dialects
+    auto-sniffed → the FUSED cross-dialect path, r10): the mysql side's
+    last-wins dedup resolves inside the diff's single ``groupBy(pk)``
+    shuffle, the pg side carries a constant order key (COPY cannot
+    express overwrites) — see ``_sync_dumps_cross_dialect``."""
+    from database_syncer_spark.sources.dump import sync_dumps
+
+    changes, _, _, _ = sync_dumps(spark, _orders_pg_dump(spark, sf_dir),
+                                  _orders_backup_dump(spark, sf_dir))
+    return changes["orders"]
 
 
 def _pg_mysql_diff_sql() -> str:

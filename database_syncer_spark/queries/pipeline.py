@@ -295,6 +295,15 @@ def sample_token_budget(spark, sf_dir):
 #: case (ONE distinct score) still yields this many window partitions
 _BUDGET_BUCKETS = 1024
 
+#: hard cap on the level-1 driver collect (distinct scores). The score
+#: contract is 6-dp-rounded in [0, 1] (≤ 1,000,001 distinct values —
+#: model-state-sized by construction), but nothing else enforces it: a
+#: continuous score column would silently collect corpus-cardinality
+#: rows to the driver (r9 verdict, "what's wrong" #2). The limit bounds
+#: driver residency to cap+1 rows even on a violating input, and the
+#: overflow fails LOUD with the fix (coarser rounding) in the message.
+_BUDGET_SCORE_CARDINALITY_CAP = 1_100_000
+
 
 def _token_budget_select(spark, d, budget_div: int = 20,
                          n_buckets: int = _BUDGET_BUCKETS):
@@ -304,10 +313,22 @@ def _token_budget_select(spark, d, budget_div: int = 20,
     in the (score DESC, doc_id) order and can never beat the boundary,
     and the driver-side sort must not compare None (r8 advice)."""
     d = d.where(F.col("quality_score").isNotNull())
-    levels = sorted(
-        d.groupBy("quality_score").agg(F.sum("n_tokens").alias("toks"),
-                                       F.max("doc_id").alias("max_id"))
-        .collect(), key=lambda r: -r.quality_score)
+    # limit(cap+1): the collect itself is the cardinality probe — one
+    # job, driver residency bounded by the cap whatever the input does.
+    # When the result fits the cap the limited collect IS the complete
+    # per-score table (limit only truncates past cap+1 rows).
+    cap = _BUDGET_SCORE_CARDINALITY_CAP
+    rows = (d.groupBy("quality_score")
+            .agg(F.sum("n_tokens").alias("toks"),
+                 F.max("doc_id").alias("max_id"))
+            .limit(cap + 1).collect())
+    if len(rows) > cap:
+        raise ValueError(
+            f"sample_token_budget: > {cap:,} distinct quality_score "
+            "values — the score column violates the 6-dp-rounded [0, 1] "
+            "contract this driver-side prefix table depends on. Round "
+            "the score (e.g. F.round(score, 6)) before selection.")
+    levels = sorted(rows, key=lambda r: -r.quality_score)
     total = sum(r.toks for r in levels)
     budget = total // budget_div
     offsets, cum = [], 0

@@ -258,3 +258,31 @@ def test_cross_dialect_sync_pg_prod_mysql_backup(spark, tmp_path, capsys):
     assert "DELETE FROM `t` WHERE `id` = 4;" in script
     assert "'added'" in script and "'new'" in script
     assert "'keep'" not in script  # unchanged rows emit nothing
+
+
+def test_cross_dialect_sync_fused_last_wins_and_plan(spark, tmp_path):
+    """The cross-dialect sync rides the FUSED diff (r10): (a) a
+    duplicate PK on the mysql side resolves last-INSERT-wins INSIDE the
+    diff — id 2's final 'new' value equals prod, so no change row;
+    (b) the plan carries exactly ONE data Exchange (the fused
+    groupBy(pk) over the tagged union), not per-side dedup aggregations
+    feeding a join."""
+    from database_syncer_spark.sources.dump import sync_dumps
+
+    my_dup = MY_BACKUP.replace(
+        "VALUES (1,'keep'),(2,'old'),(4,'gone');",
+        "VALUES (1,'keep'),(2,'stale'),(4,'gone');\n"
+        "INSERT INTO `t` (`id`, `v`) VALUES (2,'new');")
+    prod = _write(tmp_path, "prod.sql", PG_PROD)
+    backup = _write(tmp_path, "backup.sql", my_dup)
+    changes, _, _, _ = sync_dumps(spark, prod, backup)
+    # plan BEFORE the action (post-execution AQE strings repeat the
+    # Initial Plan section and double-count); one hash Exchange for the
+    # fused agg — the tiny marker/DDL collects run eagerly inside the
+    # readers and never appear here
+    plan = changes["t"]._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    got = {r.id: r.change_type for r in changes["t"].collect()}
+    # id 2: prod 'new' vs last-wins backup 'new' -> unchanged, absent
+    assert got == {3: "INSERT", 4: "DELETE"}
+    changes["t"].unpersist()

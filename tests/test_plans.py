@@ -531,7 +531,7 @@ def test_hll_sketch_no_expand(spark, sf_dir):
     assert "BatchEvalPython" not in plan
 
 
-def test_retention_cohort_three_exchanges_no_distinct_join(spark, sf_dir):
+def test_retention_cohort_four_exchanges_no_distinct_join(spark, sf_dir):
     """win_retention_cohort must keep exactly four Exchanges ((user,
     day) dedup agg, user window, matrix-cell agg, cohort window over
     the calendar²-bounded matrix — only the first two touch

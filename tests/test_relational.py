@@ -97,14 +97,16 @@ def test_retention_cohort_matrix_semantics(spark):
         # cohort Jan 3: user 3 alone, returns at offset 2
         (3, d(3)), (3, d(5)),
     ]
+    # the query only needs a DataFrame with (user_id, ts) — hand the
+    # in-memory frame straight through load_table, no scratch-path
+    # parquet round trip (r9 advice: the hardcoded /tmp path collided
+    # across concurrent runs)
     ev = spark.createDataFrame(rows, "user_id long, ts timestamp")
-    ev.write.mode("overwrite").parquet("/tmp/dss_retention_events")
 
     import database_syncer_spark.queries.extended as ext
     orig = ext.load_table
     try:
-        ext.load_table = lambda sp, sf, name: sp.read.parquet(
-            "/tmp/dss_retention_events")
+        ext.load_table = lambda sp, sf, name: ev
         got = {(r.cohort_day.isoformat(), r.day_offset):
                (r.n_active, r.cohort_size, r.retention_ppm)
                for r in win_retention_cohort(spark, "ignored").collect()}
