@@ -78,6 +78,86 @@ def apply_script_duckdb(
     return out
 
 
+def merge_cdc_batch_duckdb(con, table: str, batch,
+                           pk_cols: list[str]) -> None:
+    """MERGE one CDC batch (Arrow table: pk + change_type + post-image
+    columns, at most one row per PK — the snapshot_diff contract) into
+    an existing DuckDB table, set-based, inside ONE transaction.
+
+    This is the lakehouse-MERGE consumption shape
+    (docs/lakehouse_sink_design.md) on the engine this image has: the
+    per-row statement script (`apply_script_duckdb`) pays ~0.5 ms of
+    parse/bind/plan PER STATEMENT, while this form is two set
+    operations regardless of batch size — the same plan a Delta/Iceberg
+    `MERGE INTO` would run, minus the format's file-level transaction
+    log (this image ships neither runtime; DuckDB's ACID transaction
+    stands in for the atomic commit).
+
+    IDEMPOTENT by construction: the DELETE matches every batch PK
+    (including INSERTs'), the INSERT re-adds every non-DELETE
+    post-image — so re-running the same batch against the post-commit
+    state deletes exactly the rows the first run wrote and writes them
+    back, a no-op. That is the retry semantics the design note's
+    acceptance criterion #2 asks of a format-native sink (re-running a
+    failed-then-retried sync must converge, not duplicate).
+    """
+    pk_match = " AND ".join(f't."{c}" = b."{c}"' for c in pk_cols)
+    value_cols = [c for c in batch.column_names if c != "change_type"]
+    col_list = ", ".join(f'"{c}"' for c in value_cols)
+    con.register("___dss_batch", batch)
+    con.execute("BEGIN TRANSACTION")
+    try:
+        con.execute(
+            f'DELETE FROM "{table}" t USING ___dss_batch b WHERE {pk_match}')
+        con.execute(
+            f'INSERT INTO "{table}" ({col_list}) '
+            f"SELECT {col_list} FROM ___dss_batch "
+            f"WHERE change_type <> 'DELETE'")
+        con.execute("COMMIT")
+    except Exception:
+        con.execute("ROLLBACK")
+        raise
+    finally:
+        con.unregister("___dss_batch")
+
+
+def merge_cdc_batches_duckdb(
+    base: DataFrame,
+    table: str,
+    batches: list[DataFrame],
+    pk_cols: list[str],
+    replay: int | None = None,
+):
+    """Apply SUCCESSIVE CDC batches to ``base`` via
+    ``merge_cdc_batch_duckdb`` — the multi-batch incremental sink a
+    lakehouse target consumes (one atomic commit per batch, later
+    batches see earlier batches' state). ``replay``: re-apply the
+    batch at that index immediately after its first apply, modeling a
+    retried commit; idempotence means the replay must be a no-op.
+    Returns the final table as an Arrow table.
+
+    Driver-residency policy: same as ``sync_via_executor`` — this
+    driver-side apply is the modest-change-volume consumption; when
+    batch volume rivals the table, the distributed MERGE emulation
+    (``apply_changes`` / foreachBatch) is the right sink."""
+    import duckdb
+
+    con = duckdb.connect()
+    try:
+        con.register("___dss_base", base.toArrow())
+        con.execute(
+            f'CREATE TABLE "{table}" AS SELECT * FROM ___dss_base')
+        con.unregister("___dss_base")
+        for i, b in enumerate(batches):
+            batch = b.toArrow()
+            merge_cdc_batch_duckdb(con, table, batch, pk_cols)
+            if replay == i:
+                merge_cdc_batch_duckdb(con, table, batch, pk_cols)
+        return con.execute(f'SELECT * FROM "{table}"').arrow()
+    finally:
+        con.close()
+
+
 #: Driver-side apply is only sane for modest volumes: the script is
 #: collect()ed and the whole backup table is toArrow()'d onto the driver.
 #: Above these bounds the change volume rivals the table and the right

@@ -250,6 +250,76 @@ def corpus_curate(spark, sf_dir):
                     "quality_score", "had_pii"))
 
 
+def corpus_curate_incremental(spark, sf_dir):
+    """INGEST-TIME curation (VERDICT r9 item 5): the O(batch) answer to
+    corpus_curate's O(corpus)-every-run cost. A daily batch (the
+    doc_id % 16 == 5 slice, same split as dedup_incremental) is
+    quality-scored and PII-scrubbed, then admitted only if NOVEL
+    against the existing CURATED corpus (the quality-passing rest,
+    scrubbed identically — in production that corpus sits at rest with
+    its sha2 digests and MinHash band buckets PRECOMPUTED; computing
+    them here is the one-time index build the steady state amortizes):
+
+    - ``novel_exact``: the batch doc's scrubbed sha2 matches no corpus
+      digest (the cheap stored-index probe — exchanges carry 64-byte
+      digests, never text);
+    - ``novel_near``: no banded-LSH near-dup at jaccard ≥ 0.5
+      (pipeline/dedup.py:incremental_near_dups — batch×corpus band
+      join, cost scales with the batch and its collision volume, never
+      the corpus self-pair set).
+
+    Novelty is only computed for quality-passing batch docs (the
+    filter runs BEFORE the expensive stages, so a garbage batch costs
+    its scan only); fails short-circuit every gate to FALSE — the
+    flags are admission gates, not survey answers, so they stay
+    NON-NULL booleans (a NULL boolean also hashes differently across
+    the two engines' pandas bridges). Output: one verdict row per
+    batch doc — (doc_id, quality_score, had_pii, passed_quality,
+    novel_exact, novel_near, admitted). Composes the two verified
+    incremental dedup verdicts with corpus_curate's exact scoring and
+    scrub stages (shared oracle CTEs pin the equivalence)."""
+    docs = load_table(spark, sf_dir, "documents")
+    planted = docs.select(
+        "doc_id",
+        F.when(F.col("doc_id") % _PII_MOD == _PII_REM,
+               F.concat(F.col("text"), F.lit(" contact agent"),
+                        F.col("doc_id").cast("string"),
+                        F.lit("@example.com now")))
+        .otherwise(F.col("text")).alias("text"))
+    scored = T.quality_score(planted).select("doc_id", "quality_score")
+    scrubbed = (planted.join(scored, "doc_id").select(
+        "doc_id", "quality_score",
+        ((F.regexp_count("text", F.lit(T.EMAIL_PATTERN))
+          + F.regexp_count("text", F.lit(T.PHONE_PATTERN))) > 0
+         ).alias("had_pii"),
+        F.regexp_replace(
+            F.regexp_replace("text", T.EMAIL_PATTERN, "<EMAIL>"),
+            T.PHONE_PATTERN, "<PHONE>").alias("text")))
+    is_batch = F.col("doc_id") % _BATCH_MOD == _BATCH_REM
+    passed = F.col("quality_score") >= _CURATE_QUALITY_MIN
+    batch = scrubbed.where(is_batch)
+    corpus = scrubbed.where(~is_batch).where(passed)
+    bq = batch.where(passed)
+    # exact novelty: digest semi-join against the corpus digest index
+    dup_exact = (bq.select("doc_id", F.sha2("text", 256).alias("digest"))
+                 .join(corpus.select(F.sha2("text", 256).alias("digest")),
+                       "digest", "left_semi")
+                 .select("doc_id", F.lit(True).alias("__dup")))
+    near = D.incremental_near_dups(bq.select("doc_id", "text"),
+                                   corpus.select("doc_id", "text"))
+    passed_b = F.coalesce(passed, F.lit(False))
+    novel_exact = passed_b & F.col("__dup").isNull()
+    novel_near = passed_b & F.coalesce(F.col("novel"), F.lit(False))
+    return (batch.select("doc_id", "quality_score", "had_pii")
+            .join(dup_exact, "doc_id", "left")
+            .join(near.select("doc_id", "novel"), "doc_id", "left")
+            .select("doc_id", "quality_score", "had_pii",
+                    passed_b.alias("passed_quality"),
+                    novel_exact.alias("novel_exact"),
+                    novel_near.alias("novel_near"),
+                    (novel_exact & novel_near).alias("admitted")))
+
+
 def sample_token_budget(spark, sf_dir):
     """Token-budget corpus selection — the data-mixing step after
     scoring: keep the highest-quality documents, in (quality_score
@@ -807,6 +877,7 @@ QUERIES = {
     "dedup_soft_keep": dedup_soft_keep,
     "dedup_paragraph": dedup_paragraph,
     "corpus_curate": corpus_curate,
+    "corpus_curate_incremental": corpus_curate_incremental,
     "corpus_version_diff": corpus_version_diff,
     "sample_token_budget": sample_token_budget,
     "sample_reshard_seeded": sample_reshard_seeded,
@@ -879,6 +950,46 @@ inter AS (
 pairs AS (
   SELECT doc_a, doc_b FROM inter
   WHERE round(CAST(c AS DOUBLE) / (na + nb - c), 6) >= {threshold}
+)"""
+
+
+def _curate_scrub_ctes(quality_filtered: bool = True) -> str:
+    """CTE list `base, q, scrub`: PII planting -> 6-dp quality score ->
+    email/phone scrub — the shared front half of the curation oracles
+    (corpus_curate and corpus_curate_incremental must score and scrub
+    identically or their membership drifts; single source of truth per
+    the r8 four-diverging-copies lesson). ``quality_filtered``: apply
+    the quality floor inside `scrub` (corpus_curate drops fails there;
+    the incremental key keeps batch fails for its verdict rows)."""
+    where = (f"WHERE q.quality_score >= {_CURATE_QUALITY_MIN}"
+             if quality_filtered else "")
+    return f"""base AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % {_PII_MOD} = {_PII_REM}
+              THEN text || ' contact agent' || CAST(doc_id AS VARCHAR)
+                   || '@example.com now'
+              ELSE text END AS text
+  FROM documents
+),
+q AS (
+  SELECT doc_id,
+         round(least(1.0, CAST(len(string_split(text, ' ')) AS DOUBLE)
+                          / 100.0)
+               * (1.0 - CAST(len(list_filter(string_split(text, ' '),
+                    t -> list_contains({_STOP_SQL}, t))) AS DOUBLE)
+                  / len(string_split(text, ' '))), 6) AS quality_score
+  FROM base
+),
+scrub AS (
+  SELECT b.doc_id, q.quality_score,
+         (len(regexp_extract_all(b.text, '{T.EMAIL_PATTERN}'))
+          + len(regexp_extract_all(b.text, '{T.PHONE_PATTERN}'))) > 0
+           AS had_pii,
+         regexp_replace(regexp_replace(b.text,
+             '{T.EMAIL_PATTERN}', '<EMAIL>', 'g'),
+             '{T.PHONE_PATTERN}', '<PHONE>', 'g') AS text
+  FROM base b JOIN q USING (doc_id)
+  {where}
 )"""
 
 
@@ -1295,35 +1406,49 @@ FROM bt LEFT JOIN agg USING (doc_id)
     # inverted index — complete for the Spark side's LSH edges, recall
     # verified total) -> greedy packing replayed per shard (recursive
     # CTE, same rule as text_pack_greedy's oracle)
+    # ingest-time curation verdict: shared scrub CTEs (scoring/scrub
+    # identical to corpus_curate by construction), exact novelty via
+    # text equality (the Spark side's digest semi-join, collision-free
+    # at fixture scale by sha2 width), near novelty via the exact
+    # batch×corpus jaccard pairs — complete for the Spark side's LSH
+    # candidates by the same verified-total-recall-at-0.5 argument as
+    # dedup_incremental's oracle
+    "corpus_curate_incremental": f"""
+WITH {_curate_scrub_ctes(quality_filtered=False)},
+bat AS (SELECT * FROM scrub WHERE doc_id % {_BATCH_MOD} = {_BATCH_REM}),
+corp AS (SELECT * FROM scrub WHERE doc_id % {_BATCH_MOD} <> {_BATCH_REM}
+         AND quality_score >= {_CURATE_QUALITY_MIN}),
+bq AS (SELECT * FROM bat WHERE quality_score >= {_CURATE_QUALITY_MIN}),
+exact_dup AS (
+  SELECT DISTINCT b.doc_id FROM bq b JOIN corp c ON b.text = c.text
+),
+tb AS (SELECT doc_id, {_SHINGLE_SQL} AS shingles FROM bq),
+tc AS (SELECT doc_id, {_SHINGLE_SQL} AS shingles FROM corp),
+shb AS (SELECT doc_id, len(shingles) AS n_sh, unnest(shingles) AS sh FROM tb),
+shc AS (SELECT doc_id AS corpus_id, len(shingles) AS n_sh_c,
+               unnest(shingles) AS sh FROM tc),
+inter AS (
+  SELECT b.doc_id, c.corpus_id, b.n_sh AS na, c.n_sh_c AS nb, count(*) AS c
+  FROM shb b JOIN shc c USING (sh) GROUP BY 1, 2, 3, 4
+),
+ver AS (
+  SELECT doc_id FROM inter
+  WHERE round(CAST(c AS DOUBLE) / (na + nb - c), 6) >= 0.5
+),
+agg AS (SELECT doc_id, count(*) AS n_dups FROM ver GROUP BY doc_id)
+SELECT bat.doc_id, bat.quality_score, bat.had_pii,
+       coalesce(bat.quality_score >= {_CURATE_QUALITY_MIN}, FALSE)
+         AS passed_quality,
+       coalesce(bat.quality_score >= {_CURATE_QUALITY_MIN}, FALSE)
+         AND e.doc_id IS NULL AS novel_exact,
+       coalesce(bat.quality_score >= {_CURATE_QUALITY_MIN}, FALSE)
+         AND coalesce(agg.n_dups, 0) = 0 AS novel_near,
+       coalesce(bat.quality_score >= {_CURATE_QUALITY_MIN}, FALSE)
+         AND e.doc_id IS NULL AND coalesce(agg.n_dups, 0) = 0 AS admitted
+FROM bat LEFT JOIN exact_dup e USING (doc_id) LEFT JOIN agg USING (doc_id)
+""",
     "corpus_curate": f"""
-WITH RECURSIVE base AS (
-  SELECT doc_id,
-         CASE WHEN doc_id % {_PII_MOD} = {_PII_REM}
-              THEN text || ' contact agent' || CAST(doc_id AS VARCHAR)
-                   || '@example.com now'
-              ELSE text END AS text
-  FROM documents
-),
-q AS (
-  SELECT doc_id,
-         round(least(1.0, CAST(len(string_split(text, ' ')) AS DOUBLE)
-                          / 100.0)
-               * (1.0 - CAST(len(list_filter(string_split(text, ' '),
-                    t -> list_contains({_STOP_SQL}, t))) AS DOUBLE)
-                  / len(string_split(text, ' '))), 6) AS quality_score
-  FROM base
-),
-scrub AS (
-  SELECT b.doc_id, q.quality_score,
-         (len(regexp_extract_all(b.text, '{T.EMAIL_PATTERN}'))
-          + len(regexp_extract_all(b.text, '{T.PHONE_PATTERN}'))) > 0
-           AS had_pii,
-         regexp_replace(regexp_replace(b.text,
-             '{T.EMAIL_PATTERN}', '<EMAIL>', 'g'),
-             '{T.PHONE_PATTERN}', '<PHONE>', 'g') AS text
-  FROM base b JOIN q USING (doc_id)
-  WHERE q.quality_score >= {_CURATE_QUALITY_MIN}
-),
+WITH RECURSIVE {_curate_scrub_ctes()},
 ek AS (SELECT min(doc_id) AS doc_id FROM scrub GROUP BY sha256(text)),
 d2 AS (SELECT s.doc_id, s.text FROM scrub s JOIN ek USING (doc_id)),
 {_ngram_pairs_ctes(0.5, rel="d2")},

@@ -198,6 +198,65 @@ _FAST_VAL_RE = re.compile(
 )
 _SEP_CHARS = " \t\r\n,;"
 
+#: full-match hex literal body (after the 0x prefix was sniffed)
+_HEX_LIT_RE = re.compile(r"0[xX][0-9A-Fa-f]*\Z")
+#: introducer/typed-literal prefix before a quoted string: a charset
+#: introducer (_utf8mb4'…'), a hex string literal (X'…'), or a bit
+#: literal (b'…'). \w+ is ASCII-bounded (re.A): charset names are.
+_INTRODUCER_RE = re.compile(r"(_\w+|[XxBb])\s*(?=['\"])", re.A)
+
+
+def _decode_hex_literal(h: str) -> str:
+    """MySQL hex literal body -> the text it encodes. mysqldump emits
+    hex (``--hex-blob``, and always for binary-ish columns) as raw
+    BYTES; this engine's typed frames carry strings, so the bytes must
+    decode as UTF-8 — anything else fails LOUD (r9 verdict: a
+    conforming dump must round-trip or error, never silently mis-parse;
+    before this existed, ``0x414243`` ingested as the nine-char text
+    "0x414243")."""
+    try:
+        return bytes.fromhex(h).decode("utf-8")
+    except (ValueError, UnicodeDecodeError) as exc:
+        raise ValueError(
+            f"hex literal 0x{h[:40]}{'…' if len(h) > 40 else ''} does not "
+            f"decode as UTF-8 text ({exc}); non-text binary payloads need "
+            "a binary-typed column mapping this engine does not ingest "
+            "from dumps yet — fail-loud by design") from exc
+
+
+def _bare_literal(raw: str) -> str | None:
+    """Interpret an unquoted value token: NULL, hex literal, else the
+    raw text (numbers and other literals are cast downstream)."""
+    c0 = raw[:1]
+    if (c0 == "N" or c0 == "n") and raw.upper() == "NULL":
+        return None
+    if c0 == "0" and raw[1:2] in ("x", "X") and _HEX_LIT_RE.match(raw):
+        return _decode_hex_literal(raw[2:])
+    return raw
+
+
+def _unquote_prefixed(raw: str) -> str:
+    """Unquote a value token that contains a quoted string, honoring a
+    leading introducer: ``_charset'…'`` (annotation only — the payload
+    is already the dump file's encoding), ``X'4142'`` (hex string),
+    ``b'1010'`` (bit literal -> its decimal text, matching how MySQL
+    integer-casts bit values). A quote-bearing token that is neither
+    wholly quoted nor introducer-prefixed is malformed SQL: loud."""
+    c0 = raw[0]
+    if c0 == "'" or c0 == '"':
+        return _unquote(raw)
+    m = _INTRODUCER_RE.match(raw)
+    if m is None:
+        raise ValueError(
+            f"unparseable quoted literal in dump VALUES: {raw[:80]!r}")
+    prefix = m.group(1)
+    inner = _unquote(raw[m.end():])
+    if prefix in ("X", "x"):
+        return _decode_hex_literal(inner)
+    if prefix in ("B", "b"):
+        return str(int(inner, 2)) if inner else "0"
+    return inner
+
 
 def _tokenize_fast(s: str) -> list[list[str | None]] | None:
     """Regex fast path for well-formed VALUES clauses (the overwhelmingly
@@ -231,10 +290,8 @@ def _tokenize_fast(s: str) -> list[list[str | None]] | None:
             c0 = raw[:1]
             if c0 == "'" or c0 == '"':
                 append(_unquote(raw))
-            elif (c0 == "N" or c0 == "n") and raw.upper() == "NULL":
-                append(None)
             else:
-                append(raw)
+                append(_bare_literal(raw))
         if vpos != len(t):
             return None  # unconsumed tail inside the row body
         rows.append(vals)
@@ -276,11 +333,9 @@ def _tokenize_scan(values_part: str) -> list[list[str | None]]:
         nonlocal buf, was_quoted
         raw = "".join(buf).strip()
         if was_quoted:
-            vals.append(_unquote(raw))
-        elif raw.upper() == "NULL":
-            vals.append(None)
+            vals.append(_unquote_prefixed(raw))
         else:
-            vals.append(raw)
+            vals.append(_bare_literal(raw))
         buf = []
         was_quoted = False
 
@@ -746,8 +801,15 @@ _J_Q2 = r'"(?:[^"\\]|\\.|"")*"'
 _J_ROW_RE = r"\(((?:[^()'\"]|" + _J_Q1 + "|" + _J_Q2 + r")*)\)"
 #: a row body that the fast value grammar fully explains (anchored):
 #: values wholly quoted or quote-free, comma-separated (mirror of the
-#: sequential _FAST_VAL_RE loop accepting the whole body)
-_J_VAL = r"(?:" + _J_Q1 + "|" + _J_Q2 + r"|[^,'\"]*)"
+#: sequential _FAST_VAL_RE loop accepting the whole body). The bare
+#: alternative REFUSES hex-literal-shaped values (0x + a hex digit,
+#: with the lookahead tolerating the leading whitespace `\s*` may have
+#: deferred): hex literals decode in the PYTHON tokenizer
+#: (_bare_literal), so a body carrying one must fail this validation
+#: and route to the scanner — the two paths stay value-identical by
+#: construction.
+_J_VAL = (r"(?:" + _J_Q1 + "|" + _J_Q2
+          + r"|(?![ \t\r\n]*0[xX][0-9A-Fa-f])[^,'\"]*)")
 _J_BODY_OK_RE = r"\A(?:\s*" + _J_VAL + r"\s*,)*\s*" + _J_VAL + r"\s*\z"
 #: one value per match over ("," + body): each match consumes its leading
 #: comma, so matches can never be zero-length (Java's find() would

@@ -183,6 +183,57 @@ def test_executor_rolls_back_atomically(spark, sf_dir):
     con.close()
 
 
+def test_merge_cdc_batch_idempotent_and_sequenced(spark, sf_dir):
+    """The set-based incremental MERGE (core/executor.py): two
+    consecutive batches land on v2 exactly, and replaying EITHER batch
+    right after its commit is a no-op (retry semantics — the design
+    note's acceptance criterion #2)."""
+    from database_syncer_spark.core.executor import merge_cdc_batches_duckdb
+    from database_syncer_spark.core.snapshots import (
+        derive_backup, derive_next_version)
+    from database_syncer_spark.queries.diff import ORDERS_COLS
+
+    prod = load_table(spark, sf_dir, "orders").select(*ORDERS_COLS)
+    v0 = derive_backup(prod, "o_orderkey", "o_totalprice")
+    v2 = derive_next_version(prod, "o_orderkey", "o_custkey")
+    b1 = snapshot_diff(prod, v0, pk_cols=["o_orderkey"])
+    b2 = snapshot_diff(v2, prod, pk_cols=["o_orderkey"])
+
+    plain = merge_cdc_batches_duckdb(v0, "t", [b1, b2], ["o_orderkey"])
+    for replay in (0, 1):
+        replayed = merge_cdc_batches_duckdb(
+            v0, "t", [b1, b2], ["o_orderkey"], replay=replay)
+        assert plain.equals(replayed), f"replay of batch {replay} not a no-op"
+    got = spark.createDataFrame(plain.to_pandas(), schema=v0.schema)
+    assert got.exceptAll(v2).count() == 0
+    assert v2.exceptAll(got).count() == 0
+
+
+def test_merge_cdc_batch_rolls_back_atomically(spark, sf_dir):
+    """A failing merge batch leaves the table UNCHANGED: the DELETE
+    half must not survive an INSERT failure."""
+    import duckdb
+    import pytest as _pytest
+
+    from database_syncer_spark.core.executor import merge_cdc_batch_duckdb
+
+    prod, backup = _pair(spark, sf_dir)
+    changes = snapshot_diff(prod, backup, ["o_orderkey"])
+    con = duckdb.connect()
+    con.register("___b", backup.toArrow())
+    con.execute('CREATE TABLE "t" AS SELECT * FROM ___b')
+    before = con.execute('SELECT * FROM "t" ORDER BY o_orderkey').fetchall()
+    # a post-image that can't cast into the table schema fails the
+    # INSERT after the DELETE already ran inside the transaction
+    bad = changes.drop("o_custkey").withColumn(
+        "o_custkey", F.lit("not-a-number"))
+    with _pytest.raises(Exception):
+        merge_cdc_batch_duckdb(con, "t", bad.toArrow(), ["o_orderkey"])
+    after = con.execute('SELECT * FROM "t" ORDER BY o_orderkey').fetchall()
+    assert after == before
+    con.close()
+
+
 def test_diff_against_empty_sides(spark, sf_dir):
     """diff(X, ∅) = all INSERT; diff(∅, X) = all DELETE; diff(∅, ∅) = ∅."""
     prod = load_table(spark, sf_dir, "orders")

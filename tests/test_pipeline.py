@@ -202,6 +202,40 @@ def test_token_budget_selection_semantics(spark, tmp_path):
     assert got == {1: 50}
 
 
+def test_corpus_curate_incremental_semantics(spark, tmp_path):
+    """Hand-checkable admission verdicts: exact copy of a corpus doc is
+    caught by the digest gate, a one-token edit by the near gate, a
+    novel doc is admitted, and a quality-fail short-circuits every gate
+    to FALSE (non-null booleans throughout)."""
+    from database_syncer_spark.queries.pipeline import (
+        corpus_curate_incremental)
+
+    a = " ".join(f"alpha{i}" for i in range(60))
+    a_edit = a.replace("alpha30", "edited30")
+    b = " ".join(f"beta{i}" for i in range(60))
+    rows = [
+        (1, a),            # corpus (1 % 16 != 5), quality-passing
+        (5, a),            # batch: exact dup of corpus doc 1
+        (21, a_edit),      # batch: near-dup (jaccard >> 0.5)
+        (37, b),           # batch: novel
+        (53, "the the the the"),  # batch: quality-fail (all stopwords)
+    ]
+    sf = str(tmp_path)
+    spark.createDataFrame(rows, "doc_id long, text string") \
+        .write.parquet(f"{sf}/documents.parquet")
+    got = {r.doc_id: r for r in
+           corpus_curate_incremental(spark, sf).collect()}
+    assert set(got) == {5, 21, 37, 53}
+    assert not got[5].novel_exact and not got[5].novel_near
+    assert got[21].novel_exact and not got[21].novel_near
+    assert got[37].admitted and got[37].novel_exact and got[37].novel_near
+    assert not got[53].passed_quality
+    for r in got.values():  # admission gates are never NULL
+        assert None not in (r.passed_quality, r.novel_exact,
+                            r.novel_near, r.admitted)
+    assert [r.admitted for r in got.values()].count(True) == 1
+
+
 def test_token_budget_score_cardinality_guard(spark):
     """A score column violating the 6-dp-rounded contract (continuous,
     corpus-cardinality distinct values) must fail LOUD before the
