@@ -77,6 +77,9 @@ SECONDARY = [
     # r8 additions
     "dedup_paragraph",             # repeated-span scrub (chunk freq + keep-first)
     "corpus_curate",               # composed filter→scrub→dedup→pack pipeline
+    # r10 additions
+    "sink_merge_incremental",      # set-based CDC merge batches + replay
+    "corpus_curate_incremental",   # batch curation vs corpus novelty gates
 ]
 
 
@@ -112,7 +115,9 @@ def main() -> None:
         fh.write("SELECT 1;\n")
     read_dump_statements(spark, probe).count()
 
-    def time_keys(keys: list[str], warmups: int, reps: int) -> dict[str, float]:
+    def time_keys(keys: list[str], warmups: int, reps: int,
+                  raw: dict[str, list[float]] | None = None,
+                  ) -> dict[str, float]:
         out: dict[str, float] = {}
         for key in keys:
             fn = queries.get(key)
@@ -126,15 +131,23 @@ def main() -> None:
 
             for _ in range(warmups):  # codegen/JIT + page cache
                 run()
-            out[key] = round(sorted(run() for _ in range(reps))[reps // 2], 3)
+            runs = sorted(round(run(), 3) for _ in range(reps))
+            out[key] = runs[reps // 2]
+            if raw is not None:
+                raw[key] = runs
         return out
 
     # Median of FIVE for the headline (was 3): this box shows sporadic
     # 2x per-key swings from co-tenant load; with 3 reps one spike lands
     # on the median, with 5 it takes three. Secondary keys are heavy, so
-    # they stay at 3 reps.
+    # they stay at 3 reps — but their RAW run triple is recorded in the
+    # detail artifact (r9 verdict item 1: a one-burst co-tenant outlier
+    # like sim_lsh_ann's recorded 150.3 s must be self-diagnosing — a
+    # [2.1, 2.2, 150.3] triple reads as a burst, a [148, 150, 153]
+    # triple as a regression).
     timings = time_keys(HEADLINE, warmups=2, reps=5)
-    secondary = time_keys(SECONDARY, warmups=1, reps=3)
+    secondary_runs: dict[str, list[float]] = {}
+    secondary = time_keys(SECONDARY, warmups=1, reps=3, raw=secondary_runs)
 
     # ANN SERVING-ONLY timings (VERDICT r3 item 3): the sim_* registry
     # keys time ANN + exact brute force + recall join in one plan — a
@@ -224,12 +237,15 @@ def main() -> None:
         "metric": "bench_detail",
         "prev_totals": prev,
         "secondary": secondary,
+        "secondary_runs": secondary_runs,
         "ann_index_build": ann_index_build,
         "ann_serving": ann_serving,
         "methodology": (
             "noop-sink; headline: 2 warmups, median of 5 timed (r01 used "
             "median of 3); secondary (not in value): 1 warmup, median of "
-            "3; ann_serving: the *_ann_topk serving call against a "
+            "3, RAW sorted triple in secondary_runs (a lone outlier run "
+            "is a co-tenant burst, three elevated runs a regression); "
+            "ann_serving: the *_ann_topk serving call against a "
             "PREBUILT persisted index (train-once/serve-many; "
             "ann_index_build is the one-time train+code cost), 1 warmup "
             "median of 3 — the sim_* secondary keys time inline-build "
