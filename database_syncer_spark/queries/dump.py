@@ -410,10 +410,10 @@ def sync_pg_to_mysql(spark: SparkSession, sf_dir: str) -> DataFrame:
     diff also proves NULL-vs-value classification across dialects.
 
     Rides the production ``sync_dumps`` entry point (dialects
-    auto-sniffed → the FUSED cross-dialect path, r10): the mysql side's
-    last-wins dedup resolves inside the diff's single ``groupBy(pk)``
-    shuffle, the pg side carries a constant order key (COPY cannot
-    express overwrites) — see ``_sync_dumps_cross_dialect``."""
+    auto-sniffed → the cross-dialect path, r10). That path deliberately
+    runs the PLAIN per-table diff: r10 built and A/B-rejected the fused
+    variant for this shape — see ``_sync_dumps_cross_dialect``'s
+    docstring for the measurements."""
     from database_syncer_spark.sources.dump import sync_dumps
 
     changes, _, _, _ = sync_dumps(spark, _orders_pg_dump(spark, sf_dir),

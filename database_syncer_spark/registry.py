@@ -31,8 +31,9 @@ _MODULES = [
 #   [0-1]  the keys ADDED in r10 (sink_merge_incremental — DuckDB
 #          set-based transactional CDC merge with replay;
 #          corpus_curate_incremental — ingest-time curation verdict);
-#   [2-10] r10 CODE-CHURN: sync_pg_to_mysql (now rides the FUSED
-#          cross-dialect diff), sample_token_budget (driver-collect
+#   [2-10] r10 CODE-CHURN: sync_pg_to_mysql (now rides the production
+#          sync_dumps entry point; the fused cross-dialect variant was
+#          built and A/B-rejected), sample_token_budget (driver-collect
 #          cardinality guard), corpus_curate (oracle refactored onto the
 #          shared scrub CTEs — text equivalent, re-verify anyway), and
 #          the six mysql-dump keys whose tokenizer gained hex-literal /

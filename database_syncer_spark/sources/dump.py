@@ -1416,19 +1416,24 @@ def _sync_dumps_cross_dialect(spark, prod_path, backup_path, dialects,
     the SAME typed-DataFrame contract, then the shared diff/script core
     runs unchanged — dialect lives entirely at the source boundary.
 
-    Rides the SAME fused last-wins+diff as the all-mysql fast path
-    (r10; the r9 form ran plain ``snapshot_diff`` with each mysql side
-    paying a per-side last-wins aggregation inside its reader, and
-    measured 3.5× the all-mysql sync at 3 M rows/side — SCALE.md):
-    - mysql sides read undeduplicated with their ``__seq_hi/__seq_lo``
-      file-order key (``keep_seq=True``), so last-wins resolution
-      happens INSIDE ``snapshot_diff_fused``'s single ``groupBy(pk)``
-      shuffle instead of as a separate wide stage per side;
-    - pg sides get a CONSTANT (0, 0) order key: a COPY block cannot
-      express PK overwrites, so there is nothing to resolve — a
-      duplicate PK in a COPY file is corrupt input (no live database
-      emits one), and ``max_by`` then keeps an arbitrary duplicate,
-      which is all any resolution rule can do with undefined input.
+    Differences vs the all-mysql fast path, both deliberate — and as of
+    r10, MEASURED, not just argued:
+    - plain ``snapshot_diff`` per table instead of the fused
+      last-wins+diff: a COPY block cannot express PK overwrites, so the
+      pg side needs no last-wins; the mysql side (if any) deduplicates
+      in its own reader (``dedup_pk=True``). The r9 note said "fusable
+      later"; r10 BUILT the fused variant (mysql side keep_seq, pg side
+      constant order key, one groupBy(pk) over the tagged union) and
+      the interleaved fresh-JVM A/B at 3 M rows/side REJECTED it:
+      unfused won 4 of 5 alternating pairs (e.g. 22.2 s vs 253.2 s in
+      the same host window), and the isolated diff-stage comparison on
+      identical inputs measured fused 82.6 s vs plain 46.1 s. The fuse
+      pays off only when BOTH sides need last-wins (the all-mysql case,
+      where it replaced TWO dedup aggregations + a join with one
+      shuffle); here it drags the pg side — which needs no resolution
+      at all — through a 6 M-row SortAggregate with two struct max_by
+      buffers, while the unfused mysql dedup's output partitioning is
+      already reusable by the join. SCALE.md carries the table.
     - columns are aligned to the PROD side's schema order before the
       diff (the two dialects' DDL may list columns differently); a
       backup missing a prod column fails loudly in the select, same as
@@ -1437,24 +1442,16 @@ def _sync_dumps_cross_dialect(spark, prod_path, backup_path, dialects,
     pg_dump's post-data ALTER; mysql: PRIMARY KEY clause)."""
     from pyspark import StorageLevel
 
-    from database_syncer_spark.core.diff import catalog_diff, snapshot_diff_fused
+    from database_syncer_spark.core.diff import catalog_diff, snapshot_diff
     from database_syncer_spark.core.script import generate_sync_script
     from database_syncer_spark.sources.pg_dump import read_pg_dump_with_schemas
 
-    seq_cols = ("__seq_hi", "__seq_lo")
-
     def _read(path, dialect):
         if dialect == "postgres":
-            frames, schemas = read_pg_dump_with_schemas(
-                spark, path, tables=tables)
-            frames = {
-                n: df.select("*", *[F.lit(0).cast("long").alias(s)
-                                    for s in seq_cols])
-                for n, df in frames.items()}
-            return frames, schemas
+            return read_pg_dump_with_schemas(spark, path, tables=tables)
         return read_sql_dump_with_schemas(
-            spark, path, dedup_pk=False, keep_seq=True, tables=tables,
-            ignore_missing=True, cache_statements=None)
+            spark, path, dedup_pk=True, tables=tables, ignore_missing=True,
+            cache_statements=None)
 
     prod, prod_schemas = _read(prod_path, dialects[0])
     backup, backup_schemas = _read(backup_path, dialects[1])
@@ -1466,16 +1463,16 @@ def _sync_dumps_cross_dialect(spark, prod_path, backup_path, dialects,
     changes, scripts = {}, {}
     for name in catalog["common"]:
         pk = prod_schemas[name].pk_cols
-        cols = [c for c in prod[name].columns if c not in seq_cols]
-        p = prod[name].select(*cols, *seq_cols)
+        cols = [c for c in prod[name].columns
+                if c not in ("__seq_hi", "__seq_lo")]
+        p = prod[name].select(*cols)
         # cross-dialect type drift (e.g. mysql datetime -> timestamp vs
         # pg -> timestamp_ntz) must not classify every row as changed:
-        # cast the backup to the prod side's exact column types. The
-        # order key is never value-compared, only max_by'd — no cast.
-        p_types = dict(prod[name].select(*cols).dtypes)
+        # cast the backup to the prod side's exact column types.
+        p_types = dict(p.dtypes)
         b = backup[name].select(
-            *[F.col(c).cast(p_types[c]).alias(c) for c in cols], *seq_cols)
-        ch = snapshot_diff_fused(p, b, pk_cols=pk).persist(
+            *[F.col(c).cast(p_types[c]).alias(c) for c in cols])
+        ch = snapshot_diff(p, b, pk_cols=pk).persist(
             StorageLevel.MEMORY_AND_DISK)
         changes[name] = ch
         scripts[name] = generate_sync_script(ch, name, pk)

@@ -1,8 +1,11 @@
 #!/usr/bin/env python
 """Cross-dialect sync probe (VERDICT r9 next-round item 3): time the
 heterogeneous pg-prod vs mysql-backup sync end to end at 3 M rows/side
-— the fixture regime where r9's UNFUSED form recorded 46.7 s against
-the all-mysql fused sync's 13.1 s (SCALE.md).
+— the fixture regime where r9 recorded 46.7 s against the all-mysql
+fused sync's 13.1 s (SCALE.md). r10 used this probe to A/B the fused
+cross-dialect variant against the plain-diff form and REJECTED the
+fuse (unfused won 4/5 interleaved pairs; see
+_sync_dumps_cross_dialect's docstring and SCALE.md for the table).
 
 Fixture (identical to the r9 measure): orders replicated x20 with key
 shifts (3 M rows), prod rendered as a PostgreSQL plain dump, the

@@ -260,13 +260,14 @@ def test_cross_dialect_sync_pg_prod_mysql_backup(spark, tmp_path, capsys):
     assert "'keep'" not in script  # unchanged rows emit nothing
 
 
-def test_cross_dialect_sync_fused_last_wins_and_plan(spark, tmp_path):
-    """The cross-dialect sync rides the FUSED diff (r10): (a) a
-    duplicate PK on the mysql side resolves last-INSERT-wins INSIDE the
-    diff — id 2's final 'new' value equals prod, so no change row;
-    (b) the plan carries exactly ONE data Exchange (the fused
-    groupBy(pk) over the tagged union), not per-side dedup aggregations
-    feeding a join."""
+def test_cross_dialect_sync_last_wins(spark, tmp_path):
+    """A duplicate PK on the mysql side of a cross-dialect sync
+    resolves last-INSERT-wins (the reader's dedup_pk, reference
+    sync.py:67) BEFORE the diff classifies — id 2's final 'new' value
+    equals prod, so no change row surfaces. (The r10 fused variant that
+    moved this resolution inside the diff was A/B-rejected for the
+    cross-dialect shape — _sync_dumps_cross_dialect docstring — so this
+    pins the semantics, not the plan shape.)"""
     from database_syncer_spark.sources.dump import sync_dumps
 
     my_dup = MY_BACKUP.replace(
@@ -276,12 +277,6 @@ def test_cross_dialect_sync_fused_last_wins_and_plan(spark, tmp_path):
     prod = _write(tmp_path, "prod.sql", PG_PROD)
     backup = _write(tmp_path, "backup.sql", my_dup)
     changes, _, _, _ = sync_dumps(spark, prod, backup)
-    # plan BEFORE the action (post-execution AQE strings repeat the
-    # Initial Plan section and double-count); one hash Exchange for the
-    # fused agg — the tiny marker/DDL collects run eagerly inside the
-    # readers and never appear here
-    plan = changes["t"]._jdf.queryExecution().executedPlan().toString()
-    assert plan.count("Exchange hashpartitioning") == 1, plan
     got = {r.id: r.change_type for r in changes["t"].collect()}
     # id 2: prod 'new' vs last-wins backup 'new' -> unchanged, absent
     assert got == {3: "INSERT", 4: "DELETE"}
