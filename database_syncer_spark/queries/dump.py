@@ -90,6 +90,58 @@ def _lineitem_ck_dump(spark: SparkSession, sf_dir: str) -> str:
     return path
 
 
+def _orders_hex_dump(spark: SparkSession, sf_dir: str) -> str:
+    """Render-if-missing: the orders slice as a mysqldump file whose
+    string literals use the NON-PLAIN mysql literal forms a real dump
+    eventually carries (r9 verdict, what's-missing #3): o_orderpriority
+    as a ``0x…`` hex literal (the --hex-blob rendering), o_orderstatus
+    behind a ``_utf8mb4`` charset introducer, o_clerk-less slim schema.
+    Values are byte-identical to the plain slice, so the decoded read
+    must equal it exactly. Atomic publish (same temp+rename discipline
+    as the sharded fixtures)."""
+    path = _dump_path(sf_dir, "orders_hex")
+    if _cached(path):
+        return path
+    rows = (load_table(spark, sf_dir, "orders")
+            .where(F.col("o_orderkey") < _SLICE)
+            .select("o_orderkey", "o_orderpriority", "o_orderstatus")
+            .collect())  # fixture slice: ≤200 rows, driver-side render
+    lines = ["CREATE TABLE `orders_hex` (",
+             "  `o_orderkey` bigint NOT NULL,",
+             "  `o_orderpriority` varchar(15) DEFAULT NULL,",
+             "  `o_orderstatus` varchar(1) DEFAULT NULL,",
+             "  PRIMARY KEY (`o_orderkey`)",
+             ") ENGINE=InnoDB;"]
+    for r in sorted(rows, key=lambda r: r.o_orderkey):
+        prio = ("NULL" if r.o_orderpriority is None
+                else "0x" + r.o_orderpriority.encode("utf-8").hex())
+        stat = ("NULL" if r.o_orderstatus is None
+                else "_utf8mb4'" + r.o_orderstatus.replace("'", "''") + "'")
+        lines.append(
+            f"INSERT INTO `orders_hex` VALUES ({r.o_orderkey},{prio},{stat});")
+    tmp = path + f".tmp.{os.getpid()}"
+    with open(tmp, "w", encoding="utf-8") as fh:
+        fh.write("\n".join(lines) + "\n")
+    try:
+        os.replace(tmp, path)
+    except OSError:
+        os.unlink(tmp)
+    return path
+
+
+def scan_sql_dump_hexlit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mysqldump LITERAL BREADTH as a driver-verified key: every row's
+    strings arrive as ``0x…`` hex literals and ``_utf8mb4'…'`` charset
+    introducers; the tokenizer (sources/dump.py:_bare_literal /
+    _unquote_prefixed) must decode them to the exact plain values —
+    oracle = the plain orders slice, so the driver hash certifies the
+    decode, not just that parsing didn't crash. (Unit goldens cover the
+    loud-failure paths: non-UTF-8 hex, odd digits, malformed
+    introducers — tests/test_dump.py.)"""
+    return read_sql_dump(
+        spark, _orders_hex_dump(spark, sf_dir))["orders_hex"]
+
+
 def scan_sql_dump(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Measures INGEST: the fixture dump is rendered once per (sf, format
     version) and reused — its content is a pure function of the read-only
@@ -459,6 +511,7 @@ WHERE b.o_orderkey IS NULL OR p.o_orderkey IS NULL OR NOT ({unchanged})
 
 QUERIES = {
     "scan_sql_dump": scan_sql_dump,
+    "scan_sql_dump_hexlit": scan_sql_dump_hexlit,
     "scan_pg_dump": scan_pg_dump,
     "scan_pg_dump_sharded": scan_pg_dump_sharded,
     "sync_pg_to_mysql": sync_pg_to_mysql,
@@ -473,6 +526,12 @@ ORACLES = {
     "scan_sql_dump": f"""
 SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate,
        o_orderpriority
+FROM orders WHERE o_orderkey < {_SLICE}
+""",
+    # the hex dump's values are byte-identical to the plain slice by
+    # construction, so the plain slice IS the decode oracle
+    "scan_sql_dump_hexlit": f"""
+SELECT o_orderkey, o_orderpriority, o_orderstatus
 FROM orders WHERE o_orderkey < {_SLICE}
 """,
     "scan_pg_dump": f"""

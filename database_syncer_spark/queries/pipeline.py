@@ -295,24 +295,42 @@ def corpus_curate_incremental(spark, sf_dir):
         F.regexp_replace(
             F.regexp_replace("text", T.EMAIL_PATTERN, "<EMAIL>"),
             T.PHONE_PATTERN, "<PHONE>").alias("text")))
+    from pyspark import StorageLevel
+
     is_batch = F.col("doc_id") % _BATCH_MOD == _BATCH_REM
     passed = F.col("quality_score") >= _CURATE_QUALITY_MIN
+    # scrubbed carries the corpus-wide score join + two regex replaces
+    # and feeds FIVE consumers (batch verdict, corpus digests, corpus
+    # bands, corpus shingle fetch, batch digests/bands) — unpersisted it
+    # re-executes per consumer, the exact r8 corpus_curate lesson
+    # (measured here: 775.8 s -> see SCALE.md for the fixed number at
+    # 2.5 M docs). Persist while the batch-sized verdict pieces
+    # materialize, eagerly checkpoint those (each ≤ batch rows), then
+    # release the corpus-sized cache before returning — nothing cached
+    # outlives the call and the returned plan descends only from the
+    # checkpoints.
+    scrubbed = scrubbed.persist(StorageLevel.MEMORY_AND_DISK)
     batch = scrubbed.where(is_batch)
     corpus = scrubbed.where(~is_batch).where(passed)
     bq = batch.where(passed)
+    base = (batch.select("doc_id", "quality_score", "had_pii")
+            .localCheckpoint(eager=True))
     # exact novelty: digest semi-join against the corpus digest index
     dup_exact = (bq.select("doc_id", F.sha2("text", 256).alias("digest"))
                  .join(corpus.select(F.sha2("text", 256).alias("digest")),
                        "digest", "left_semi")
-                 .select("doc_id", F.lit(True).alias("__dup")))
-    near = D.incremental_near_dups(bq.select("doc_id", "text"),
-                                   corpus.select("doc_id", "text"))
+                 .select("doc_id", F.lit(True).alias("__dup"))
+                 .localCheckpoint(eager=True))
+    near = (D.incremental_near_dups(bq.select("doc_id", "text"),
+                                    corpus.select("doc_id", "text"))
+            .select("doc_id", "novel").localCheckpoint(eager=True))
+    scrubbed.unpersist()
     passed_b = F.coalesce(passed, F.lit(False))
     novel_exact = passed_b & F.col("__dup").isNull()
     novel_near = passed_b & F.coalesce(F.col("novel"), F.lit(False))
-    return (batch.select("doc_id", "quality_score", "had_pii")
+    return (base
             .join(dup_exact, "doc_id", "left")
-            .join(near.select("doc_id", "novel"), "doc_id", "left")
+            .join(near, "doc_id", "left")
             .select("doc_id", "quality_score", "had_pii",
                     passed_b.alias("passed_quality"),
                     novel_exact.alias("novel_exact"),

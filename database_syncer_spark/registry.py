@@ -27,11 +27,13 @@ _MODULES = [
 # CORRECTNESS row each round). After r9 the staleness ledger is: 50 pass-r9,
 # 48 pass-r8, 46 pass-r7, 4 pass-r6 (the deliberately deferred
 # sort_multi_col / topk_limit / project_columns / project_key_concat).
-# r10 window (positions 0-49, 2+9+4+35 = 50):
-#   [0-1]  the keys ADDED in r10 (sink_merge_incremental — DuckDB
+# r10 window (positions 0-49, 3+9+4+34 = 50):
+#   [0-2]  the keys ADDED in r10 (sink_merge_incremental — DuckDB
 #          set-based transactional CDC merge with replay;
-#          corpus_curate_incremental — ingest-time curation verdict);
-#   [2-10] r10 CODE-CHURN: sync_pg_to_mysql (now rides the production
+#          corpus_curate_incremental — ingest-time curation verdict;
+#          scan_sql_dump_hexlit — hex/introducer literal decode under
+#          the driver hash);
+#   [3-11] r10 CODE-CHURN: sync_pg_to_mysql (now rides the production
 #          sync_dumps entry point; the fused cross-dialect variant was
 #          built and A/B-rejected), sample_token_budget (driver-collect
 #          cardinality guard), corpus_curate (oracle refactored onto the
@@ -41,9 +43,10 @@ _MODULES = [
 #          sit on EVERY INSERT parse): scan_sql_dump,
 #          scan_sql_dump_composite, scan_sql_dump_sharded,
 #          sync_dump_to_dump, sync_sharded_dumps, sync_catalog_ddl;
-#   [11-14] the four r6-stale deferred keys — first among the stale, as
+#   [12-15] the four r6-stale deferred keys — first among the stale, as
 #          promised in the r9 comment;
-#   [15-49] the 35 stalest pass-r7 keys.
+#   [16-49] the 34 stalest pass-r7 keys (udf_tokenizer, the 35th,
+#          slips to position 50 and leads the r11 stale queue).
 # Remaining r7 keys (the sim_* block and friends), then r8, then the r9
 # window keys (freshest) come last. Keys missing from this list are
 # checked FIRST — any NEW key must be placed explicitly at the head, not
@@ -51,16 +54,17 @@ _MODULES = [
 # off-by-one put a to-refresh key at index 50). REGENERATE after each
 # round's CORRECTNESS lands.
 _KEY_ORDER = [
-    # --- NEW in r10 (never driver-checked) — verify first [0-1] ---
+    # --- NEW in r10 (never driver-checked) — verify first [0-2] ---
     "sink_merge_incremental", "corpus_curate_incremental",
-    # --- r10 code-churn [2-10] ---
+    "scan_sql_dump_hexlit",
+    # --- r10 code-churn [3-11] ---
     "sync_pg_to_mysql", "sample_token_budget", "corpus_curate",
     "scan_sql_dump", "scan_sql_dump_composite", "scan_sql_dump_sharded",
     "sync_dump_to_dump", "sync_sharded_dumps", "sync_catalog_ddl",
-    # --- last driver value row: r6 (the r9-deferred four) [11-14] ---
+    # --- last driver value row: r6 (the r9-deferred four) [12-15] ---
     "sort_multi_col", "topk_limit", "project_columns",
     "project_key_concat",
-    # --- last driver value row: r7 (stalest block) — refresh [15-49] ---
+    # --- last driver value row: r7 (stalest block) — refresh [16-49] ---
     "dedup_embedding_cosine",
     "agg_argmax_minby", "agg_collect_sorted", "agg_cube",
     "agg_distinct",
