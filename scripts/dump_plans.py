@@ -77,6 +77,8 @@ KEYS = [
      "rule battery (r9): layered projections keep ONE split() per document (CollapseProject spares multi-referenced non-cheap aliases); zero Exchanges, no lambda expressions (interpreted — the measured 43x tax)"),
     ("sample_mix_epochs",
      "epoch upsampling (r9): domain-sized ratio table broadcast onto the corpus scan, epochs fan out in a map-side Generate explode — zero corpus shuffles"),
+    ("corpus_curate_incremental",
+     "ingest-time curation (r10): returned plan descends from batch-sized eager checkpoints (scrub/digest/band work ran once under a released cache); digest gate semi-joins 64-byte sha2s, near gate is the batch x corpus band join — no corpus self-join anywhere"),
 ]
 
 
