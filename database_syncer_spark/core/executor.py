@@ -99,9 +99,14 @@ def merge_cdc_batch_duckdb(con, table: str, batch,
     state deletes exactly the rows the first run wrote and writes them
     back, a no-op. That is the retry semantics the design note's
     acceptance criterion #2 asks of a format-native sink (re-running a
-    failed-then-retried sync must converge, not duplicate).
+    failed-then-retried sync must converge, not duplicate). The PK
+    match is null-safe (IS NOT DISTINCT FROM): snapshot_diff's pinned
+    NULL-PK contract can emit NULL-PK INSERTs, and an equality join
+    would never match those on replay — duplicating the row instead of
+    converging.
     """
-    pk_match = " AND ".join(f't."{c}" = b."{c}"' for c in pk_cols)
+    pk_match = " AND ".join(
+        f't."{c}" IS NOT DISTINCT FROM b."{c}"' for c in pk_cols)
     value_cols = [c for c in batch.column_names if c != "change_type"]
     col_list = ", ".join(f'"{c}"' for c in value_cols)
     con.register("___dss_batch", batch)

@@ -470,6 +470,13 @@ def sync_pg_to_mysql(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     changes, _, _, _ = sync_dumps(spark, _orders_pg_dump(spark, sf_dir),
                                   _orders_backup_dump(spark, sf_dir))
+    # sync_dumps persists each changes table for its scripts consumer;
+    # this key discards the scripts, so unpersist before returning —
+    # otherwise every bench warmup/rep leaks one cached copy (r10
+    # advice). The returned frame just recomputes on the driver's
+    # single action.
+    for ch in changes.values():
+        ch.unpersist()
     return changes["orders"]
 
 

@@ -198,8 +198,10 @@ _FAST_VAL_RE = re.compile(
 )
 _SEP_CHARS = " \t\r\n,;"
 
-#: full-match hex literal body (after the 0x prefix was sniffed)
-_HEX_LIT_RE = re.compile(r"0[xX][0-9A-Fa-f]*\Z")
+#: full-match hex literal (>=1 digit: MySQL keeps a bare '0x' as raw
+#: text, and the JVM fast-path lookahead refuses it the same way —
+#: zero-digit '0x' must stay raw in BOTH tokenizers)
+_HEX_LIT_RE = re.compile(r"0[xX][0-9A-Fa-f]+\Z")
 #: introducer/typed-literal prefix before a quoted string: a charset
 #: introducer (_utf8mb4'…'), a hex string literal (X'…'), or a bit
 #: literal (b'…'). \w+ is ASCII-bounded (re.A): charset names are.

@@ -209,6 +209,26 @@ def test_merge_cdc_batch_idempotent_and_sequenced(spark, sf_dir):
     assert v2.exceptAll(got).count() == 0
 
 
+def test_merge_cdc_batch_null_pk_replay_idempotent(spark, sf_dir):
+    """snapshot_diff's pinned NULL-PK contract can emit a NULL-PK
+    INSERT; the merge's PK match must be null-safe (IS NOT DISTINCT
+    FROM) or replaying such a batch duplicates the row instead of
+    being a no-op (r10 advice)."""
+    from database_syncer_spark.core.executor import merge_cdc_batches_duckdb
+
+    prod, backup = _pair(spark, sf_dir)
+    null_row = (prod.limit(1)
+                .withColumn("o_orderkey", F.lit(None).cast("long")))
+    batch = snapshot_diff(prod.unionByName(null_row), prod,
+                          pk_cols=["o_orderkey"])
+    assert batch.where("o_orderkey IS NULL").count() == 1  # the contract
+    once = merge_cdc_batches_duckdb(prod, "t", [batch], ["o_orderkey"])
+    replayed = merge_cdc_batches_duckdb(prod, "t", [batch], ["o_orderkey"],
+                                        replay=0)
+    assert once.num_rows == prod.count() + 1
+    assert replayed.num_rows == once.num_rows, "NULL-PK replay duplicated"
+
+
 def test_merge_cdc_batch_rolls_back_atomically(spark, sf_dir):
     """A failing merge batch leaves the table UNCHANGED: the DELETE
     half must not survive an INSERT failure."""

@@ -80,6 +80,11 @@ def test_tokenizer_hex_and_introducer_literals():
     # hex-shaped but invalid (odd digits / non-hex tail) stays raw text
     # in both paths rather than half-decoding
     assert tokenize_insert_rows("(1,0xZZ)") == [["1", "0xZZ"]]
+    # degenerate zero-digit '0x' is NOT a hex literal in MySQL: it must
+    # stay raw text here exactly as the JVM fast-path lookahead (which
+    # requires >=1 digit) keeps it — the two paths may not diverge
+    # (r10 advice)
+    assert tokenize_insert_rows("(1,0x,'y')") == [["1", "0x", "y"]]
 
 
 def test_tokenizer_hex_non_utf8_fails_loud():

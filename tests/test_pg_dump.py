@@ -260,6 +260,23 @@ def test_cross_dialect_sync_pg_prod_mysql_backup(spark, tmp_path, capsys):
     assert "'keep'" not in script  # unchanged rows emit nothing
 
 
+def test_sync_pg_to_mysql_key_does_not_leak_cache(spark, sf_dir):
+    """The registry key discards sync_dumps' scripts consumer, so it
+    must unpersist the changes frames it returns — before the r10-advice
+    fix each bench warmup/rep leaked one MEMORY_AND_DISK copy per run."""
+    from database_syncer_spark.queries.dump import sync_pg_to_mysql
+
+    jsc = spark.sparkContext._jsc
+    sync_pg_to_mysql(spark, sf_dir).count()
+    # the mysql reader's statement-frame cache legitimately survives
+    # (identical plan -> CacheManager dedupes it across runs); what must
+    # NOT happen is per-run growth from the persisted changes frames
+    after_first = jsc.getPersistentRDDs().size()
+    for _ in range(2):
+        sync_pg_to_mysql(spark, sf_dir).count()
+    assert jsc.getPersistentRDDs().size() == after_first
+
+
 def test_cross_dialect_sync_last_wins(spark, tmp_path):
     """A duplicate PK on the mysql side of a cross-dialect sync
     resolves last-INSERT-wins (the reader's dedup_pk, reference
