@@ -50,6 +50,17 @@ HEADLINE = [
     "text_quality_score",
 ]
 
+# r11 headline rotation (VERDICT r10 item 7): the 12-key HEADLINE set
+# was frozen at r1 and no longer spans the registry. These three are
+# timed with the FULL headline discipline (2 warmups, median of 5, raw
+# runs recorded) but kept OUT of "value" so the 12-key total stays
+# directly comparable across rounds r1..r10.
+HEADLINE_EXT = [
+    "scan_pg_dump",               # pg COPY-protocol ingest
+    "win_retention_cohort",       # cohort window + conditional agg
+    "corpus_curate_incremental",  # ingest-time curation verdict
+]
+
 # Heaviest non-headline families, tracked so a regression is visible
 # BEFORE a round touches them. Kept out of HEADLINE/"value" so the
 # headline total stays directly comparable across rounds (BENCH_r01
@@ -81,6 +92,64 @@ SECONDARY = [
     "sink_merge_incremental",      # set-based CDC merge batches + replay
     "corpus_curate_incremental",   # batch curation vs corpus novelty gates
 ]
+
+
+def _host_probe(spark) -> dict:
+    """Fixed-work, code-independent host calibration (VERDICT r10
+    item 2): every BENCH artifact carries the host phase measured by
+    the SAME pinned work, so cross-round per-key ratios read against
+    `host_probe_sec` instead of relitigating the bimodal disk each
+    round (three rounds running, the bench verdict section was
+    dominated by exactly that).
+
+    - ``cpu_runs``: 8M x 1M shuffle join + groupBy agg over
+      spark.range — pure JVM/Tungsten work, zero repo code, zero
+      disk. Sorted triple; median rejects the codegen first run.
+    - ``disk_runs``: write a pinned incompressible ~330 MB parquet
+      (xxhash64 columns over spark.range) to a fresh local dir, then
+      os.sync() — times actual writeback, the phase the host's
+      bimodal disk modulates. Sorted pair (it is the expensive half).
+    - ``sec``: cpu median + disk min — the per-run scalar the machine
+      record carries.
+    """
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    def cpu_run() -> float:
+        t0 = time.perf_counter()
+        # pmod-bounded so the 8M-row sum can't overflow a long (the
+        # session runs ANSI mode: overflow is an error, not a wrap)
+        b = (spark.range(0, 1_000_000, 1, 32)
+             .select(F.col("id").alias("bid"),
+                     F.pmod(F.xxhash64("id"), F.lit(1_000_003)).alias("v")))
+        (spark.range(0, 8_000_000, 1, 32)
+         .withColumn("k", F.col("id") % 1_000_000)
+         .join(b, F.col("k") == F.col("bid"))
+         .groupBy((F.col("k") % 97).alias("g"))
+         .agg(F.sum("v").alias("s"), F.count("*").alias("n"))
+         .write.format("noop").mode("overwrite").save())
+        return time.perf_counter() - t0
+
+    cpu_runs = sorted(round(cpu_run(), 3) for _ in range(3))
+
+    def disk_run() -> float:
+        d = tempfile.mkdtemp(prefix="dss_host_probe_")
+        try:
+            t0 = time.perf_counter()
+            (spark.range(0, 16_000_000, 1, 32)
+             .select("id", F.xxhash64("id").alias("h1"),
+                     F.xxhash64("id", "id").alias("h2"))
+             .write.mode("overwrite").parquet(os.path.join(d, "p")))
+            os.sync()
+            return time.perf_counter() - t0
+        finally:
+            shutil.rmtree(d, ignore_errors=True)
+
+    disk_runs = sorted(round(disk_run(), 3) for _ in range(2))
+    return {"cpu_runs": cpu_runs, "disk_runs": disk_runs,
+            "sec": round(cpu_runs[1] + disk_runs[0], 3)}
 
 
 def main() -> None:
@@ -145,7 +214,10 @@ def main() -> None:
     # like sim_lsh_ann's recorded 150.3 s must be self-diagnosing — a
     # [2.1, 2.2, 150.3] triple reads as a burst, a [148, 150, 153]
     # triple as a regression).
+    probe_start = _host_probe(spark)
     timings = time_keys(HEADLINE, warmups=2, reps=5)
+    ext_runs: dict[str, list[float]] = {}
+    headline_ext = time_keys(HEADLINE_EXT, warmups=2, reps=5, raw=ext_runs)
     secondary_runs: dict[str, list[float]] = {}
     secondary = time_keys(SECONDARY, warmups=1, reps=3, raw=secondary_runs)
 
@@ -233,9 +305,14 @@ def main() -> None:
     #             splits), also written to BENCH_DETAIL_LAST.json so the
     #             narrative survives even if the tail truncates it;
     #   line 2  — the compact machine record, guaranteed < 2 KB, LAST.
+    probe_end = _host_probe(spark)
+
     detail = {
         "metric": "bench_detail",
         "prev_totals": prev,
+        "host_probe": {"start": probe_start, "end": probe_end},
+        "headline_ext": headline_ext,
+        "headline_ext_runs": ext_runs,
         "secondary": secondary,
         "secondary_runs": secondary_runs,
         "ann_index_build": ann_index_build,
@@ -250,16 +327,25 @@ def main() -> None:
             "ann_index_build is the one-time train+code cost), 1 warmup "
             "median of 3 — the sim_* secondary keys time inline-build "
             "serving + brute-force verify + recall join and so overstate "
-            "serving cost by design. Host shows ±30-45% uniform "
-            "cross-round drift; same-host A/B on pinned fixtures "
-            "(BASELINE.md) is the regression arbiter. Per-round "
-            "adjudications live in BASELINE.md / SCALE.md, not here."),
+            "serving cost by design. headline_ext (r11): three "
+            "rotated-in keys on the FULL headline discipline, kept out "
+            "of value so the 12-key total stays r1-comparable. "
+            "host_probe: fixed-work code-independent calibration "
+            "(shuffle-join CPU triple + synced ~330MB parquet write "
+            "pair) at bench start and end — read per-key ratios "
+            "against it before calling a regression. Host shows "
+            "±30-45% uniform cross-round drift; same-host A/B on "
+            "pinned fixtures (BASELINE.md) is the regression arbiter. "
+            "Per-round adjudications live in BASELINE.md / SCALE.md, "
+            "not here."),
     }
     machine = {
         "metric": "headline_queries_total_wall",
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "headline_ext": headline_ext,
+        "host_probe_sec": probe_start["sec"],
         "secondary": secondary,
         "ann_index_build": ann_index_build,
         "ann_serving": ann_serving,
@@ -271,7 +357,8 @@ def main() -> None:
         # be able to tell "dropped for size" from "not measured", and
         # where the full record lives
         line = json.dumps({**{k: machine[k] for k in
-                              ("metric", "value", "unit", "queries", "sf")},
+                              ("metric", "value", "unit", "queries",
+                               "host_probe_sec", "sf")},
                            "truncated": True,
                            "detail": "BENCH_DETAIL_LAST.json"})
     try:

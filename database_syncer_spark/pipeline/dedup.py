@@ -208,8 +208,45 @@ def minhash_lsh_dedup(documents: DataFrame, threshold: float = 0.5,
     )
 
 
+def build_corpus_band_index(corpus: DataFrame, table: str,
+                            k: int = 3, n_buckets: int = 16) -> DataFrame:
+    """ONE-TIME at-rest index build for ingest-time dedup: the corpus's
+    exploded MinHash band keys, persisted as a parquet table BUCKETED by
+    (band_id, band_hash) — the layout incremental_near_dups' docstring
+    promises. Steady state, each ingest batch computes only ITS OWN
+    signatures and joins this stored table; the corpus side is never
+    re-shingled, re-hashed, or re-shuffled (the bucketed scan carries
+    its partitioning). Returns the re-read table (corpus_id, band_id,
+    band_hash) to pass as ``corpus_bands``.
+
+    Index maintenance is append-only: admitted docs' bands append to
+    the table (at 100 TB, a periodic compaction rewrites small files —
+    a storage chore, not a recompute)."""
+    from database_syncer_spark.core.bucketing import write_bucketed_snapshot
+
+    sc = minhash_signatures(corpus, k, slim=True)
+    ec = (sc.select(F.col("doc_id").alias("corpus_id"),
+                    F.explode(_band_structs()).alias("band"))
+          .select("corpus_id", "band.band_id", "band.band_hash"))
+    return write_bucketed_snapshot(
+        ec, table, ["band_id", "band_hash"], n_buckets)
+
+
+def build_corpus_digest_index(corpus: DataFrame, table: str,
+                              n_buckets: int = 16) -> DataFrame:
+    """At-rest exact-dup gate: sha2(text) digests, bucketed by digest —
+    the 64-byte probe table the exact-novelty semi-join reads instead
+    of digesting the whole corpus per batch."""
+    from database_syncer_spark.core.bucketing import write_bucketed_snapshot
+
+    return write_bucketed_snapshot(
+        corpus.select(F.sha2("text", 256).alias("digest")),
+        table, ["digest"], n_buckets)
+
+
 def incremental_near_dups(batch: DataFrame, corpus: DataFrame,
-                          threshold: float = 0.5, k: int = 3) -> DataFrame:
+                          threshold: float = 0.5, k: int = 3,
+                          corpus_bands: DataFrame | None = None) -> DataFrame:
     """Ingest-time dedup: every BATCH doc checked for near-dups against
     the EXISTING corpus only — the daily-ingest question ("is this new
     doc a duplicate of anything we already have?") without recomputing
@@ -221,22 +258,31 @@ def incremental_near_dups(batch: DataFrame, corpus: DataFrame,
 
     Scale: the band join is batch×corpus, and at rest the corpus's
     banded signatures are PRECOMPUTED and bucketed by (band_id,
-    band_hash) — a daily batch then shuffles only its own bands and
-    probes the bucket layout, so ingest cost scales with the batch and
-    its collision volume, never the corpus. Recall is the LSH family's
-    (same bands as minhash_lsh_dedup); verification is exact Jaccard."""
+    band_hash) — pass that stored table as ``corpus_bands``
+    (build_corpus_band_index) and a daily batch shuffles only its own
+    bands and probes the bucket layout, so ingest cost scales with the
+    batch and its collision volume, never the corpus (measured:
+    SCALE.md's at-rest-index A/B). With ``corpus_bands=None`` the
+    corpus side is derived inline (fixture-scale convenience; the
+    one-time index build the steady state amortizes). ``corpus`` text
+    is still consulted — but only for the CANDIDATES' shingle fetch
+    (left-semi pruned). Recall is the LSH family's (same bands as
+    minhash_lsh_dedup); verification is exact Jaccard."""
     # Skinny band join + candidate-only shingle fetch, the same shape
     # (and the same r6 500×-probe rationale) as minhash_lsh_dedup: the
     # CORPUS side's collect_set would otherwise ship every stored doc's
     # distinct shingle text through the shuffle on every ingest batch.
     sb = minhash_signatures(batch, k, slim=True)
-    sc = minhash_signatures(corpus, k, slim=True)
     bands = _band_structs()
     eb = (sb.select("doc_id", F.explode(bands).alias("band"))
           .select("doc_id", "band.band_id", "band.band_hash"))
-    ec = (sc.select(F.col("doc_id").alias("corpus_id"),
-                    F.explode(bands).alias("band"))
-          .select("corpus_id", "band.band_id", "band.band_hash"))
+    if corpus_bands is not None:
+        ec = corpus_bands.select("corpus_id", "band_id", "band_hash")
+    else:
+        sc = minhash_signatures(corpus, k, slim=True)
+        ec = (sc.select(F.col("doc_id").alias("corpus_id"),
+                        F.explode(bands).alias("band"))
+              .select("corpus_id", "band.band_id", "band.band_hash"))
     cand = (eb.join(ec, ["band_id", "band_hash"])
             .select("doc_id", "corpus_id").distinct())
     sh_b = _doc_shingle_sets(

@@ -1,0 +1,232 @@
+#!/usr/bin/env python
+"""At-rest-index incremental-curation A/B at ORGANIC dup density
+(VERDICT r10 item 3 — the r9 "re-curating a 1% batch costs ≪ the full
+curate wall" criterion, still open after r10 measured only 1.3-1.8× on
+a pathologically dense fixture where every doc had ~156 near-dup
+siblings).
+
+Two things the r10 measurement conflated, separated here:
+
+1. **Fixture density.** The scale_probe documents generator perturbs
+   HALF the tokens per replica → cross-replica shingle jaccard ≈ 1/3,
+   which the 4-band LSH turns into a ~5%/pair collision rate: every
+   batch doc drags hundreds of corpus candidates into exact-jaccard
+   verification, so BOTH the full and incremental paths were
+   candidate-bound. This generator perturbs 80% of tokens (cross-
+   replica shingle jaccard ≈ 0.004 — LSH-invisible) and plants an
+   ORGANIC dup rate instead: ~1.6% near-dup twins (12% token edit,
+   jaccard ≈ 0.7) + ~0.4% exact twins, twin ids shifted to a different
+   mod-class so batch docs find their dups IN THE CORPUS.
+
+2. **The at-rest index.** corpus_curate_incremental (the registry key)
+   rebuilds the corpus side's digests + band signatures per call — the
+   one-time index build a steady-state deployment amortizes. Here the
+   index (scrubbed corpus parquet + digest table + band table, both
+   BUCKETED — pipeline/dedup.py:build_corpus_band_index /
+   build_corpus_digest_index) is built ONCE and timed separately; the
+   batch stage then measures PURE per-ingest cost: batch-only
+   score/scrub, digest semi-join against the stored table, batch-side
+   signatures joined to the stored bands, candidate-only verification.
+
+Stages (each its own fresh JVM; interleave full/serve legs per the
+BASELINE.md discipline):
+  --stage gen    build the organic-density corpus (~2.5 M docs)
+  --stage full   full corpus_curate wall over the whole corpus
+  --stage serve  index build (timed) THEN n-batch serve runs (timed
+                 each) in the same JVM — bucketed-table metadata lives
+                 in the in-memory catalog, and a long-running ingest
+                 service is warm anyway; the FIRST serve run's number
+                 is the honest cold-ish one.
+
+Acceptance (r10 verdict): a ~1% batch costs ≲5% of the full-curate
+wall, index build amortized and measured separately.
+
+Prints one JSON line; SCALE.md carries the table.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SRC = "/root/testdata/sf0.1"
+OUT = "/tmp/dss_incr_organic"
+MULT = 500                      # 5k sf0.1 docs -> 2.5M
+BATCH_MOD, BATCH_REM = 128, 5   # ~0.78% "daily" batch
+NEAR_MOD, NEAR_REM = 64, 11     # ~1.6% near-dup twins
+EXACT_MOD, EXACT_REM = 256, 77  # ~0.4% exact twins
+QUALITY_MIN = 0.35              # corpus_curate's gate
+
+
+def _gen(spark) -> dict:
+    from pyspark.sql import functions as F
+
+    from database_syncer_spark.catalog import load_table
+
+    docs = load_table(spark, SRC, "documents")
+    rep = F.explode(F.sequence(F.lit(0), F.lit(MULT - 1))).alias("rep")
+    toks = F.split(F.col("text"), " ")
+    # 80% of tokens get a replica-specific suffix: cross-replica
+    # 3-gram shingle jaccard ~ (0.2^3)^2-ish — invisible to the bands
+    perturbed = F.transform(
+        toks,
+        lambda t, pos: F.when(
+            F.pmod(F.xxhash64(F.col("doc_id"), pos, F.col("rep")),
+                   F.lit(5)) != 0,
+            F.concat(t, F.lit("_r"), F.col("rep").cast("string"))
+        ).otherwise(t))
+    base = (docs.select("*", rep)
+            .withColumn("doc_id", F.col("doc_id")
+                        + F.col("rep").cast("long") * 100_000_000)
+            .withColumn("text", F.when(F.col("rep") == 0, F.col("text"))
+                        .otherwise(F.concat_ws(" ", perturbed)))
+            .drop("rep"))
+    # organic twins: ids shifted by 1e10+1 / 2e10+3 so a twin lands in
+    # a DIFFERENT mod-128 class than its original (batch docs find
+    # their dups in the corpus, the ingest-time question)
+    near_toks = F.split(F.col("text"), " ")
+    near_text = F.concat_ws(" ", F.transform(
+        near_toks,
+        lambda t, pos: F.when(
+            F.pmod(F.xxhash64(F.col("doc_id"), pos, F.lit(-7)),
+                   F.lit(8)) == 0,
+            F.concat(t, F.lit("_t"))).otherwise(t)))
+    near = (base.where(F.col("doc_id") % NEAR_MOD == NEAR_REM)
+            .withColumn("doc_id", F.col("doc_id")
+                        + F.lit(10_000_000_001).cast("long"))
+            .withColumn("text", near_text))
+    exact = (base.where(F.col("doc_id") % EXACT_MOD == EXACT_REM)
+             .withColumn("doc_id", F.col("doc_id")
+                         + F.lit(20_000_000_003).cast("long")))
+    (base.unionByName(near).unionByName(exact)
+     .withColumn("n_chars", F.length("text"))
+     .repartition(32)
+     .write.mode("overwrite")
+     .parquet(os.path.join(OUT, "documents.parquet")))
+    n = spark.read.parquet(os.path.join(OUT, "documents.parquet")).count()
+    return {"docs": n}
+
+
+def _batch_split(docs):
+    from pyspark.sql import functions as F
+
+    is_batch = F.pmod(F.col("doc_id"), BATCH_MOD) == BATCH_REM
+    return docs.where(is_batch), docs.where(~is_batch)
+
+
+def _score_scrub(docs):
+    """Batch/corpus curation stages shared by both legs: quality score
+    + PII scrub (same regexes as corpus_curate)."""
+    from pyspark.sql import functions as F
+
+    from database_syncer_spark.pipeline import text as T
+
+    scored = T.quality_score(docs).select("doc_id", "quality_score")
+    return (docs.join(scored, "doc_id").select(
+        "doc_id", "quality_score",
+        F.regexp_replace(
+            F.regexp_replace("text", T.EMAIL_PATTERN, "<EMAIL>"),
+            T.PHONE_PATTERN, "<PHONE>").alias("text")))
+
+
+def _stage_full(spark) -> dict:
+    from database_syncer_spark.registry import all_queries
+
+    t0 = time.perf_counter()
+    (all_queries()["corpus_curate"](spark, OUT)
+     .write.format("noop").mode("overwrite").save())
+    return {"full_curate_sec": round(time.perf_counter() - t0, 1)}
+
+
+def _stage_serve(spark, n_batches: int) -> dict:
+    from pyspark.sql import functions as F
+
+    from database_syncer_spark.catalog import load_table
+    from database_syncer_spark.pipeline.dedup import (
+        build_corpus_band_index, build_corpus_digest_index,
+        incremental_near_dups)
+
+    docs = load_table(spark, OUT, "documents").select("doc_id", "text")
+    _, corpus_raw = _batch_split(docs)
+
+    t0 = time.perf_counter()
+    corpus = (_score_scrub(corpus_raw)
+              .where(F.col("quality_score") >= QUALITY_MIN)
+              .select("doc_id", "text"))
+    corpus_store = os.path.join(OUT, "curated_corpus.parquet")
+    corpus.write.mode("overwrite").parquet(corpus_store)
+    at_rest = spark.read.parquet(corpus_store)
+    digests = build_corpus_digest_index(at_rest, "dss_incr_digests")
+    bands = build_corpus_band_index(at_rest, "dss_incr_bands")
+    digests.count(), bands.count()
+    index_sec = round(time.perf_counter() - t0, 1)
+
+    serve_secs = []
+    for _ in range(n_batches):
+        t0 = time.perf_counter()
+        batch_raw, _ = _batch_split(docs)
+        scrubbed = _score_scrub(batch_raw)
+        bq = (scrubbed.where(F.col("quality_score") >= QUALITY_MIN)
+              .select("doc_id", "text"))
+        dup_exact = (bq.select("doc_id", F.sha2("text", 256).alias("digest"))
+                     .join(digests, "digest", "left_semi")
+                     .select("doc_id", F.lit(True).alias("__dup")))
+        near = incremental_near_dups(bq, at_rest, corpus_bands=bands)
+        verdict = (scrubbed.select("doc_id", "quality_score")
+                   .join(dup_exact, "doc_id", "left")
+                   .join(near.select("doc_id", "novel"), "doc_id", "left")
+                   .select(
+                       "doc_id", "quality_score",
+                       (F.col("quality_score") >= QUALITY_MIN
+                        ).alias("passed_quality"),
+                       F.coalesce(F.col("__dup").isNull()
+                                  & (F.col("quality_score") >= QUALITY_MIN),
+                                  F.lit(False)).alias("novel_exact"),
+                       F.coalesce("novel", F.lit(False)).alias("novel_near")))
+        verdict.write.format("noop").mode("overwrite").save()
+        serve_secs.append(round(time.perf_counter() - t0, 1))
+    # density sanity: how much organic dup did the batch actually meet
+    batch_raw, _ = _batch_split(docs)
+    bq = (_score_scrub(batch_raw)
+          .where(F.col("quality_score") >= QUALITY_MIN)
+          .select("doc_id", "text"))
+    nv = incremental_near_dups(bq, at_rest, corpus_bands=bands)
+    stats = nv.agg(F.count("*").alias("n"),
+                   F.sum(F.col("novel").cast("int")).alias("novel")).first()
+    return {"index_build_sec": index_sec, "serve_secs": serve_secs,
+            "batch_docs": stats["n"],
+            "batch_novel": int(stats["novel"]),
+            "batch_dup_pct": round(
+                100.0 * (stats["n"] - stats["novel"]) / stats["n"], 2)}
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--stage", required=True,
+                    choices=["gen", "full", "serve"])
+    ap.add_argument("--batches", type=int, default=3)
+    args = ap.parse_args()
+
+    from database_syncer_spark.session import get_spark
+
+    spark = get_spark("incr_index_probe", shuffle_partitions=64)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    if args.stage == "gen":
+        out = _gen(spark)
+    elif args.stage == "full":
+        out = _stage_full(spark)
+    else:
+        out = _stage_serve(spark, args.batches)
+    print(json.dumps({"metric": "incremental_index_probe",
+                      "stage": args.stage, "out_dir": OUT,
+                      "loadavg": os.getloadavg(), **out}))
+
+
+if __name__ == "__main__":
+    main()

