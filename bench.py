@@ -91,6 +91,8 @@ SECONDARY = [
     # r10 additions
     "sink_merge_incremental",      # set-based CDC merge batches + replay
     "corpus_curate_incremental",   # batch curation vs corpus novelty gates
+    # r11 addition
+    "dedup_incremental_indexed",   # at-rest bucketed band index probe
 ]
 
 

@@ -32,15 +32,18 @@ def attach_binary_payload(documents: DataFrame) -> DataFrame:
 
 
 def decode_media(payload: bytes) -> dict:
-    """REAL media decode for VIDEO/AUDIO — not available in this
-    container (no codec libraries baked in). The distributed plumbing in
-    extract_features works unchanged once this is implemented. IMAGE
-    header decode needs no codec library and IS implemented:
-    parse_image_header below (PNG/GIF/JPEG dimensions from the container
-    structure, the r10-verdict item 5 closure)."""
+    """REAL pixel/sample decode — not available in this container (no
+    codec libraries baked in). The distributed plumbing in
+    extract_features works unchanged once this is implemented. What
+    needs NO codec library IS implemented: parse_image_header
+    (PNG/GIF/JPEG dimensions) and parse_media_header (WAV/RIFF audio
+    metadata, MP4/ISO-BMFF movie metadata) below — container-structure
+    byte arithmetic, which is the metadata stage a 100-TB media pipeline
+    runs before any codec touches the payload."""
     raise NotImplementedError(
-        "video/audio codecs not available in this environment; "
-        "images: use parse_image_header / decode_image_headers; "
+        "pixel/sample codecs not available in this environment; "
+        "image dims: parse_image_header / decode_image_headers; "
+        "audio/video metadata: parse_media_header / decode_media_headers; "
         "byte-level features: extract_features")
 
 
@@ -173,6 +176,183 @@ def decode_image_headers(binary_files: DataFrame) -> DataFrame:
 
     return (binary_files.select("doc_id", "content")
             .mapInPandas(decode, IMAGE_DIMS_SCHEMA))
+
+
+# --- real audio/video container metadata (no codec library needed) ---------
+#
+# Same principle as the image headers: the metadata a media pipeline
+# needs for routing, sharding and quarantine lives in the CONTAINER
+# structure, not the encoded stream. WAV keeps it in the RIFF `fmt `/
+# `data` chunks (little-endian); MP4 keeps it in the `moov/mvhd` box
+# (big-endian, ISO 14496-12) plus one `trak` box per stream. Both are
+# pure byte arithmetic; only decoding actual samples needs a codec.
+
+def parse_media_header(data: bytes) -> tuple[str, int, int, int]:
+    """(container, duration_ms, sample_rate, n_tracks) from the bytes of
+    a WAV or MP4 file — a REAL parser over the container structure, no
+    codec library. For WAV, ``sample_rate`` is the PCM rate and
+    ``n_tracks`` the channel count; for MP4, ``sample_rate`` is the mvhd
+    timescale (units/second) and ``n_tracks`` the number of trak boxes.
+
+    Raises ValueError on anything unrecognized or structurally corrupt —
+    quarantine routing, never a silent zero."""
+    if data[:4] == b"RIFF" and data[8:12] == b"WAVE":
+        fmt = None
+        data_size = None
+        i = 12
+        while i + 8 <= len(data):
+            cid = data[i:i + 4]
+            csize = int.from_bytes(data[i + 4:i + 8], "little")
+            if cid == b"fmt ":
+                if csize < 16 or i + 8 + 16 > len(data):
+                    raise ValueError("corrupt WAV: truncated fmt chunk")
+                p = i + 8
+                fmt = {
+                    "channels": int.from_bytes(data[p + 2:p + 4], "little"),
+                    "sample_rate": int.from_bytes(data[p + 4:p + 8],
+                                                  "little"),
+                    "block_align": int.from_bytes(data[p + 12:p + 14],
+                                                  "little"),
+                }
+            elif cid == b"data":
+                data_size = csize
+            i += 8 + csize + (csize & 1)  # RIFF pads odd chunks
+        if fmt is None or data_size is None:
+            raise ValueError("corrupt WAV: missing fmt/data chunk")
+        if not fmt["sample_rate"] or not fmt["block_align"]:
+            raise ValueError("corrupt WAV: zero rate/block align")
+        n_samples = data_size // fmt["block_align"]
+        return ("wav", n_samples * 1000 // fmt["sample_rate"],
+                fmt["sample_rate"], fmt["channels"])
+    if len(data) >= 12 and data[4:8] == b"ftyp":
+        mvhd = None
+        n_traks = 0
+
+        def boxes(lo: int, hi: int):
+            i = lo
+            while i + 8 <= hi:
+                size = int.from_bytes(data[i:i + 4], "big")
+                btype = data[i + 4:i + 8]
+                body = i + 8
+                if size == 1:  # 64-bit largesize follows
+                    size = int.from_bytes(data[i + 8:i + 16], "big")
+                    body = i + 16
+                elif size == 0:  # box extends to end of enclosing scope
+                    size = hi - i
+                if size < 8 or i + size > hi:
+                    raise ValueError(f"corrupt MP4: bad box size at {i}")
+                yield btype, body, i + size
+                i += size
+
+        for btype, body, end in boxes(0, len(data)):
+            if btype != b"moov":
+                continue
+            for ctype, cbody, _cend in boxes(body, end):
+                if ctype == b"trak":
+                    n_traks += 1
+                elif ctype == b"mvhd":
+                    version = data[cbody]
+                    if version == 1:
+                        timescale = int.from_bytes(
+                            data[cbody + 20:cbody + 24], "big")
+                        duration = int.from_bytes(
+                            data[cbody + 24:cbody + 32], "big")
+                    else:
+                        timescale = int.from_bytes(
+                            data[cbody + 12:cbody + 16], "big")
+                        duration = int.from_bytes(
+                            data[cbody + 16:cbody + 20], "big")
+                    mvhd = (timescale, duration)
+        if mvhd is None:
+            raise ValueError("corrupt MP4: no moov/mvhd box")
+        if not mvhd[0]:
+            raise ValueError("corrupt MP4: zero mvhd timescale")
+        return ("mp4", mvhd[1] * 1000 // mvhd[0], mvhd[0], n_traks)
+    raise ValueError(f"unrecognized media container: {data[:12].hex()}")
+
+
+def synth_wav(sample_rate: int, channels: int, n_samples: int) -> bytes:
+    """Deterministic spec-valid 16-bit PCM WAV (RIFF/WAVE + fmt + data).
+    Encoder is struct-pack; the parser above is a chunk scanner — no
+    shared code, so a decode bug can't cancel out."""
+    import struct
+
+    block = channels * 2
+    data_size = n_samples * block
+    body = bytes((sample_rate + channels * 7 + i * 13) % 256
+                 for i in range(data_size))
+    return (b"RIFF" + (36 + data_size).to_bytes(4, "little") + b"WAVE"
+            + b"fmt " + (16).to_bytes(4, "little")
+            + struct.pack("<HHIIHH", 1, channels, sample_rate,
+                          sample_rate * block, block, 16)
+            + b"data" + data_size.to_bytes(4, "little") + body)
+
+
+def synth_mp4(timescale: int, duration_units: int, n_traks: int,
+              total_bytes: int) -> bytes:
+    """Deterministic spec-valid MP4 skeleton of exactly ``total_bytes``:
+    ftyp + moov(mvhd v0 + n_traks × trak(tkhd)) + mdat padding."""
+    def box(btype: bytes, payload: bytes) -> bytes:
+        return (8 + len(payload)).to_bytes(4, "big") + btype + payload
+
+    ftyp = box(b"ftyp", b"isom" + (0).to_bytes(4, "big") + b"isommp42")
+    mvhd = box(b"mvhd", bytes(4)                       # version 0 + flags
+               + bytes(8)                              # ctime, mtime
+               + timescale.to_bytes(4, "big")
+               + duration_units.to_bytes(4, "big")
+               + (0x00010000).to_bytes(4, "big")       # rate 1.0
+               + (0x0100).to_bytes(2, "big")           # volume 1.0
+               + bytes(10)                             # reserved
+               + (0x00010000).to_bytes(4, "big") + bytes(12)   # identity
+               + (0x00010000).to_bytes(4, "big") + bytes(12)   # matrix
+               + (0x40000000).to_bytes(4, "big")
+               + bytes(24)                             # pre_defined
+               + (n_traks + 1).to_bytes(4, "big"))     # next_track_ID
+    traks = b"".join(
+        box(b"trak", box(b"tkhd", bytes(3) + b"\x07"   # v0, enabled
+                         + bytes(8)                    # ctime, mtime
+                         + (t + 1).to_bytes(4, "big")  # track_ID
+                         + bytes(4)                    # reserved
+                         + duration_units.to_bytes(4, "big")
+                         + bytes(60)))                 # layer..matrix..wh
+        for t in range(n_traks))
+    head = ftyp + box(b"moov", mvhd + traks)
+    pad = total_bytes - len(head) - 8
+    if pad < 0:
+        raise ValueError(f"total_bytes {total_bytes} < skeleton size")
+    mdat = box(b"mdat", bytes((timescale + duration_units + i * 31) % 256
+                              for i in range(pad)))
+    return head + mdat
+
+
+MEDIA_META_SCHEMA = ("doc_id bigint, container string, duration_ms int, "
+                     "sample_rate int, n_tracks int, n_bytes int")
+
+
+def decode_media_headers(binary_files: DataFrame) -> DataFrame:
+    """Distributed audio/video container-metadata decode over a
+    ``binaryFile`` scan: Arrow-batched mapInPandas, one
+    parse_media_header call per file, fixed output schema. Input
+    contract: (doc_id, content) columns."""
+    def decode(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            parsed = [parse_media_header(bytes(b)) for b in pdf["content"]]
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "container": [p[0] for p in parsed],
+                "duration_ms": pd.Series([p[1] for p in parsed],
+                                         dtype="int32"),
+                "sample_rate": pd.Series([p[2] for p in parsed],
+                                         dtype="int32"),
+                "n_tracks": pd.Series([p[3] for p in parsed],
+                                      dtype="int32"),
+                "n_bytes": pdf["content"].map(len).astype("int32"),
+            })
+
+    return (binary_files.select("doc_id", "content")
+            .mapInPandas(decode, MEDIA_META_SCHEMA))
 
 
 def extract_features(with_payload: DataFrame) -> DataFrame:

@@ -13,6 +13,8 @@ references.
 
 from __future__ import annotations
 
+import os
+
 import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession
@@ -60,6 +62,27 @@ def dedup_incremental(spark, sf_dir):
     is_batch = F.col("doc_id") % _BATCH_MOD == _BATCH_REM
     return D.incremental_near_dups(docs.where(is_batch),
                                    docs.where(~is_batch))
+
+
+def dedup_incremental_indexed(spark, sf_dir):
+    """Ingest-time dedup against the AT-REST index — the steady-state
+    deployment shape (pipeline/dedup.py:build_corpus_band_index /
+    build_corpus_digest_index): the corpus's MinHash band keys are
+    persisted ONCE as a parquet table bucketed by (band_id, band_hash),
+    and the batch probes that stored layout instead of re-shingling the
+    corpus per call. Same verdict contract (and by construction the
+    same values) as dedup_incremental — the driver hash certifies the
+    indexed path ≡ the inline path every round, so an index-build or
+    bucket-pruning regression can't hide behind the unit test. Ingest
+    cost scales with the batch + its collision volume, never the corpus
+    (measured: SCALE.md's at-rest-index A/B)."""
+    docs = load_table(spark, sf_dir, "documents")
+    is_batch = F.col("doc_id") % _BATCH_MOD == _BATCH_REM
+    corpus = docs.where(~is_batch)
+    tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+    bands = D.build_corpus_band_index(corpus, f"dss_atrest_bands_{tag}")
+    return D.incremental_near_dups(docs.where(is_batch), corpus,
+                                   corpus_bands=bands)
 
 
 def dedup_ngram_jaccard(spark, sf_dir):
@@ -876,6 +899,62 @@ def multimodal_image_dims(spark, sf_dir):
     return decode_image_headers(b)
 
 
+def multimodal_media_meta(spark, sf_dir):
+    """REAL audio/video container-metadata decode with zero codec
+    libraries (the image-dims pattern extended to WAV + MP4): stage
+    spec-valid WAV (RIFF fmt/data chunks) and MP4 (ftyp + moov/mvhd +
+    trak boxes) files whose parameters derive arithmetically from
+    doc_id, read them back through the binaryFile source, and parse
+    (container, duration_ms, sample_rate, n_tracks) from the CONTAINER
+    BYTES in Arrow-batched mapInPandas
+    (pipeline/multimodal.py:parse_media_header — little-endian RIFF
+    chunk scan with odd-size padding, big-endian ISO-BMFF box walk
+    handling mvhd v0/v1 and 64-bit largesize). The oracle recomputes
+    every field from the doc_id arithmetic alone, so the Spark side can
+    only match by decoding the binary structure correctly — encoder
+    (struct-pack in synth_wav/synth_mp4) and decoder (scanner) share no
+    code. Only pixel/sample decode remains stubbed
+    (pipeline/multimodal.py:decode_media).
+
+    Scale: identical posture to multimodal_image_dims — leading-bytes
+    metadata, embarrassingly parallel binaryFile scan, no shuffle."""
+    import os
+    import tempfile
+
+    from database_syncer_spark.pipeline.multimodal import (
+        decode_media_headers, synth_mp4, synth_wav)
+
+    tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+    d = os.path.join(tempfile.gettempdir(), f"dss_mediafiles_v1_{tag}")
+    if not os.path.isdir(d):
+        tmp = f"{d}.tmp{os.getpid()}"
+        os.makedirs(tmp, exist_ok=True)
+        ids = [int(r.doc_id) for r in
+               load_table(spark, sf_dir, "documents")
+               .where(F.col("doc_id") < 60).select("doc_id").collect()]
+        for i in ids:
+            if i % 2 == 0:
+                data = synth_wav(8000 + (i % 5) * 4000,
+                                 1 + (i // 2) % 2, 1000 + i * 37)
+                ext = "wav"
+            else:
+                data = synth_mp4(600 + (i % 7) * 100, 3000 + i * 53,
+                                 1 + i % 3, total_bytes=600 + i % 100)
+                ext = "mp4"
+            with open(os.path.join(tmp, f"med_{i:05d}.{ext}"), "wb") as fh:
+                fh.write(data)
+        try:
+            os.rename(tmp, d)
+        except OSError:  # concurrent winner published first
+            import shutil
+            shutil.rmtree(tmp, ignore_errors=True)
+    b = (spark.read.format("binaryFile")
+         .option("pathGlobFilter", "med_*").load(d)
+         .select(F.regexp_extract("path", r"med_(\d+)\.\w+$", 1)
+                 .cast("long").alias("doc_id"), "content"))
+    return decode_media_headers(b)
+
+
 # --- UDF / UDAF / UDTF (B10) ------------------------------------------------------
 
 def udf_tokenizer(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -940,6 +1019,7 @@ QUERIES = {
     "dedup_minhash_lsh": dedup_minhash_lsh,      # exact-SQL oracle (recall total)
     "dedup_simhash": dedup_simhash,              # pinned-rows oracle
     "dedup_incremental": dedup_incremental,      # exact-SQL oracle
+    "dedup_incremental_indexed": dedup_incremental_indexed,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_ngram_containment": dedup_ngram_containment,
     "dedup_cluster_components": dedup_cluster_components,
@@ -979,6 +1059,7 @@ QUERIES = {
     "multimodal_decode": multimodal_decode,
     "multimodal_frame_sample": multimodal_frame_sample,
     "multimodal_image_dims": multimodal_image_dims,
+    "multimodal_media_meta": multimodal_media_meta,
     "udf_tokenizer": udf_tokenizer,
     "udaf_pandas_grouped": udaf_pandas_grouped,
     "udtf_statement_split": udtf_statement_split,
@@ -1898,6 +1979,25 @@ SELECT doc_id,
        CAST(200 + doc_id % 100 AS INT) AS n_bytes
 FROM documents WHERE doc_id < 60
 """,
+    # every field recomputed from the doc_id arithmetic the staged-file
+    # writer used — the Spark side can only match by actually walking
+    # the RIFF chunks / ISO-BMFF boxes
+    "multimodal_media_meta": """
+SELECT doc_id,
+       CASE WHEN doc_id % 2 = 0 THEN 'wav' ELSE 'mp4' END AS container,
+       CAST(CASE WHEN doc_id % 2 = 0
+            THEN ((1000 + doc_id * 37) * 1000) // (8000 + (doc_id % 5) * 4000)
+            ELSE ((3000 + doc_id * 53) * 1000) // (600 + (doc_id % 7) * 100)
+            END AS INT) AS duration_ms,
+       CAST(CASE WHEN doc_id % 2 = 0 THEN 8000 + (doc_id % 5) * 4000
+            ELSE 600 + (doc_id % 7) * 100 END AS INT) AS sample_rate,
+       CAST(CASE WHEN doc_id % 2 = 0 THEN 1 + (doc_id // 2) % 2
+            ELSE 1 + doc_id % 3 END AS INT) AS n_tracks,
+       CAST(CASE WHEN doc_id % 2 = 0
+            THEN 44 + (1000 + doc_id * 37) * (1 + (doc_id // 2) % 2) * 2
+            ELSE 600 + doc_id % 100 END AS INT) AS n_bytes
+FROM documents WHERE doc_id < 60
+""",
     # frames recomputed from the text the payload encodes — byte-exact
     # because fixture text is ASCII (1 byte/char); non-ASCII would fail
     # parity loudly
@@ -1934,3 +2034,8 @@ FROM (SELECT doc_id, string_split(text, ' ') AS parts FROM documents) t,
 WHERE parts[g] <> ''
 """,
 }
+
+# The at-rest-indexed ingest path is value-identical to the inline path
+# BY CONTRACT (same bands, same verify); giving it the SAME oracle makes
+# the driver hash certify that contract every round.
+ORACLES["dedup_incremental_indexed"] = ORACLES["dedup_incremental"]

@@ -79,6 +79,8 @@ KEYS = [
      "epoch upsampling (r9): domain-sized ratio table broadcast onto the corpus scan, epochs fan out in a map-side Generate explode — zero corpus shuffles"),
     ("corpus_curate_incremental",
      "ingest-time curation (r10): returned plan descends from batch-sized eager checkpoints (scrub/digest/band work ran once under a released cache); digest gate semi-joins 64-byte sha2s, near gate is the batch x corpus band join — no corpus self-join anywhere"),
+    ("dedup_incremental_indexed",
+     "at-rest-index ingest dedup (r11): corpus band keys read from the bucketed stored table (dss_atrest_bands scan) — only the BATCH side computes signatures; corpus text touched solely for the candidate semi-joined shingle fetch"),
 ]
 
 

@@ -572,6 +572,94 @@ def test_image_header_parser_rejects_corrupt():
         parse_image_header(b"GIF89a\x01\x00")
 
 
+def test_media_header_parser_roundtrip_and_externally_encoded():
+    """parse_media_header decodes (container, duration_ms, sample_rate,
+    n_tracks) from real container bytes: every synth_wav / synth_mp4
+    round-trips across the param grid, AND hand-built containers NOT
+    produced by the synths parse too — a WAV with a LIST chunk and an
+    odd-sized (padded) chunk before fmt, an MP4 with an mvhd v1
+    (64-bit times) and a largesize box — so the parser is a real
+    scanner, not an inverse of the fixture writer."""
+    from database_syncer_spark.pipeline.multimodal import (
+        parse_media_header, synth_mp4, synth_wav)
+
+    for rate in (8000, 44100, 48000):
+        for ch in (1, 2, 6):
+            for n in (1, 999, 48000):
+                got = parse_media_header(synth_wav(rate, ch, n))
+                assert got == ("wav", n * 1000 // rate, rate, ch)
+    for ts in (600, 90000):
+        for dur in (0, 3001, 123456):
+            for traks in (0, 1, 3):
+                data = synth_mp4(ts, dur, traks, total_bytes=700)
+                assert len(data) == 700
+                got = parse_media_header(data)
+                assert got == ("mp4", dur * 1000 // ts, ts, traks)
+
+    # externally-shaped WAV: LIST chunk + odd-size (padded) junk chunk
+    # BEFORE fmt, 24 kHz stereo, 6000 samples
+    import struct
+    fmt = (b"fmt " + (16).to_bytes(4, "little")
+           + struct.pack("<HHIIHH", 1, 2, 24000, 24000 * 4, 4, 16))
+    wav = (b"RIFF" + (0).to_bytes(4, "little") + b"WAVE"
+           + b"LIST" + (4).to_bytes(4, "little") + b"INFO"
+           + b"junk" + (5).to_bytes(4, "little") + b"abcde\x00"  # pad
+           + fmt
+           + b"data" + (6000 * 4).to_bytes(4, "little") + bytes(8))
+    assert parse_media_header(wav) == ("wav", 250, 24000, 2)
+
+    # externally-shaped MP4: largesize skip box, then moov with mvhd v1
+    mvhd_v1 = (b"\x01\x00\x00\x00" + bytes(16)      # v1, ctime/mtime u64
+               + (1000).to_bytes(4, "big")           # timescale
+               + (7500).to_bytes(8, "big") + bytes(80))
+    moov_body = ((8 + len(mvhd_v1)).to_bytes(4, "big") + b"mvhd" + mvhd_v1
+                 + (8).to_bytes(4, "big") + b"trak")
+    mp4 = ((24).to_bytes(4, "big") + b"ftyp" + b"isom" + bytes(4)
+           + b"isommp42"
+           + (1).to_bytes(4, "big") + b"skip" + (20).to_bytes(8, "big")
+           + bytes(4)                                # largesize payload
+           + (8 + len(moov_body)).to_bytes(4, "big") + b"moov" + moov_body)
+    assert parse_media_header(mp4) == ("mp4", 7500, 1000, 1)
+
+
+def test_media_header_parser_rejects_corrupt():
+    """Corrupt containers QUARANTINE (ValueError), never mis-meter:
+    WAV missing fmt/data, zero-rate fmt, MP4 with no mvhd, zero
+    timescale, bad box size, unknown magic."""
+    import struct
+
+    from database_syncer_spark.pipeline.multimodal import (
+        parse_media_header, synth_mp4, synth_wav)
+
+    with pytest.raises(ValueError, match="missing fmt/data"):
+        parse_media_header(b"RIFF\x00\x00\x00\x00WAVE"
+                           b"data\x04\x00\x00\x00abcd")
+    zero_rate = (b"RIFF" + bytes(4) + b"WAVE"
+                 + b"fmt " + (16).to_bytes(4, "little")
+                 + struct.pack("<HHIIHH", 1, 1, 0, 0, 0, 16)
+                 + b"data" + (4).to_bytes(4, "little") + bytes(4))
+    with pytest.raises(ValueError, match="zero rate"):
+        parse_media_header(zero_rate)
+    no_mvhd = ((24).to_bytes(4, "big") + b"ftyp" + b"isom" + bytes(4)
+               + b"isommp42" + (16).to_bytes(4, "big") + b"moov"
+               + (8).to_bytes(4, "big") + b"trak")
+    with pytest.raises(ValueError, match="no moov/mvhd"):
+        parse_media_header(no_mvhd)
+    zero_ts = bytearray(synth_mp4(600, 100, 1, total_bytes=700))
+    i = zero_ts.index(b"mvhd") + 4 + 12
+    zero_ts[i:i + 4] = bytes(4)  # timescale := 0
+    with pytest.raises(ValueError, match="timescale"):
+        parse_media_header(bytes(zero_ts))
+    bad_box = bytearray(synth_mp4(600, 100, 1, total_bytes=700))
+    bad_box[0:4] = (3).to_bytes(4, "big")  # box size < 8
+    with pytest.raises(ValueError, match="bad box size"):
+        parse_media_header(bytes(bad_box))
+    with pytest.raises(ValueError, match="unrecognized"):
+        parse_media_header(b"OggS0123456789abcdef")
+    # sanity: a good synth still parses after the mutations above
+    assert parse_media_header(synth_wav(8000, 1, 8000))[1] == 1000
+
+
 def test_connected_components_chain_and_islands(spark):
     """Chains link transitively (a-b-c-d one component); islands stay
     separate; component id = min doc_id in the cluster."""
@@ -672,7 +760,7 @@ def test_dim_probed_not_hardcoded_and_ragged_fails_loudly(spark):
     ragged = spark.createDataFrame(
         [(0, [1.0, 0.0, 0.0, 0.0]), (1, [1.0, 0.0])],
         "vec_id long, embedding array<float>")
-    with _pytest.raises(ValueError, match="ragged"):
+    with pytest.raises(ValueError, match="ragged"):
         check_dim(ragged)
 
 

@@ -553,3 +553,26 @@ def test_retention_cohort_four_exchanges_no_distinct_join(spark, sf_dir):
     m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
     assert m and set(c.split(":")[0] for c in m.group(1).split(",")) == {
         "ts", "user_id"}, plan
+
+
+def test_incremental_indexed_reads_stored_bands(spark, sf_dir):
+    """dedup_incremental_indexed must read the corpus band keys from the
+    AT-REST bucketed table (build_corpus_band_index) — never re-shingle
+    or re-MinHash the corpus per ingest batch. Guarded as an A/B
+    against the inline key: the indexed plan scans the stored table,
+    and carries strictly fewer signature-generation fan-outs (Generate
+    nodes) and strictly fewer documents-parquet scans than the inline
+    plan, because the corpus signature chain moved to the index build."""
+    from database_syncer_spark.registry import all_queries
+
+    qs = all_queries()
+    indexed = _plan(qs["dedup_incremental_indexed"](spark, sf_dir))
+    inline = _plan(qs["dedup_incremental"](spark, sf_dir))
+    assert "dss_atrest_bands" in indexed, "stored band index not scanned"
+    assert "dss_atrest_bands" not in inline
+    assert indexed.count("Generate") < inline.count("Generate"), (
+        indexed.count("Generate"), inline.count("Generate"))
+    assert (indexed.count("documents.parquet")
+            < inline.count("documents.parquet")), (
+        indexed.count("documents.parquet"), inline.count("documents.parquet"))
+    assert "BatchEvalPython" not in indexed
