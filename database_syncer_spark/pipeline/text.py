@@ -508,3 +508,49 @@ def pii_scrub(documents: DataFrame) -> DataFrame:
         n_phones.cast("int").alias("n_phones"),
         ((n_emails > 0) | (n_phones > 0)).alias("has_pii"),
         F.md5(redacted).alias("redacted_md5"))
+
+
+#: The five core named/numeric entities a minimal HTML unescape handles;
+#: ``&amp;`` must decode LAST (so already-decoded ``&lt;`` text can't be
+#: double-decoded on the way through).
+_HTML_ENTITIES = [("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'),
+                  ("&#39;", "'"), ("&nbsp;", " ")]
+
+
+def html_strip(documents: DataFrame, html_col: str = "html") -> DataFrame:
+    """HTML boilerplate removal — the first stage of a web-crawl
+    curation pipeline (reference scope: the corpus-curation family;
+    cf. trafilatura/jusText's extraction problem reduced to its
+    deterministic core): drop ``<script>``/``<style>`` blocks WITH
+    their content (a script's body is code, not prose — and may contain
+    ``<`` that would derail naive tag stripping), drop ``<!-- comments
+    -->``, drop every remaining tag, decode the core entities
+    (``&amp;`` last), collapse whitespace runs, trim. Returns (doc_id,
+    clean_text, n_tags) where n_tags counts the real markup tags (after
+    block/comment removal, so script-internal ``<`` is not a tag).
+
+    Scale: one codegen projection, corpus-linear, zero shuffles, zero
+    Python — regexp_replace/replace are JVM built-ins, so this runs at
+    scan speed on a 100-TB crawl."""
+    s = F.regexp_replace(F.col(html_col),
+                         "(?is)<script[^>]*>.*?</script>", " ")
+    s = F.regexp_replace(s, "(?is)<style[^>]*>.*?</style>", " ")
+    s = F.regexp_replace(s, "(?s)<!--.*?-->", " ")
+    n_tags = F.regexp_count(s, F.lit("<[^>]+>"))
+    s = F.regexp_replace(s, "(?s)<[^>]+>", " ")
+    for ent, ch in _HTML_ENTITIES:
+        s = F.replace(s, F.lit(ent), F.lit(ch))
+    s = F.replace(s, F.lit("&amp;"), F.lit("&"))
+    s = F.trim(F.regexp_replace(s, "\\s+", " "))
+    return documents.select(
+        "doc_id", s.alias("clean_text"), n_tags.cast("int").alias("n_tags"))
+
+
+def html_escape_text(col) -> F.Column:
+    """Entity-encode raw text for embedding in HTML (& first so entity
+    markers never double-encode) — the inverse path html_strip decodes;
+    used by the driver key to build its fixture markup in-plan."""
+    s = F.replace(col if not isinstance(col, str) else F.col(col),
+                  F.lit("&"), F.lit("&amp;"))
+    s = F.replace(s, F.lit("<"), F.lit("&lt;"))
+    return F.replace(s, F.lit(">"), F.lit("&gt;"))

@@ -235,6 +235,24 @@ def scan_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.schema(c.schema).json(path)
 
 
+def scan_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML source round trip on part — Spark 4's NATIVE xml format
+    (the spark-xml package folded into core), completing B1 source
+    breadth: parquet, CSV, JSONL, ORC, XML and SQL/pg dumps. Explicit
+    schema + explicit rowTag on read (schema inference over XML is a
+    full extra scan AND type-guesses; a 100-TB feed declares both).
+    Column order is reasserted after read because the XML reader
+    returns fields in schema order — the select is a no-op guard, not a
+    shuffle."""
+    p = load_table(spark, sf_dir, "part")
+    path = _roundtrip_dir(sf_dir, "xml")
+    (p.write.mode("overwrite").format("xml")
+     .option("rootTag", "parts").option("rowTag", "part").save(path))
+    return (spark.read.format("xml").schema(p.schema)
+            .option("rowTag", "part").load(path)
+            .select(*p.columns))
+
+
 def scan_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ORC source round trip on supplier — B1 breadth: parquet, CSV,
     JSONL, ORC and SQL-dump sources all covered. Explicit schema on
@@ -750,6 +768,7 @@ QUERIES = {
     "subq_scalar_agg": subq_scalar_agg,
     "scan_csv_roundtrip": scan_csv_roundtrip,
     "scan_jsonl_roundtrip": scan_jsonl_roundtrip,
+    "scan_xml_roundtrip": scan_xml_roundtrip,
     "scan_orc_roundtrip": scan_orc_roundtrip,
     "scan_partition_pruned": scan_partition_pruned,
     "agg_stats_moments": agg_stats_moments,
@@ -915,6 +934,7 @@ WHERE o_totalprice > 0.5 * (SELECT max(o_totalprice) FROM orders)
 """,
     "scan_csv_roundtrip": "SELECT * FROM nation",
     "scan_jsonl_roundtrip": "SELECT * FROM customer",
+    "scan_xml_roundtrip": "SELECT * FROM part",
     "scan_orc_roundtrip": "SELECT * FROM supplier",
     "scan_partition_pruned": """
 SELECT event_id, ts, user_id, event_type, value

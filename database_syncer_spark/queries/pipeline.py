@@ -826,6 +826,32 @@ def text_pii_scrub(spark, sf_dir):
     return T.pii_scrub(load_table(spark, sf_dir, "documents"))
 
 
+def text_html_strip(spark, sf_dir):
+    """Web-crawl boilerplate removal (pipeline/text.py:html_strip):
+    every document is wrapped IN-PLAN into deterministic full-page
+    markup — head with a script block (whose body contains a bare ``<``
+    to derail naive tag stripping), a style block, an entity-bearing
+    h1 (``&amp;``, ``&lt;id&gt;``), a multi-line comment, and the
+    entity-ESCAPED text split across ``<p>`` blocks at token
+    boundaries — then stripped back. The oracle reconstructs the
+    expected clean text arithmetically ('Doc & <id> ' + the
+    whitespace-collapsed original), so the Spark side can only match by
+    correctly removing blocks, tags and comments AND round-tripping the
+    entity coding; n_tags is pinned to the constructed tag count
+    (12 + 2·spaces)."""
+    docs = load_table(spark, sf_dir, "documents")
+    html = F.concat(
+        F.lit('<html><head><title></title>'
+              '<script type="text/javascript">var x = 1 < 2;</script>'
+              '<style>p { color: #fff; }</style></head><body>'
+              '<h1>Doc &amp; &lt;'),
+        F.col("doc_id").cast("string"),
+        F.lit('&gt;</h1><!-- boilerplate\n nav --><p>'),
+        F.regexp_replace(T.html_escape_text("text"), " ", "</p>\n<p>"),
+        F.lit("</p></body></html>"))
+    return T.html_strip(docs.select("doc_id", html.alias("html")))
+
+
 # --- multimodal ------------------------------------------------------------------
 
 def multimodal_columns(spark, sf_dir):
@@ -1055,6 +1081,7 @@ QUERIES = {
     "text_ngram_lm_score": text_ngram_lm_score,
     "text_pack_greedy": text_pack_greedy,
     "text_pii_scrub": text_pii_scrub,
+    "text_html_strip": text_html_strip,
     "multimodal_columns": multimodal_columns,
     "multimodal_decode": multimodal_decode,
     "multimodal_frame_sample": multimodal_frame_sample,
@@ -1438,6 +1465,17 @@ FROM documents
 
 ORACLES = {
     "text_pii_scrub": _PII_SQL,
+    # expected clean text + tag count reconstructed from the key's
+    # deterministic page construction — the Spark side can only match by
+    # actually stripping blocks/tags/comments and decoding the entities
+    "text_html_strip": """
+SELECT doc_id,
+       'Doc & <' || CAST(doc_id AS VARCHAR) || '> '
+         || trim(regexp_replace(text, ' +', ' ', 'g')) AS clean_text,
+       CAST(12 + 2 * (strlen(text) - strlen(replace(text, ' ', '')))
+            AS INT) AS n_tags
+FROM documents
+""",
     "text_decontaminate": _DECONTAMINATE_SQL,
     "text_repetition": _REPETITION_SQL,
     # the oracle REPLAYS the sequential greedy rule with a recursive CTE

@@ -28,10 +28,22 @@ Two things the r10 measurement conflated, separated here:
    score/scrub, digest semi-join against the stored table, batch-side
    signatures joined to the stored bands, candidate-only verification.
 
+Two lessons from the FIRST run of this script, both fixed here:
+(a) the planted twins' id shifts put every twin in a non-batch mod-128
+class, so the batch met a 0.03% dup rate — batch-targeted twins now
+land in the batch class with their originals in the corpus (organic
+~3% batch dup rate); (b) the serve legs derived the batch by FILTERING
+the full corpus scan — an O(corpus) read inside the "per-batch cost"
+timing — so gen now splits batch/corpus/full on disk and serve reads
+the batch from its own source (O(batch) scan, the real ingest shape).
+Each stage's JSON records a fixed-work disk-write calibration pair so
+the number self-reports the host phase it ran in (this host's
+writeback is bimodal, BASELINE.md).
+
 Stages (each its own fresh JVM; interleave full/serve legs per the
 BASELINE.md discipline):
   --stage gen    build the organic-density corpus (~2.5 M docs)
-  --stage full   full corpus_curate wall over the whole corpus
+  --stage full   full corpus_curate wall over corpus+batch (full/)
   --stage serve  index build (timed) THEN n-batch serve runs (timed
                  each) in the same JVM — bucketed-table metadata lives
                  in the in-memory catalog, and a long-running ingest
@@ -58,8 +70,17 @@ SRC = "/root/testdata/sf0.1"
 OUT = "/tmp/dss_incr_organic"
 MULT = 500                      # 5k sf0.1 docs -> 2.5M
 BATCH_MOD, BATCH_REM = 128, 5   # ~0.78% "daily" batch
-NEAR_MOD, NEAR_REM = 64, 11     # ~1.6% near-dup twins
-EXACT_MOD, EXACT_REM = 256, 77  # ~0.4% exact twins
+NEAR_MOD, NEAR_REM = 64, 11     # ~1.6% corpus-internal near-dup twins
+EXACT_MOD, EXACT_REM = 256, 77  # ~0.4% corpus-internal exact twins
+# batch-targeted twins: originals in mod-128 class 4 (resp. 2), shifts
+# ≡ 1 (resp. 3) mod 128, so the twin lands in the BATCH class 5 and its
+# original stays in the corpus — the first probe run planted only
+# corpus-internal twins (classes 12/76/80) and the batch met a 0.03%
+# dup rate, which silently un-asked the ingest-time question. The fine
+# 8192 modulus keeps the planted batch dup rate organic (~1.5% near +
+# ~1.5% exact of the ~20k batch), not the r10 fixture's 50%+.
+BNEAR_MOD, BNEAR_REM, BNEAR_SHIFT = 8192, 4, 30_000_000_001
+BEXACT_MOD, BEXACT_REM, BEXACT_SHIFT = 8192, 2, 40_000_000_003
 QUALITY_MIN = 0.35              # corpus_curate's gate
 
 
@@ -103,20 +124,61 @@ def _gen(spark) -> dict:
     exact = (base.where(F.col("doc_id") % EXACT_MOD == EXACT_REM)
              .withColumn("doc_id", F.col("doc_id")
                          + F.lit(20_000_000_003).cast("long")))
-    (base.unionByName(near).unionByName(exact)
-     .withColumn("n_chars", F.length("text"))
-     .repartition(32)
-     .write.mode("overwrite")
+    # batch-targeted twins (the ingest-time question): twin lands in the
+    # batch mod-class, its original in the corpus
+    bnear = (base.where(F.col("doc_id") % BNEAR_MOD == BNEAR_REM)
+             .withColumn("doc_id", F.col("doc_id")
+                         + F.lit(BNEAR_SHIFT).cast("long"))
+             .withColumn("text", near_text))
+    bexact = (base.where(F.col("doc_id") % BEXACT_MOD == BEXACT_REM)
+              .withColumn("doc_id", F.col("doc_id")
+                          + F.lit(BEXACT_SHIFT).cast("long")))
+    alldocs = (base.unionByName(near).unionByName(exact)
+               .unionByName(bnear).unionByName(bexact)
+               .withColumn("n_chars", F.length("text")))
+    is_batch = F.pmod(F.col("doc_id"), BATCH_MOD) == BATCH_REM
+    # split ON DISK: the serve stage must read the batch from its own
+    # ingest source (O(batch) scan), never filter it out of the corpus
+    # (an O(corpus) read inside the "per-batch cost" timing — the first
+    # probe run's measurement bug)
+    (alldocs.where(is_batch).repartition(4).write.mode("overwrite")
+     .parquet(os.path.join(OUT, "batch.parquet")))
+    (alldocs.where(~is_batch).repartition(32).write.mode("overwrite")
      .parquet(os.path.join(OUT, "documents.parquet")))
-    n = spark.read.parquet(os.path.join(OUT, "documents.parquet")).count()
-    return {"docs": n}
+    # the full-curate comparand re-curates EVERYTHING after the batch
+    # arrives — materialized as its own table dir so corpus_curate's
+    # load_table contract applies unchanged
+    (spark.read.parquet(os.path.join(OUT, "batch.parquet"))
+     .unionByName(spark.read.parquet(os.path.join(OUT, "documents.parquet")))
+     .repartition(32).write.mode("overwrite")
+     .parquet(os.path.join(OUT, "full", "documents.parquet")))
+    nb = spark.read.parquet(os.path.join(OUT, "batch.parquet")).count()
+    nc = spark.read.parquet(os.path.join(OUT, "documents.parquet")).count()
+    return {"corpus_docs": nc, "batch_docs": nb}
 
 
-def _batch_split(docs):
+def _host_calib(spark) -> list[float]:
+    """Fixed-work disk-writeback calibration (bench.py's probe, halved):
+    a pinned ~165 MB incompressible parquet write + os.sync per leg, so
+    each stage's JSON self-reports which host phase it ran in."""
+    import shutil
+    import tempfile
+
     from pyspark.sql import functions as F
 
-    is_batch = F.pmod(F.col("doc_id"), BATCH_MOD) == BATCH_REM
-    return docs.where(is_batch), docs.where(~is_batch)
+    def leg() -> float:
+        d = tempfile.mkdtemp(prefix="dss_incr_calib_")
+        try:
+            t0 = time.perf_counter()
+            (spark.range(0, 8_000_000, 1, 32)
+             .select("id", F.xxhash64("id").alias("h1"))
+             .write.mode("overwrite").parquet(os.path.join(d, "p")))
+            os.sync()
+            return round(time.perf_counter() - t0, 2)
+        finally:
+            shutil.rmtree(d, ignore_errors=True)
+
+    return sorted(leg() for _ in range(2))
 
 
 def _score_scrub(docs):
@@ -138,7 +200,7 @@ def _stage_full(spark) -> dict:
     from database_syncer_spark.registry import all_queries
 
     t0 = time.perf_counter()
-    (all_queries()["corpus_curate"](spark, OUT)
+    (all_queries()["corpus_curate"](spark, os.path.join(OUT, "full"))
      .write.format("noop").mode("overwrite").save())
     return {"full_curate_sec": round(time.perf_counter() - t0, 1)}
 
@@ -151,8 +213,8 @@ def _stage_serve(spark, n_batches: int) -> dict:
         build_corpus_band_index, build_corpus_digest_index,
         incremental_near_dups)
 
-    docs = load_table(spark, OUT, "documents").select("doc_id", "text")
-    _, corpus_raw = _batch_split(docs)
+    corpus_raw = (load_table(spark, OUT, "documents")
+                  .select("doc_id", "text"))
 
     t0 = time.perf_counter()
     corpus = (_score_scrub(corpus_raw)
@@ -169,7 +231,10 @@ def _stage_serve(spark, n_batches: int) -> dict:
     serve_secs = []
     for _ in range(n_batches):
         t0 = time.perf_counter()
-        batch_raw, _ = _batch_split(docs)
+        # the batch arrives from its OWN ingest source: O(batch) scan
+        batch_raw = (spark.read
+                     .parquet(os.path.join(OUT, "batch.parquet"))
+                     .select("doc_id", "text"))
         scrubbed = _score_scrub(batch_raw)
         bq = (scrubbed.where(F.col("quality_score") >= QUALITY_MIN)
               .select("doc_id", "text"))
@@ -191,7 +256,8 @@ def _stage_serve(spark, n_batches: int) -> dict:
         verdict.write.format("noop").mode("overwrite").save()
         serve_secs.append(round(time.perf_counter() - t0, 1))
     # density sanity: how much organic dup did the batch actually meet
-    batch_raw, _ = _batch_split(docs)
+    batch_raw = (spark.read.parquet(os.path.join(OUT, "batch.parquet"))
+                 .select("doc_id", "text"))
     bq = (_score_scrub(batch_raw)
           .where(F.col("quality_score") >= QUALITY_MIN)
           .select("doc_id", "text"))
@@ -223,9 +289,11 @@ def main() -> None:
         out = _stage_full(spark)
     else:
         out = _stage_serve(spark, args.batches)
+    calib = None if args.stage == "gen" else _host_calib(spark)
     print(json.dumps({"metric": "incremental_index_probe",
                       "stage": args.stage, "out_dir": OUT,
-                      "loadavg": os.getloadavg(), **out}))
+                      "loadavg": os.getloadavg(),
+                      "host_calib_write_sec": calib, **out}))
 
 
 if __name__ == "__main__":

@@ -1015,3 +1015,32 @@ def test_incremental_near_dups_at_rest_index_identical(spark, sf_dir):
         assert plan.count("xxhash64") <= 200  # sanity: plan materialized
     finally:
         drop_snapshot(spark, "dss_test_band_idx")
+
+
+def test_html_strip_external_shapes(spark):
+    """html_strip on markup NOT built by the driver key: uppercase
+    SCRIPT with a '<' in its body, style with braces, attribute-laden
+    tags, all five entities plus &amp; double-coding, whitespace runs
+    across newlines — a real stripper, not an inverse of the fixture
+    builder."""
+    from database_syncer_spark.pipeline.text import html_strip
+
+    rows = [
+        (1, '<DIV class="x" data-y=\'1\'>a  b</DIV>\n\t<p>c</p>'),
+        (2, '<SCRIPT>if (1 < 2) { x("</p>"); }</SCRIPT>kept'),
+        (3, '<style media="all">h1 { font: 12px; }</style>body text'),
+        (4, 'AT&amp;T says &lt;hi&gt; &quot;ok&quot; &#39;y&#39;&nbsp;!'),
+        (5, '&amp;lt; stays literal'),      # decoded once, not twice
+        (6, 'pre <!-- multi\nline\ncomment --> post'),
+        (7, '<p>body</p><br/>'),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, html string")
+    got = {r.doc_id: (r.clean_text, r.n_tags)
+           for r in html_strip(docs).collect()}
+    assert got[1] == ("a b c", 4)
+    assert got[2] == ("kept", 0)
+    assert got[3] == ("body text", 0)
+    assert got[4] == ('AT&T says <hi> "ok" \'y\' !', 0)
+    assert got[5] == ("&lt; stays literal", 0)
+    assert got[6] == ("pre post", 0)
+    assert got[7] == ("body", 3)
