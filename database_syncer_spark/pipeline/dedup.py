@@ -260,9 +260,14 @@ def incremental_near_dups(batch: DataFrame, corpus: DataFrame,
     banded signatures are PRECOMPUTED and bucketed by (band_id,
     band_hash) — pass that stored table as ``corpus_bands``
     (build_corpus_band_index) and a daily batch shuffles only its own
-    bands and probes the bucket layout, so ingest cost scales with the
-    batch and its collision volume, never the corpus (measured:
-    SCALE.md's at-rest-index A/B). With ``corpus_bands=None`` the
+    bands and probes the bucket layout. Precisely: the corpus side is
+    never re-shingled, re-hashed, or re-shuffled per batch; what remains
+    corpus-proportional is ONE columnar scan of the skinny stored band
+    table (three fixed-width columns, no text) — at 100 TB that scan is
+    the band table's few hundred GB read bucket-parallel, not the corpus
+    itself, and everything downstream (shuffle, verify) is batch +
+    collision sized (measured: SCALE.md's at-rest-index A/B, a 0.81%
+    batch at 3.2-4.8% of the full-curate wall). With ``corpus_bands=None`` the
     corpus side is derived inline (fixture-scale convenience; the
     one-time index build the steady state amortizes). ``corpus`` text
     is still consulted — but only for the CANDIDATES' shingle fetch

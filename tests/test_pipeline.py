@@ -1044,3 +1044,63 @@ def test_html_strip_external_shapes(spark):
     assert got[5] == ("&lt; stays literal", 0)
     assert got[6] == ("pre post", 0)
     assert got[7] == ("body", 3)
+
+
+def test_media_and_image_parsers_property():
+    """Property tests (hypothesis): (a) synth->parse round-trips over
+    the whole parameter space for all five containers; (b) PREFIX
+    truncation of a valid file either parses to the SAME values or
+    raises ValueError — never a silently different answer (the
+    quarantine contract under partial reads/corruption)."""
+    from hypothesis import given, settings, strategies as st
+
+    from database_syncer_spark.pipeline.multimodal import (
+        parse_image_header, parse_media_header, synth_image, synth_mp4,
+        synth_wav)
+
+    @settings(max_examples=60, deadline=None)
+    @given(st.sampled_from(["png", "gif", "jpeg"]),
+           st.integers(1, 65535), st.integers(1, 65535),
+           st.integers(0, 150))
+    def img_roundtrip(fmt, w, h, pad):
+        data = synth_image(fmt, w, h, total_bytes=200 + pad)
+        assert parse_image_header(data) == (fmt, w, h)
+
+    @settings(max_examples=60, deadline=None)
+    @given(st.integers(1, 192000), st.integers(1, 32),
+           st.integers(0, 100000))
+    def wav_roundtrip(rate, ch, n):
+        got = parse_media_header(synth_wav(rate, ch, n))
+        assert got == ("wav", n * 1000 // rate, rate, ch)
+
+    @settings(max_examples=60, deadline=None)
+    @given(st.integers(1, 2**31 - 1), st.integers(0, 2**31 - 1),
+           st.integers(0, 8), st.integers(0, 200))
+    def mp4_roundtrip(ts, dur, traks, pad):
+        data = synth_mp4(ts, dur, traks, total_bytes=1500 + pad)
+        got = parse_media_header(data)
+        assert got == ("mp4", dur * 1000 // ts, ts, traks)
+
+    @settings(max_examples=80, deadline=None)
+    @given(st.sampled_from(["wav", "mp4"]), st.integers(0, 400),
+           st.integers(1, 97))
+    def truncation_never_lies(kind, cut, seed):
+        if kind == "wav":
+            full = synth_wav(8000 + seed * 100, 1 + seed % 3, 500 + seed)
+        else:
+            full = synth_mp4(600 + seed, 1000 + seed, seed % 4,
+                             total_bytes=800)
+        want = parse_media_header(full)
+        try:
+            got = parse_media_header(full[:min(cut, len(full))])
+        except ValueError:
+            return
+        # WAV duration derives from the data chunk's DECLARED size, so
+        # a prefix keeping all chunk headers parses identically; any
+        # successful parse must agree with the full file
+        assert got == want
+
+    img_roundtrip()
+    wav_roundtrip()
+    mp4_roundtrip()
+    truncation_never_lies()
