@@ -325,7 +325,11 @@ def synth_mp4(timescale: int, duration_units: int, n_traks: int,
     return head + mdat
 
 
-MEDIA_META_SCHEMA = ("doc_id bigint, container string, duration_ms int, "
+#: duration_ms is BIGINT deliberately: 2^31 ms is only ~24.8 days, and a
+#: structurally-valid mvhd can carry u32 duration units over a small
+#: timescale (duration_ms up to ~2^41) — int32 would overflow the Arrow
+#: batch on exactly the adversarial inputs the parser must survive.
+MEDIA_META_SCHEMA = ("doc_id bigint, container string, duration_ms bigint, "
                      "sample_rate int, n_tracks int, n_bytes int")
 
 
@@ -343,7 +347,7 @@ def decode_media_headers(binary_files: DataFrame) -> DataFrame:
                 "doc_id": pdf["doc_id"],
                 "container": [p[0] for p in parsed],
                 "duration_ms": pd.Series([p[1] for p in parsed],
-                                         dtype="int32"),
+                                         dtype="int64"),
                 "sample_rate": pd.Series([p[2] for p in parsed],
                                          dtype="int32"),
                 "n_tracks": pd.Series([p[3] for p in parsed],

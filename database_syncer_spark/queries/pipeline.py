@@ -2026,7 +2026,7 @@ SELECT doc_id,
        CAST(CASE WHEN doc_id % 2 = 0
             THEN ((1000 + doc_id * 37) * 1000) // (8000 + (doc_id % 5) * 4000)
             ELSE ((3000 + doc_id * 53) * 1000) // (600 + (doc_id % 7) * 100)
-            END AS INT) AS duration_ms,
+            END AS BIGINT) AS duration_ms,
        CAST(CASE WHEN doc_id % 2 = 0 THEN 8000 + (doc_id % 5) * 4000
             ELSE 600 + (doc_id % 7) * 100 END AS INT) AS sample_rate,
        CAST(CASE WHEN doc_id % 2 = 0 THEN 1 + (doc_id // 2) % 2
