@@ -207,7 +207,14 @@ def corpus_curate(spark, sf_dir):
     span freq + keep-first agg, sharded applyInPandas packing); the
     curated corpus is ~linearly smaller at every stage boundary, never
     wider."""
-    docs = load_table(spark, sf_dir, "documents")
+    return _curate_pipeline(load_table(spark, sf_dir, "documents"))
+
+
+def _curate_pipeline(docs):
+    """The corpus_curate stage chain over an arbitrary (doc_id, text)
+    frame — shared verbatim by corpus_curate (raw fixture text) and
+    corpus_curate_web (crawl markup through html_strip first), so both
+    keys pin the same composition behind different front doors."""
     planted = docs.select(
         "doc_id",
         F.when(F.col("doc_id") % _PII_MOD == _PII_REM,
@@ -359,6 +366,31 @@ def corpus_curate_incremental(spark, sf_dir):
                     novel_exact.alias("novel_exact"),
                     novel_near.alias("novel_near"),
                     (novel_exact & novel_near).alias("admitted")))
+
+
+def corpus_curate_web(spark, sf_dir):
+    """The web-crawl front door to the SAME curation pipeline: every
+    document arrives as full-page markup (entity-escaped text in <p>
+    blocks behind script/style/comment noise, built in-plan with a
+    CONSTANT header — a per-doc header would make every digest unique
+    and silently neuter the exact-dedup stage), html_strip recovers the
+    prose, and the recovered text runs the verbatim corpus_curate chain
+    (_curate_pipeline): quality -> PII scrub -> exact + near dedup ->
+    span dedup -> packing. One driver hash over strip ∘ curate — the
+    end-to-end shape a crawl-to-training-data deployment runs, and a
+    drift in either half breaks it. Oracle: the corpus_curate oracle
+    re-sourced from the arithmetically reconstructed post-strip text."""
+    docs = load_table(spark, sf_dir, "documents")
+    html = F.concat(
+        F.lit('<html><head><title></title>'
+              '<script type="text/javascript">var x = 1 < 2;</script>'
+              '<style>p { color: #fff; }</style></head><body>'
+              '<h1>Doc &amp; &lt;corpus&gt;</h1><!-- boilerplate\n nav --><p>'),
+        F.regexp_replace(T.html_escape_text("text"), " ", "</p>\n<p>"),
+        F.lit("</p></body></html>"))
+    stripped = T.html_strip(docs.select("doc_id", html.alias("html")))
+    return _curate_pipeline(
+        stripped.select("doc_id", F.col("clean_text").alias("text")))
 
 
 def sample_token_budget(spark, sf_dir):
@@ -1053,6 +1085,7 @@ QUERIES = {
     "dedup_soft_keep": dedup_soft_keep,
     "dedup_paragraph": dedup_paragraph,
     "corpus_curate": corpus_curate,
+    "corpus_curate_web": corpus_curate_web,
     "corpus_curate_incremental": corpus_curate_incremental,
     "corpus_version_diff": corpus_version_diff,
     "sample_token_budget": sample_token_budget,
@@ -1132,14 +1165,18 @@ pairs AS (
 )"""
 
 
-def _curate_scrub_ctes(quality_filtered: bool = True) -> str:
+def _curate_scrub_ctes(quality_filtered: bool = True,
+                       src: str = "documents") -> str:
     """CTE list `base, q, scrub`: PII planting -> 6-dp quality score ->
     email/phone scrub — the shared front half of the curation oracles
-    (corpus_curate and corpus_curate_incremental must score and scrub
-    identically or their membership drifts; single source of truth per
-    the r8 four-diverging-copies lesson). ``quality_filtered``: apply
-    the quality floor inside `scrub` (corpus_curate drops fails there;
-    the incremental key keeps batch fails for its verdict rows)."""
+    (corpus_curate, corpus_curate_web and corpus_curate_incremental
+    must score and scrub identically or their membership drifts; single
+    source of truth per the r8 four-diverging-copies lesson).
+    ``quality_filtered``: apply the quality floor inside `scrub`
+    (corpus_curate drops fails there; the incremental key keeps batch
+    fails for its verdict rows). ``src``: the (doc_id, text) relation
+    the chain starts from — corpus_curate_web points it at the
+    reconstructed post-strip text."""
     where = (f"WHERE q.quality_score >= {_CURATE_QUALITY_MIN}"
              if quality_filtered else "")
     return f"""base AS (
@@ -1148,7 +1185,7 @@ def _curate_scrub_ctes(quality_filtered: bool = True) -> str:
               THEN text || ' contact agent' || CAST(doc_id AS VARCHAR)
                    || '@example.com now'
               ELSE text END AS text
-  FROM documents
+  FROM {src}
 ),
 q AS (
   SELECT doc_id,
@@ -1463,6 +1500,54 @@ FROM documents
 """
 
 
+def _curate_oracle_sql(pre: str = "", src: str = "documents") -> str:
+    """The full corpus_curate oracle, parameterized by the (doc_id,
+    text) source relation so corpus_curate_web can prepend a CTE that
+    reconstructs the post-strip text arithmetically and re-source the
+    IDENTICAL stage chain from it (score -> scrub -> exact dedup ->
+    recursive near-dup components -> span dedup -> packing replay)."""
+    return f"""
+WITH RECURSIVE {pre}{_curate_scrub_ctes(src=src)},
+ek AS (SELECT min(doc_id) AS doc_id FROM scrub GROUP BY sha256(text)),
+d2 AS (SELECT s.doc_id, s.text FROM scrub s JOIN ek USING (doc_id)),
+{_ngram_pairs_ctes(0.5, rel="d2")},
+{_COMPONENTS_CTES},
+keep AS (
+  SELECT ek.doc_id FROM ek LEFT JOIN comp USING (doc_id)
+  WHERE comp.doc_id IS NULL OR comp.component = ek.doc_id
+),
+cur AS (SELECT s.* FROM scrub s JOIN keep USING (doc_id)),
+{_paragraph_ctes("cur")},
+cleaned AS (
+  SELECT doc_id,
+         coalesce(string_agg(CASE WHEN kept THEN chunk END, ' '
+                             ORDER BY pos), '') AS text
+  FROM marked GROUP BY doc_id
+),
+pd AS (
+  SELECT doc_id, CAST(doc_id % 8 AS INT) AS shard,
+         CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+         row_number() OVER (PARTITION BY doc_id % 8 ORDER BY doc_id) AS rn
+  FROM cleaned WHERE text <> ''
+),
+pr AS (
+  SELECT shard, rn, doc_id, n_tokens, 1 AS bin_local, n_tokens AS fill
+  FROM pd WHERE rn = 1
+  UNION ALL
+  SELECT pd.shard, pd.rn, pd.doc_id, pd.n_tokens,
+         CASE WHEN pr.fill + pd.n_tokens <= 64 THEN pr.bin_local
+              ELSE pr.bin_local + 1 END,
+         CASE WHEN pr.fill + pd.n_tokens <= 64 THEN pr.fill + pd.n_tokens
+              ELSE pd.n_tokens END
+  FROM pr JOIN pd ON pd.shard = pr.shard AND pd.rn = pr.rn + 1
+)
+SELECT pr.doc_id, pr.shard,
+       CAST(pr.shard AS BIGINT) * 2199023255552 + pr.bin_local AS bin_id,
+       pr.n_tokens, c.quality_score, c.had_pii
+FROM pr JOIN cur c USING (doc_id)
+"""
+
+
 ORACLES = {
     "text_pii_scrub": _PII_SQL,
     # expected clean text + tag count reconstructed from the key's
@@ -1637,46 +1722,16 @@ SELECT bat.doc_id, bat.quality_score, bat.had_pii,
          AND e.doc_id IS NULL AND coalesce(agg.n_dups, 0) = 0 AS admitted
 FROM bat LEFT JOIN exact_dup e USING (doc_id) LEFT JOIN agg USING (doc_id)
 """,
-    "corpus_curate": f"""
-WITH RECURSIVE {_curate_scrub_ctes()},
-ek AS (SELECT min(doc_id) AS doc_id FROM scrub GROUP BY sha256(text)),
-d2 AS (SELECT s.doc_id, s.text FROM scrub s JOIN ek USING (doc_id)),
-{_ngram_pairs_ctes(0.5, rel="d2")},
-{_COMPONENTS_CTES},
-keep AS (
-  SELECT ek.doc_id FROM ek LEFT JOIN comp USING (doc_id)
-  WHERE comp.doc_id IS NULL OR comp.component = ek.doc_id
+    "corpus_curate": _curate_oracle_sql(),
+    # same oracle re-sourced from the reconstructed post-strip text:
+    # constant 'Doc & <corpus> ' header + whitespace-collapsed original
+    "corpus_curate_web": _curate_oracle_sql(
+        pre="""web AS (
+  SELECT doc_id, 'Doc & <corpus> '
+         || trim(regexp_replace(text, ' +', ' ', 'g')) AS text
+  FROM documents
 ),
-cur AS (SELECT s.* FROM scrub s JOIN keep USING (doc_id)),
-{_paragraph_ctes("cur")},
-cleaned AS (
-  SELECT doc_id,
-         coalesce(string_agg(CASE WHEN kept THEN chunk END, ' '
-                             ORDER BY pos), '') AS text
-  FROM marked GROUP BY doc_id
-),
-pd AS (
-  SELECT doc_id, CAST(doc_id % 8 AS INT) AS shard,
-         CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
-         row_number() OVER (PARTITION BY doc_id % 8 ORDER BY doc_id) AS rn
-  FROM cleaned WHERE text <> ''
-),
-pr AS (
-  SELECT shard, rn, doc_id, n_tokens, 1 AS bin_local, n_tokens AS fill
-  FROM pd WHERE rn = 1
-  UNION ALL
-  SELECT pd.shard, pd.rn, pd.doc_id, pd.n_tokens,
-         CASE WHEN pr.fill + pd.n_tokens <= 64 THEN pr.bin_local
-              ELSE pr.bin_local + 1 END,
-         CASE WHEN pr.fill + pd.n_tokens <= 64 THEN pr.fill + pd.n_tokens
-              ELSE pd.n_tokens END
-  FROM pr JOIN pd ON pd.shard = pr.shard AND pd.rn = pr.rn + 1
-)
-SELECT pr.doc_id, pr.shard,
-       CAST(pr.shard AS BIGINT) * 2199023255552 + pr.bin_local AS bin_id,
-       pr.n_tokens, c.quality_score, c.had_pii
-FROM pr JOIN cur c USING (doc_id)
-""",
+""", src="web"),
     # dataset-release CDC: derive v1 in plain SQL, hash both sides,
     # full-outer classify — DELETE carries the pre-image like the
     # reference (sync.py:199-215)

@@ -26,15 +26,19 @@ _MODULES = [
 # showed the driver checks a bounded prefix (exactly the first 50 keys get a
 # CORRECTNESS row each round). After r10 the staleness ledger is: 50 pass-r10,
 # 45 pass-r9, 45 pass-r8, 11 pass-r7 (the r7 remainder the r10 window could
-# not fit). r11 window (positions 0-49, 5+11+11+23 = 50):
-#   [0-4]   the keys ADDED in r11 (multimodal_media_meta — real WAV/MP4
+# not fit). r11 window (positions 0-49, 6+12+11+21 = 50):
+#   [0-5]   the keys ADDED in r11 (multimodal_media_meta — real WAV/MP4
 #           container-metadata decode; text_html_strip — web-crawl
-#           boilerplate removal; scan_xml_roundtrip — Spark 4 native
-#           XML source; dedup_incremental_indexed — the at-rest
-#           bucketed band index under the driver hash;
-#           multimodal_image_dims — real PNG/GIF/JPEG container-header
-#           decode), all under the driver hash for the first time;
-#   [5-15]  r11 CODE-CHURN: sync_pg_to_mysql (changes-frame unpersist),
+#           boilerplate removal; corpus_curate_web — strip ∘ curate
+#           E2E; scan_xml_roundtrip — Spark 4 native XML source;
+#           dedup_incremental_indexed — the at-rest bucketed band
+#           index under the driver hash; multimodal_image_dims — real
+#           PNG/GIF/JPEG container-header decode), all under the
+#           driver hash for the first time;
+#   [6-17]  r11 CODE-CHURN, 12 keys (corpus_curate leads: its body
+#           moved into the shared _curate_pipeline this round —
+#           value-identical, parity re-verified, re-hash early), then:
+#           sync_pg_to_mysql (changes-frame unpersist),
 #           sink_merge_incremental (null-safe IS NOT DISTINCT FROM PK
 #           match in the DuckDB merge), dedup_incremental +
 #           corpus_curate_incremental (incremental_near_dups gained the
@@ -44,12 +48,12 @@ _MODULES = [
 #           requires >=1 digit): scan_sql_dump, scan_sql_dump_hexlit,
 #           scan_sql_dump_composite, scan_sql_dump_sharded,
 #           sync_dump_to_dump, sync_sharded_dumps, sync_catalog_ddl;
-#   [16-26] the 11 pass-r7 keys (stalest; udf_tokenizer leads, as the
+#   [18-28] the 11 pass-r7 keys (stalest; udf_tokenizer leads, as the
 #           r10 comment promised);
-#   [27-49] the 23 stalest pass-r8 keys (fn_math, join_runtime_bloom,
-#           sample_temperature_mix and scan_orc_roundtrip, previously
-#           in-window, are pushed past [49] by the new keys and queue
-#           first for r12).
+#   [29-49] the 21 stalest pass-r8 keys (fn_date, fn_map_json, fn_math,
+#           join_runtime_bloom, sample_temperature_mix and
+#           scan_orc_roundtrip, previously in-window, are pushed past
+#           [49] by the new keys and queue first for r12).
 # Then the remaining r8 keys, the r9 block, and the r10 window keys
 # (freshest) last. Keys missing from this list are checked FIRST — any
 # NEW key must be placed explicitly at the head, not left unlisted.
@@ -57,23 +61,27 @@ _MODULES = [
 # to-refresh key at index 50). REGENERATE after each round's
 # CORRECTNESS lands.
 _KEY_ORDER = [
-    # --- NEW in r11 — verify first [0-4] ---
+    # --- NEW in r11 — verify first [0-5] ---
     "multimodal_media_meta",
     "text_html_strip",
+    "corpus_curate_web",
     "scan_xml_roundtrip",
     "dedup_incremental_indexed",
     "multimodal_image_dims",
-    # --- r11 code-churn [5-15] ---
+    # --- r11 code-churn [6-17] — corpus_curate leads: moved into the
+    # shared _curate_pipeline this round (value-identical, re-hash
+    # early) ---
+    "corpus_curate",
     "sync_pg_to_mysql", "sink_merge_incremental", "dedup_incremental",
     "corpus_curate_incremental", "scan_sql_dump", "scan_sql_dump_hexlit",
     "scan_sql_dump_composite", "scan_sql_dump_sharded", "sync_dump_to_dump",
     "sync_sharded_dumps", "sync_catalog_ddl",
-    # --- last driver value row: r7 (stalest) [16-26] ---
+    # --- last driver value row: r7 (stalest) [18-28] ---
     "udf_tokenizer", "multimodal_columns", "sim_topk_cosine", "sim_lsh_ann",
     "sim_ivf_ann", "sim_pq_ann", "sim_ivfpq_ann", "dedup_ngram_jaccard",
     "stream_stateful_custom", "stream_transform_with_state",
     "sink_merge_executor",
-    # --- last driver value row: r8 (window tail) [27-49] ---
+    # --- last driver value row: r8 (window tail) [29-49] ---
     "dedup_paragraph", "dedup_cluster_components",
     "dedup_embedding_incremental", "dedup_corpus_keep", "dedup_soft_keep",
     "dedup_exact", "dedup_minhash_lsh", "dedup_simhash", "text_decontaminate",
@@ -81,10 +89,10 @@ _KEY_ORDER = [
     "dedup_ngram_containment", "agg_grouping_sets", "agg_pivot",
     "agg_stats_moments", "agg_time_bucket_rollup",
     "diff_bucketed_zeroshuffle", "diff_cdc_fullouter", "diff_composite_pk",
-    "diff_stats_by_type", "fn_date", "fn_map_json",
+    "diff_stats_by_type",
     # --- r8 remainder, outside the window (queued first for r12) ---
-    "fn_math", "join_runtime_bloom", "sample_temperature_mix",
-    "scan_orc_roundtrip",
+    "fn_date", "fn_map_json", "fn_math", "join_runtime_bloom",
+    "sample_temperature_mix", "scan_orc_roundtrip",
     "scan_partition_pruned", "sink_cdc_table", "sink_sync_script",
     "stream_foreachbatch_merge", "stream_session_window",
     "stream_sliding_agg", "stream_static_join", "stream_stream_join",
@@ -107,7 +115,7 @@ _KEY_ORDER = [
     "win_funnel_steps", "win_ntile_cume", "win_range_frame",
     "win_rolling_median", "win_row_number_dedup", "win_sessionize",
     # --- last driver value row: r10 (freshest) — last ---
-    "sample_token_budget", "corpus_curate", "sort_multi_col", "topk_limit",
+    "sample_token_budget", "sort_multi_col", "topk_limit",
     "project_columns", "project_key_concat", "dedup_embedding_cosine",
     "agg_argmax_minby", "agg_collect_sorted", "agg_cube", "agg_distinct",
     "agg_global_sums", "agg_groupby_counts", "agg_multi_measures",
