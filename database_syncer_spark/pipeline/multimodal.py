@@ -32,17 +32,20 @@ def attach_binary_payload(documents: DataFrame) -> DataFrame:
 
 
 def decode_media(payload: bytes) -> dict:
-    """REAL pixel/sample decode — not available in this container (no
-    codec libraries baked in). The distributed plumbing in
-    extract_features works unchanged once this is implemented. What
-    needs NO codec library IS implemented: parse_image_header
-    (PNG/GIF/JPEG dimensions) and parse_media_header (WAV/RIFF audio
-    metadata, MP4/ISO-BMFF movie metadata) below — container-structure
-    byte arithmetic, which is the metadata stage a 100-TB media pipeline
-    runs before any codec touches the payload."""
+    """REAL entropy-coded decode (JPEG/GIF pixels, audio/video
+    samples) — not available in this container (no codec libraries
+    baked in). The distributed plumbing in extract_features works
+    unchanged once this is implemented. Everything that needs NO codec
+    library IS implemented: parse_image_header (PNG/GIF/JPEG
+    dimensions), parse_media_header (WAV/RIFF audio metadata,
+    MP4/ISO-BMFF movie metadata), and decode_png_pixels (FULL PNG pixel
+    reconstruction — zlib inflate + all five scanline filters, stdlib
+    only). What remains stubbed is exactly the set whose entropy coders
+    (Huffman/arithmetic DCT, LZW, MDCT audio) live in codec libraries."""
     raise NotImplementedError(
-        "pixel/sample codecs not available in this environment; "
+        "entropy-coded codecs not available in this environment; "
         "image dims: parse_image_header / decode_image_headers; "
+        "PNG pixels: decode_png_pixels / png_pixel_stats; "
         "audio/video metadata: parse_media_header / decode_media_headers; "
         "byte-level features: extract_features")
 
@@ -329,6 +332,159 @@ def synth_mp4(timescale: int, duration_units: int, n_traks: int,
 #: structurally-valid mvhd can carry u32 duration units over a small
 #: timescale (duration_ms up to ~2^41) — int32 would overflow the Arrow
 #: batch on exactly the adversarial inputs the parser must survive.
+# --- real PNG PIXEL decode (stdlib zlib only — no codec library) -----------
+#
+# PNG is the one mainstream image format whose pixel data needs no codec
+# library: IDAT is zlib-compressed scanlines, each prefixed by one of
+# five spec-defined byte filters (None/Sub/Up/Average/Paeth, RFC 2083
+# §6). Python ships zlib, so a REAL pixel decode — filters and all — is
+# pure byte arithmetic here. The stub below (decode_media) now covers
+# only JPEG/GIF pixels and audio/video samples, whose entropy coders
+# genuinely need codec libraries.
+
+def _paeth(a: int, b: int, c: int) -> int:
+    # the spec predictor (RFC 2083 §6.6): nearest of left/up/up-left
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def decode_png_pixels(data: bytes) -> tuple[int, int, bytes]:
+    """(width, height, raw RGB bytes) from an 8-bit truecolor PNG — a
+    REAL pixel decoder: chunk walk, multi-IDAT zlib inflate, per-row
+    unfilter across all five filter types. Raises ValueError on
+    structural corruption (quarantine, never garbage pixels)."""
+    fmt, width, height = parse_image_header(data)
+    if fmt != "png":
+        raise ValueError(f"not a PNG: {fmt}")
+    if data[24] != 8 or data[25] != 2:
+        raise ValueError("decoder covers 8-bit truecolor (IHDR 8,2) only")
+    import zlib
+
+    idat = bytearray()
+    i = 8
+    while i + 8 <= len(data):
+        clen = int.from_bytes(data[i:i + 4], "big")
+        ctype = data[i + 4:i + 8]
+        if ctype == b"IDAT":
+            idat += data[i + 8:i + 8 + clen]
+        if ctype == b"IEND":
+            break
+        i += 12 + clen  # len + type + payload + crc
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error as exc:
+        raise ValueError(f"corrupt PNG: IDAT inflate failed ({exc})")
+    stride = width * 3
+    if len(raw) != (stride + 1) * height:
+        raise ValueError(
+            f"corrupt PNG: {len(raw)} filtered bytes for {width}x{height}")
+    out = bytearray()
+    prev = bytes(stride)
+    for y in range(height):
+        ftype = raw[y * (stride + 1)]
+        line = bytearray(raw[y * (stride + 1) + 1:(y + 1) * (stride + 1)])
+        if ftype == 1:    # Sub
+            for x in range(3, stride):
+                line[x] = (line[x] + line[x - 3]) & 0xFF
+        elif ftype == 2:  # Up
+            for x in range(stride):
+                line[x] = (line[x] + prev[x]) & 0xFF
+        elif ftype == 3:  # Average
+            for x in range(stride):
+                left = line[x - 3] if x >= 3 else 0
+                line[x] = (line[x] + (left + prev[x]) // 2) & 0xFF
+        elif ftype == 4:  # Paeth
+            for x in range(stride):
+                left = line[x - 3] if x >= 3 else 0
+                ul = prev[x - 3] if x >= 3 else 0
+                line[x] = (line[x] + _paeth(left, prev[x], ul)) & 0xFF
+        elif ftype != 0:
+            raise ValueError(f"corrupt PNG: unknown filter {ftype} row {y}")
+        out += line
+        prev = bytes(line)
+    return width, height, bytes(out)
+
+
+def synth_png_rgb(width: int, height: int) -> bytes:
+    """Deterministic REAL 8-bit truecolor PNG: pixel channel value =
+    (x·7 + y·13 + c·31) mod 251, rows filtered with type y mod 5 (so a
+    decoder must implement ALL five filters to reconstruct), scanlines
+    zlib-compressed into IDAT. Encoder filters FORWARD; the decoder
+    above unfilters — inverse operations, no shared code path."""
+    import struct
+    import zlib
+
+    def chunk(ctype: bytes, payload: bytes) -> bytes:
+        return (struct.pack(">I", len(payload)) + ctype + payload
+                + struct.pack(">I", zlib.crc32(ctype + payload)))
+
+    stride = width * 3
+    raw = bytearray()
+    prev = bytes(stride)
+    for y in range(height):
+        line = bytes(((x // 3) * 7 + y * 13 + (x % 3) * 31) % 251
+                     for x in range(stride))
+        ftype = y % 5
+        f = bytearray(line)
+        if ftype == 1:
+            for x in range(stride - 1, 2, -1):
+                f[x] = (f[x] - line[x - 3]) & 0xFF
+        elif ftype == 2:
+            for x in range(stride):
+                f[x] = (f[x] - prev[x]) & 0xFF
+        elif ftype == 3:
+            for x in range(stride):
+                left = line[x - 3] if x >= 3 else 0
+                f[x] = (f[x] - (left + prev[x]) // 2) & 0xFF
+        elif ftype == 4:
+            for x in range(stride):
+                left = line[x - 3] if x >= 3 else 0
+                ul = prev[x - 3] if x >= 3 else 0
+                f[x] = (f[x] - _paeth(left, prev[x], ul)) & 0xFF
+        raw += bytes([ftype]) + bytes(f)
+        prev = line
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
+    return (_PNG_SIG + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(bytes(raw)))
+            + chunk(b"IEND", b""))
+
+
+PIXEL_STATS_SCHEMA = ("doc_id bigint, width int, height int, "
+                      "sum_r bigint, sum_g bigint, sum_b bigint, "
+                      "n_px bigint")
+
+
+def png_pixel_stats(binary_files: DataFrame) -> DataFrame:
+    """Distributed PNG pixel statistics over a binaryFile scan:
+    Arrow-batched mapInPandas, one full pixel decode per file, exact
+    per-channel sums (the feature-extraction shape — swap the stats for
+    a resize/embed once the payload is real imagery). Input contract:
+    (doc_id, content)."""
+    def stats(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            rows = {"doc_id": [], "width": [], "height": [],
+                    "sum_r": [], "sum_g": [], "sum_b": [], "n_px": []}
+            for doc_id, content in zip(pdf["doc_id"], pdf["content"]):
+                w, h, px = decode_png_pixels(bytes(content))
+                rows["doc_id"].append(doc_id)
+                rows["width"].append(w)
+                rows["height"].append(h)
+                for ci, col in enumerate(("sum_r", "sum_g", "sum_b")):
+                    rows[col].append(sum(px[ci::3]))
+                rows["n_px"].append(w * h)
+            yield pd.DataFrame(rows).astype(
+                {"width": "int32", "height": "int32", "sum_r": "int64",
+                 "sum_g": "int64", "sum_b": "int64", "n_px": "int64"})
+
+    return (binary_files.select("doc_id", "content")
+            .mapInPandas(stats, PIXEL_STATS_SCHEMA))
+
+
 MEDIA_META_SCHEMA = ("doc_id bigint, container string, duration_ms bigint, "
                      "sample_rate int, n_tracks int, n_bytes int")
 

@@ -957,6 +957,49 @@ def multimodal_image_dims(spark, sf_dir):
     return decode_image_headers(b)
 
 
+def multimodal_pixel_stats(spark, sf_dir):
+    """REAL PNG PIXEL decode with stdlib zlib only
+    (pipeline/multimodal.py:decode_png_pixels): stage real 8-bit
+    truecolor PNGs whose every pixel derives from (x·7 + y·13 + c·31)
+    mod 251 and whose rows cycle through ALL FIVE spec filters
+    (None/Sub/Up/Average/Paeth — synth filters forward, decoder
+    unfilters; inverse ops, no shared path), read them back through
+    binaryFile, inflate + unfilter + sum channels in Arrow-batched
+    mapInPandas. The oracle recomputes the exact per-channel sums from
+    the pixel formula alone (a generate_series cross join), so only a
+    byte-correct full decode — filters included — can match. After this
+    key the codec stub covers only JPEG/GIF pixels and audio/video
+    samples, whose entropy coders genuinely need codec libraries."""
+    import os
+    import tempfile
+
+    from database_syncer_spark.pipeline.multimodal import (
+        png_pixel_stats, synth_png_rgb)
+
+    tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+    d = os.path.join(tempfile.gettempdir(), f"dss_pxfiles_v1_{tag}")
+    if not os.path.isdir(d):
+        tmp = f"{d}.tmp{os.getpid()}"
+        os.makedirs(tmp, exist_ok=True)
+        ids = [int(r.doc_id) for r in
+               load_table(spark, sf_dir, "documents")
+               .where(F.col("doc_id") < 40).select("doc_id").collect()]
+        for i in ids:
+            data = synth_png_rgb(8 + i % 9, 8 + i % 7)
+            with open(os.path.join(tmp, f"px_{i:05d}.png"), "wb") as fh:
+                fh.write(data)
+        try:
+            os.rename(tmp, d)
+        except OSError:  # concurrent winner published first
+            import shutil
+            shutil.rmtree(tmp, ignore_errors=True)
+    b = (spark.read.format("binaryFile")
+         .option("pathGlobFilter", "px_*").load(d)
+         .select(F.regexp_extract("path", r"px_(\d+)\.png$", 1)
+                 .cast("long").alias("doc_id"), "content"))
+    return png_pixel_stats(b)
+
+
 def multimodal_media_meta(spark, sf_dir):
     """REAL audio/video container-metadata decode with zero codec
     libraries (the image-dims pattern extended to WAV + MP4): stage
@@ -1120,6 +1163,7 @@ QUERIES = {
     "multimodal_frame_sample": multimodal_frame_sample,
     "multimodal_image_dims": multimodal_image_dims,
     "multimodal_media_meta": multimodal_media_meta,
+    "multimodal_pixel_stats": multimodal_pixel_stats,
     "udf_tokenizer": udf_tokenizer,
     "udaf_pandas_grouped": udaf_pandas_grouped,
     "udtf_statement_split": udtf_statement_split,
@@ -2071,6 +2115,26 @@ SELECT doc_id,
        CAST(16 + (doc_id * 104729) % 2000 AS INT) AS height,
        CAST(200 + doc_id % 100 AS INT) AS n_bytes
 FROM documents WHERE doc_id < 60
+""",
+    # exact per-channel sums recomputed from the pixel formula alone —
+    # only a byte-correct inflate + unfilter of all five PNG filters
+    # can reproduce them
+    "multimodal_pixel_stats": """
+WITH d AS (SELECT doc_id, CAST(8 + doc_id % 9 AS INT) AS width,
+                  CAST(8 + doc_id % 7 AS INT) AS height
+           FROM documents WHERE doc_id < 40),
+px AS (
+  SELECT d.doc_id, d.width, d.height, (7 * xs.x + 13 * ys.y) AS base
+  FROM d,
+       LATERAL (SELECT unnest(generate_series(0, d.width - 1)) AS x) xs,
+       LATERAL (SELECT unnest(generate_series(0, d.height - 1)) AS y) ys
+)
+SELECT doc_id, width, height,
+       CAST(sum(base % 251) AS BIGINT) AS sum_r,
+       CAST(sum((base + 31) % 251) AS BIGINT) AS sum_g,
+       CAST(sum((base + 62) % 251) AS BIGINT) AS sum_b,
+       CAST(count(*) AS BIGINT) AS n_px
+FROM px GROUP BY doc_id, width, height
 """,
     # every field recomputed from the doc_id arithmetic the staged-file
     # writer used — the Spark side can only match by actually walking

@@ -1104,3 +1104,51 @@ def test_media_and_image_parsers_property():
     wav_roundtrip()
     mp4_roundtrip()
     truncation_never_lies()
+
+
+def test_png_pixel_decoder_roundtrip_multi_idat_and_corrupt():
+    """decode_png_pixels reconstructs the exact pixel bytes across all
+    five filter types (synth cycles them per row), handles IDAT split
+    across multiple chunks (real encoders emit 8-32k chunks), and
+    quarantines corrupt streams: truncated inflate, wrong pixel count,
+    non-truecolor IHDR."""
+    import struct
+    import zlib
+
+    from database_syncer_spark.pipeline.multimodal import (
+        decode_png_pixels, synth_png_rgb)
+
+    for w, h in [(1, 1), (3, 5), (8, 8), (16, 14), (5, 11)]:
+        gw, gh, px = decode_png_pixels(synth_png_rgb(w, h))
+        assert (gw, gh) == (w, h) and len(px) == w * h * 3
+        want = bytes((x * 7 + y * 13 + c * 31) % 251
+                     for y in range(h) for x in range(w) for c in range(3))
+        assert px == want, (w, h)
+
+    # split the IDAT of a valid file into 7-byte chunks — same pixels
+    full = synth_png_rgb(6, 7)
+    ihdr_end = 8 + 12 + 13  # sig + IHDR chunk
+    clen = int.from_bytes(full[ihdr_end:ihdr_end + 4], "big")
+    payload = full[ihdr_end + 8:ihdr_end + 8 + clen]
+    iend = full[ihdr_end + 12 + clen:]
+    def chunk(ctype, p):
+        return (struct.pack(">I", len(p)) + ctype + p
+                + struct.pack(">I", zlib.crc32(ctype + p)))
+    split = full[:ihdr_end] + b"".join(
+        chunk(b"IDAT", payload[i:i + 7])
+        for i in range(0, len(payload), 7)) + iend
+    assert decode_png_pixels(split) == decode_png_pixels(full)
+
+    bad = bytearray(synth_png_rgb(6, 7))
+    bad[-20] ^= 0xFF  # corrupt inside IDAT payload
+    with pytest.raises(ValueError):
+        decode_png_pixels(bytes(bad))
+    # CRC-valid grayscale PNG (color type 0): structurally fine,
+    # outside this decoder's declared coverage -> loud refusal
+    ihdr = b"IHDR" + struct.pack(">IIBBBBB", 4, 4, 8, 0, 0, 0, 0)
+    gray = (b"\x89PNG\r\n\x1a\n" + struct.pack(">I", 13) + ihdr
+            + struct.pack(">I", zlib.crc32(ihdr))
+            + chunk(b"IDAT", zlib.compress(bytes(5 * 4)))
+            + chunk(b"IEND", b""))
+    with pytest.raises(ValueError, match="truecolor"):
+        decode_png_pixels(gray)
