@@ -452,14 +452,187 @@ def synth_png_rgb(width: int, height: int) -> bytes:
             + chunk(b"IEND", b""))
 
 
+# --- real GIF PIXEL decode (pure-Python LZW — no codec library) -------------
+#
+# GIF's image data is LZW with a variable code width (GIF89a spec
+# appendix F): 9..12-bit codes packed LSB-first into 255-byte
+# sub-blocks, CLEAR/EOI control codes, table growth one entry per code.
+# That is a fully-specified algorithm, not a library dependency — so
+# like PNG above, GIF pixels decode for real here. The synth side runs
+# an actual LZW COMPRESSOR (not literal-spam), so fixtures exercise
+# multi-character codes, width growth 9→12, the 4096-entry reset, and
+# the KwKwK special case the spec calls out.
+
+def _gif_lzw_decode(data: bytes, min_code: int) -> bytes:
+    """LZW decompress a GIF code stream (already de-sub-blocked)."""
+    clear, eoi = 1 << min_code, (1 << min_code) + 1
+    out = bytearray()
+    table: list[bytes] = []
+    width = min_code + 1
+    prev: bytes | None = None
+    bitpos = 0
+    total_bits = len(data) * 8
+    while True:
+        if bitpos + width > total_bits:
+            raise ValueError("corrupt GIF: code stream ran out before EOI")
+        byte0 = bitpos // 8
+        chunk = int.from_bytes(data[byte0:byte0 + 3], "little")
+        code = (chunk >> (bitpos % 8)) & ((1 << width) - 1)
+        bitpos += width
+        if code == clear:
+            table = [bytes([i]) for i in range(1 << min_code)] + [b"", b""]
+            width = min_code + 1
+            prev = None
+            continue
+        if code == eoi:
+            return bytes(out)
+        if prev is None:
+            if code >= len(table) or code >= clear:
+                raise ValueError(f"corrupt GIF: first code {code} not literal")
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+        elif code == len(table):       # the KwKwK case
+            entry = prev + prev[:1]
+        else:
+            raise ValueError(f"corrupt GIF: code {code} beyond table")
+        out += entry
+        if prev is not None and len(table) < 4096:
+            table.append(prev + entry[:1])
+            if len(table) == (1 << width) and width < 12:
+                width += 1
+        prev = entry
+
+
+def decode_gif_pixels(data: bytes) -> tuple[int, int, bytes]:
+    """(width, height, raw RGB bytes) from a GIF with a global color
+    table — a REAL decoder: screen/image descriptors, GCT palette
+    lookup, sub-block reassembly, full variable-width LZW
+    (_gif_lzw_decode). Covers the single-image, non-interlaced,
+    GCT-only shape; anything else quarantines with ValueError."""
+    fmt, width, height = parse_image_header(data)
+    if fmt != "gif":
+        raise ValueError(f"not a GIF: {fmt}")
+    flags = data[10]
+    if not flags & 0x80:
+        raise ValueError("decoder covers global-color-table GIFs only")
+    gct_n = 2 << (flags & 0x07)
+    i = 13
+    palette = data[i:i + gct_n * 3]
+    i += gct_n * 3
+    while i < len(data):
+        b = data[i]
+        if b == 0x21:                  # extension: label + sub-blocks
+            i += 2
+            while data[i]:
+                i += 1 + data[i]
+            i += 1
+        elif b == 0x2C:                # image descriptor
+            if data[i + 9] & 0xC0:
+                raise ValueError(
+                    "decoder covers non-interlaced GCT images only")
+            iw = int.from_bytes(data[i + 5:i + 7], "little")
+            ih = int.from_bytes(data[i + 7:i + 9], "little")
+            i += 10
+            min_code = data[i]
+            i += 1
+            stream = bytearray()
+            while data[i]:
+                stream += data[i + 1:i + 1 + data[i]]
+                i += 1 + data[i]
+            idx = _gif_lzw_decode(bytes(stream), min_code)
+            if len(idx) != iw * ih:
+                raise ValueError(
+                    f"corrupt GIF: {len(idx)} pixels for {iw}x{ih}")
+            out = bytearray()
+            for k in idx:
+                if k >= gct_n:
+                    raise ValueError(f"corrupt GIF: index {k} outside GCT")
+                out += palette[k * 3:k * 3 + 3]
+            return iw, ih, bytes(out)
+        elif b == 0x3B:
+            break
+        else:
+            raise ValueError(f"corrupt GIF: unknown block 0x{b:02x} at {i}")
+    raise ValueError("corrupt GIF: no image descriptor before trailer")
+
+
+def synth_gif_lzw(width: int, height: int,
+                  indices: bytes | None = None) -> bytes:
+    """Deterministic REAL GIF89a: palette entry k = (k, 3k mod 256,
+    7k mod 256), pixel index at (x,y) = (5x + 11y) mod 251 (or the
+    caller's ``indices`` — property tests feed adversarial patterns
+    like constant runs, the classic KwKwK trigger), image data produced
+    by an actual LZW COMPRESSOR (dictionary build, variable code width,
+    4096-entry CLEAR reset) bit-packed LSB-first into 255-byte
+    sub-blocks. Compressor and decompressor share only the spec
+    constants."""
+    if indices is None:
+        indices = bytes((5 * x + 11 * y) % 251
+                        for y in range(height) for x in range(width))
+    if len(indices) != width * height:
+        raise ValueError("indices length != width*height")
+    min_code = 8
+    clear, eoi = 1 << min_code, (1 << min_code) + 1
+
+    codes: list[tuple[int, int]] = []   # (code, width-at-emission)
+    table: dict[bytes, int] = {bytes([i]): i for i in range(1 << min_code)}
+    next_code, width_bits = eoi + 1, min_code + 1
+    codes.append((clear, width_bits))
+    w = b""
+    for k in indices:
+        wk = w + bytes([k])
+        if wk in table:
+            w = wk
+            continue
+        codes.append((table[w], width_bits))
+        if next_code < 4096:
+            table[wk] = next_code
+            next_code += 1
+            if next_code > (1 << width_bits) and width_bits < 12:
+                width_bits += 1
+        else:                           # table full: reset mid-stream
+            codes.append((clear, width_bits))
+            table = {bytes([i]): i for i in range(1 << min_code)}
+            next_code, width_bits = eoi + 1, min_code + 1
+        w = bytes([k])
+    if w:
+        codes.append((table[w], width_bits))
+    codes.append((eoi, width_bits))
+
+    acc = n_bits = 0
+    packed = bytearray()
+    for code, wd in codes:
+        acc |= code << n_bits
+        n_bits += wd
+        while n_bits >= 8:
+            packed.append(acc & 0xFF)
+            acc >>= 8
+            n_bits -= 8
+    if n_bits:
+        packed.append(acc & 0xFF)
+
+    gct = bytes(v for k in range(256)
+                for v in (k, (3 * k) % 256, (7 * k) % 256))
+    head = (b"GIF89a" + width.to_bytes(2, "little")
+            + height.to_bytes(2, "little") + b"\xf7\x00\x00" + gct
+            + b"\x2c" + bytes(4) + width.to_bytes(2, "little")
+            + height.to_bytes(2, "little") + b"\x00"
+            + bytes([min_code]))
+    blocks = b"".join(bytes([len(packed[i:i + 255])]) + packed[i:i + 255]
+                      for i in range(0, len(packed), 255))
+    return head + blocks + b"\x00\x3b"
+
+
 PIXEL_STATS_SCHEMA = ("doc_id bigint, width int, height int, "
                       "sum_r bigint, sum_g bigint, sum_b bigint, "
                       "n_px bigint")
 
 
-def png_pixel_stats(binary_files: DataFrame) -> DataFrame:
-    """Distributed PNG pixel statistics over a binaryFile scan:
-    Arrow-batched mapInPandas, one full pixel decode per file, exact
+def _pixel_stats(binary_files: DataFrame, decoder) -> DataFrame:
+    """Distributed pixel statistics over a binaryFile scan:
+    Arrow-batched mapInPandas, one full pixel decode per file via
+    ``decoder`` (decode_png_pixels / decode_gif_pixels), exact
     per-channel sums (the feature-extraction shape — swap the stats for
     a resize/embed once the payload is real imagery). Input contract:
     (doc_id, content)."""
@@ -470,7 +643,7 @@ def png_pixel_stats(binary_files: DataFrame) -> DataFrame:
             rows = {"doc_id": [], "width": [], "height": [],
                     "sum_r": [], "sum_g": [], "sum_b": [], "n_px": []}
             for doc_id, content in zip(pdf["doc_id"], pdf["content"]):
-                w, h, px = decode_png_pixels(bytes(content))
+                w, h, px = decoder(bytes(content))
                 rows["doc_id"].append(doc_id)
                 rows["width"].append(w)
                 rows["height"].append(h)
@@ -483,6 +656,14 @@ def png_pixel_stats(binary_files: DataFrame) -> DataFrame:
 
     return (binary_files.select("doc_id", "content")
             .mapInPandas(stats, PIXEL_STATS_SCHEMA))
+
+
+def png_pixel_stats(binary_files: DataFrame) -> DataFrame:
+    return _pixel_stats(binary_files, decode_png_pixels)
+
+
+def gif_pixel_stats(binary_files: DataFrame) -> DataFrame:
+    return _pixel_stats(binary_files, decode_gif_pixels)
 
 
 MEDIA_META_SCHEMA = ("doc_id bigint, container string, duration_ms bigint, "

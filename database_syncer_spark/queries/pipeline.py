@@ -967,9 +967,10 @@ def multimodal_pixel_stats(spark, sf_dir):
     binaryFile, inflate + unfilter + sum channels in Arrow-batched
     mapInPandas. The oracle recomputes the exact per-channel sums from
     the pixel formula alone (a generate_series cross join), so only a
-    byte-correct full decode — filters included — can match. After this
-    key the codec stub covers only JPEG/GIF pixels and audio/video
-    samples, whose entropy coders genuinely need codec libraries."""
+    byte-correct full decode — filters included — can match. With
+    multimodal_gif_pixels this closes pixel decode for both
+    losslessly-coded mainstream image formats; the stub is down to
+    Huffman/DCT (JPEG) and MDCT audio/video."""
     import os
     import tempfile
 
@@ -998,6 +999,51 @@ def multimodal_pixel_stats(spark, sf_dir):
          .select(F.regexp_extract("path", r"px_(\d+)\.png$", 1)
                  .cast("long").alias("doc_id"), "content"))
     return png_pixel_stats(b)
+
+
+def multimodal_gif_pixels(spark, sf_dir):
+    """REAL GIF PIXEL decode with pure-Python LZW
+    (pipeline/multimodal.py:decode_gif_pixels): stage real GIF89a files
+    whose pixel index at (x,y) is (5x + 11y) mod 251 behind a 256-entry
+    global color table (entry k = (k, 3k mod 256, 7k mod 256)), image
+    data produced by an ACTUAL LZW compressor — dictionary build,
+    variable 9→12-bit code width, 4096-entry CLEAR reset, 255-byte
+    sub-blocks — then decode (de-sub-block, variable-width LZW incl.
+    the KwKwK case, palette lookup) and sum channels in Arrow-batched
+    mapInPandas. Sizes up to 63×55 force code-width growth past 9 bits.
+    The oracle recomputes the exact per-channel sums from the
+    index-formula + palette arithmetic alone, so only a byte-correct
+    LZW round trip can match. With PNG (multimodal_pixel_stats) and
+    this, both losslessly-coded mainstream image formats decode for
+    real; the stub is down to Huffman/DCT (JPEG) and MDCT audio/video."""
+    import os
+    import tempfile
+
+    from database_syncer_spark.pipeline.multimodal import (
+        gif_pixel_stats, synth_gif_lzw)
+
+    tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+    d = os.path.join(tempfile.gettempdir(), f"dss_giffiles_v1_{tag}")
+    if not os.path.isdir(d):
+        tmp = f"{d}.tmp{os.getpid()}"
+        os.makedirs(tmp, exist_ok=True)
+        ids = [int(r.doc_id) for r in
+               load_table(spark, sf_dir, "documents")
+               .where(F.col("doc_id") < 40).select("doc_id").collect()]
+        for i in ids:
+            data = synth_gif_lzw(24 + i % 40, 16 + i % 40)
+            with open(os.path.join(tmp, f"gif_{i:05d}.gif"), "wb") as fh:
+                fh.write(data)
+        try:
+            os.rename(tmp, d)
+        except OSError:  # concurrent winner published first
+            import shutil
+            shutil.rmtree(tmp, ignore_errors=True)
+    b = (spark.read.format("binaryFile")
+         .option("pathGlobFilter", "gif_*").load(d)
+         .select(F.regexp_extract("path", r"gif_(\d+)\.gif$", 1)
+                 .cast("long").alias("doc_id"), "content"))
+    return gif_pixel_stats(b)
 
 
 def multimodal_media_meta(spark, sf_dir):
@@ -1164,6 +1210,7 @@ QUERIES = {
     "multimodal_image_dims": multimodal_image_dims,
     "multimodal_media_meta": multimodal_media_meta,
     "multimodal_pixel_stats": multimodal_pixel_stats,
+    "multimodal_gif_pixels": multimodal_gif_pixels,
     "udf_tokenizer": udf_tokenizer,
     "udaf_pandas_grouped": udaf_pandas_grouped,
     "udtf_statement_split": udtf_statement_split,
@@ -2115,6 +2162,27 @@ SELECT doc_id,
        CAST(16 + (doc_id * 104729) % 2000 AS INT) AS height,
        CAST(200 + doc_id % 100 AS INT) AS n_bytes
 FROM documents WHERE doc_id < 60
+""",
+    # exact per-channel sums recomputed from the index-formula + palette
+    # arithmetic alone — only a byte-correct variable-width LZW round
+    # trip (incl. sub-block reassembly and palette lookup) can match
+    "multimodal_gif_pixels": """
+WITH d AS (SELECT doc_id, CAST(24 + doc_id % 40 AS INT) AS width,
+                  CAST(16 + doc_id % 40 AS INT) AS height
+           FROM documents WHERE doc_id < 40),
+px AS (
+  SELECT d.doc_id, d.width, d.height,
+         (5 * xs.x + 11 * ys.y) % 251 AS idx
+  FROM d,
+       LATERAL (SELECT unnest(generate_series(0, d.width - 1)) AS x) xs,
+       LATERAL (SELECT unnest(generate_series(0, d.height - 1)) AS y) ys
+)
+SELECT doc_id, width, height,
+       CAST(sum(idx) AS BIGINT) AS sum_r,
+       CAST(sum((3 * idx) % 256) AS BIGINT) AS sum_g,
+       CAST(sum((7 * idx) % 256) AS BIGINT) AS sum_b,
+       CAST(count(*) AS BIGINT) AS n_px
+FROM px GROUP BY doc_id, width, height
 """,
     # exact per-channel sums recomputed from the pixel formula alone —
     # only a byte-correct inflate + unfilter of all five PNG filters

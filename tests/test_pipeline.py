@@ -1100,10 +1100,24 @@ def test_media_and_image_parsers_property():
         # successful parse must agree with the full file
         assert got == want
 
+    @settings(max_examples=60, deadline=None)
+    @given(st.binary(min_size=1, max_size=1200))
+    def gif_lzw_roundtrip(raw):
+        from database_syncer_spark.pipeline.multimodal import (
+            decode_gif_pixels, synth_gif_lzw)
+
+        w = min(30, len(raw))
+        h = len(raw) // w
+        idx = raw[:w * h]
+        _, _, px = decode_gif_pixels(synth_gif_lzw(w, h, idx))
+        assert px == b"".join(bytes((k, (3 * k) % 256, (7 * k) % 256))
+                              for k in idx)
+
     img_roundtrip()
     wav_roundtrip()
     mp4_roundtrip()
     truncation_never_lies()
+    gif_lzw_roundtrip()
 
 
 def test_png_pixel_decoder_roundtrip_multi_idat_and_corrupt():
@@ -1152,3 +1166,40 @@ def test_png_pixel_decoder_roundtrip_multi_idat_and_corrupt():
             + chunk(b"IEND", b""))
     with pytest.raises(ValueError, match="truecolor"):
         decode_png_pixels(gray)
+
+
+def test_gif_lzw_decoder_roundtrip_and_corrupt():
+    """decode_gif_pixels round-trips the real-LZW synth across sizes
+    that force 9->12-bit code-width growth and the 4096-entry CLEAR
+    reset, plus adversarial index patterns (constant runs = the KwKwK
+    case; short cycles = deep dictionary chains), and quarantines
+    corrupt streams: truncated code stream, out-of-GCT index, unknown
+    block tag."""
+    from database_syncer_spark.pipeline.multimodal import (
+        decode_gif_pixels, synth_gif_lzw)
+
+    def expect(indices):
+        return b"".join(bytes((k, (3 * k) % 256, (7 * k) % 256))
+                        for k in indices)
+
+    for w, h in [(1, 1), (7, 5), (63, 55), (120, 120)]:
+        idx = bytes((5 * x + 11 * y) % 251
+                    for y in range(h) for x in range(w))
+        gw, gh, px = decode_gif_pixels(synth_gif_lzw(w, h))
+        assert (gw, gh, px) == (w, h, expect(idx)), (w, h)
+    for pat in [bytes([7]) * 900, bytes([3, 3, 3, 5, 5, 5] * 150),
+                bytes(range(250)) * 4]:
+        w = 30
+        h = len(pat) // w
+        pat = pat[:w * h]
+        assert decode_gif_pixels(synth_gif_lzw(w, h, pat))[2] == expect(pat)
+
+    good = synth_gif_lzw(20, 20)
+    with pytest.raises(ValueError, match="ran out|beyond table|not literal"):
+        # keep header + GCT + image descriptor + min-code byte, then a
+        # garbage 2-byte code stream: must quarantine, never mis-decode
+        decode_gif_pixels(bytes(good[:13 + 768 + 11]) + b"\x02AB\x00\x3b")
+    bad_block = bytearray(good)
+    bad_block[13 + 768] = 0x99  # neither extension/image/trailer
+    with pytest.raises(ValueError, match="unknown block"):
+        decode_gif_pixels(bytes(bad_block))
