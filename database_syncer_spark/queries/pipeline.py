@@ -1065,11 +1065,20 @@ def multimodal_media_meta(spark, sf_dir):
 
     Scale: identical posture to multimodal_image_dims — leading-bytes
     metadata, embarrassingly parallel binaryFile scan, no shuffle."""
+    from database_syncer_spark.pipeline.multimodal import decode_media_headers
+
+    b = _scan_staged_media(spark, sf_dir, "med_*")
+    return decode_media_headers(b)
+
+
+def _stage_media_dir(spark, sf_dir) -> str:
+    """One-time staging of the WAV/MP4 fixture files (shared by
+    multimodal_media_meta and multimodal_audio_stats — same bytes, two
+    decode depths)."""
     import os
     import tempfile
 
-    from database_syncer_spark.pipeline.multimodal import (
-        decode_media_headers, synth_mp4, synth_wav)
+    from database_syncer_spark.pipeline.multimodal import synth_mp4, synth_wav
 
     tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
     d = os.path.join(tempfile.gettempdir(), f"dss_mediafiles_v1_{tag}")
@@ -1095,11 +1104,32 @@ def multimodal_media_meta(spark, sf_dir):
         except OSError:  # concurrent winner published first
             import shutil
             shutil.rmtree(tmp, ignore_errors=True)
-    b = (spark.read.format("binaryFile")
-         .option("pathGlobFilter", "med_*").load(d)
-         .select(F.regexp_extract("path", r"med_(\d+)\.\w+$", 1)
-                 .cast("long").alias("doc_id"), "content"))
-    return decode_media_headers(b)
+    return d
+
+
+def _scan_staged_media(spark, sf_dir, glob: str):
+    d = _stage_media_dir(spark, sf_dir)
+    return (spark.read.format("binaryFile")
+            .option("pathGlobFilter", glob).load(d)
+            .select(F.regexp_extract("path", r"med_(\d+)\.\w+$", 1)
+                    .cast("long").alias("doc_id"), "content"))
+
+
+def multimodal_audio_stats(spark, sf_dir):
+    """REAL PCM sample decode (pipeline/multimodal.py:
+    decode_wav_samples): the SAME staged WAV bytes multimodal_media_meta
+    reads for metadata are here decoded to their int16 samples —
+    fmt/data chunk scan, channel de-interleave, numpy per-channel
+    reduction in Arrow-batched mapInPandas. The oracle recomputes the
+    exact channel-0 sum/min/max from the synth byte formula alone
+    (sample f's bytes are ((rate + 7·ch) + 26·ch·f + {0,13}) mod 256,
+    assembled little-endian signed), so only a byte-correct sample read
+    — interleave and sign handling included — can match. PCM is the
+    uncompressed-audio case; transform-coded audio (MDCT) remains the
+    codec stub's."""
+    from database_syncer_spark.pipeline.multimodal import wav_sample_stats
+
+    return wav_sample_stats(_scan_staged_media(spark, sf_dir, "med_*.wav"))
 
 
 # --- UDF / UDAF / UDTF (B10) ------------------------------------------------------
@@ -1209,6 +1239,7 @@ QUERIES = {
     "multimodal_frame_sample": multimodal_frame_sample,
     "multimodal_image_dims": multimodal_image_dims,
     "multimodal_media_meta": multimodal_media_meta,
+    "multimodal_audio_stats": multimodal_audio_stats,
     "multimodal_pixel_stats": multimodal_pixel_stats,
     "multimodal_gif_pixels": multimodal_gif_pixels,
     "udf_tokenizer": udf_tokenizer,
@@ -2203,6 +2234,32 @@ SELECT doc_id, width, height,
        CAST(sum((base + 62) % 251) AS BIGINT) AS sum_b,
        CAST(count(*) AS BIGINT) AS n_px
 FROM px GROUP BY doc_id, width, height
+""",
+    # exact channel-0 sample stats recomputed from the synth byte
+    # formula — only a byte-correct PCM read (interleave + sign) matches
+    "multimodal_audio_stats": """
+WITH d AS (
+  SELECT doc_id,
+         CAST(8000 + (doc_id % 5) * 4000 AS INT) AS rate,
+         CAST(1 + (doc_id // 2) % 2 AS INT) AS ch,
+         CAST(1000 + doc_id * 37 AS BIGINT) AS n
+  FROM documents WHERE doc_id < 60 AND doc_id % 2 = 0
+), s AS (
+  SELECT d.doc_id, d.rate, d.ch, d.n,
+         ((d.rate + 7 * d.ch) + 26 * d.ch * fs.f) % 256 AS lo,
+         ((d.rate + 7 * d.ch) + 26 * d.ch * fs.f + 13) % 256 AS hi
+  FROM d, LATERAL (SELECT unnest(generate_series(0, d.n - 1)) AS f) fs
+), v AS (
+  SELECT doc_id, rate, ch, n,
+         lo + 256 * hi - CASE WHEN hi >= 128 THEN 65536 ELSE 0 END AS val
+  FROM s
+)
+SELECT doc_id, rate AS sample_rate, ch AS n_channels,
+       CAST(n AS BIGINT) AS n_samples,
+       CAST(sum(val) AS BIGINT) AS sum_ch0,
+       CAST(min(val) AS INT) AS min_ch0,
+       CAST(max(val) AS INT) AS max_ch0
+FROM v GROUP BY doc_id, rate, ch, n
 """,
     # every field recomputed from the doc_id arithmetic the staged-file
     # writer used — the Spark side can only match by actually walking

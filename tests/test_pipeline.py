@@ -1203,3 +1203,45 @@ def test_gif_lzw_decoder_roundtrip_and_corrupt():
     bad_block[13 + 768] = 0x99  # neither extension/image/trailer
     with pytest.raises(ValueError, match="unknown block"):
         decode_gif_pixels(bytes(bad_block))
+
+
+def test_wav_sample_decoder_deinterleave_and_refusals():
+    """decode_wav_samples de-interleaves channels correctly (hand-built
+    stereo frames with distinct per-channel values), matches
+    numpy-computed stats on synth output, and refuses non-16-bit /
+    non-PCM / truncated-data files."""
+    import struct
+
+    import numpy as np
+
+    from database_syncer_spark.pipeline.multimodal import (
+        decode_wav_samples, synth_wav)
+
+    # hand-built stereo: frames (100, -200), (300, -400), (500, -600)
+    frames = [(100, -200), (300, -400), (500, -600)]
+    body = b"".join(struct.pack("<hh", a, b) for a, b in frames)
+    wav = (b"RIFF" + (36 + len(body)).to_bytes(4, "little") + b"WAVE"
+           + b"fmt " + (16).to_bytes(4, "little")
+           + struct.pack("<HHIIHH", 1, 2, 8000, 8000 * 4, 4, 16)
+           + b"data" + len(body).to_bytes(4, "little") + body)
+    rate, n, chans = decode_wav_samples(wav)
+    assert (rate, n, len(chans)) == (8000, 3, 2)
+    assert np.frombuffer(chans[0], "<i2").tolist() == [100, 300, 500]
+    assert np.frombuffer(chans[1], "<i2").tolist() == [-200, -400, -600]
+
+    # synth round-trip: stats equal a from-scratch byte-formula replay
+    data = synth_wav(16000, 2, 777)
+    rate, n, chans = decode_wav_samples(data)
+    a = 16000 + 7 * 2
+    want = [(a + 26 * 2 * f) % 256 + 256 * ((a + 26 * 2 * f + 13) % 256)
+            for f in range(777)]
+    want = [v - 65536 if v >= 32768 else v for v in want]
+    assert np.frombuffer(chans[0], "<i2").tolist() == want
+
+    bad_bits = bytearray(synth_wav(8000, 1, 4))
+    bad_bits[34] = 8  # fmt bits-per-sample -> 8
+    with pytest.raises(ValueError, match="16-bit PCM"):
+        decode_wav_samples(bytes(bad_bits))
+    trunc = synth_wav(8000, 1, 100)[:60]  # data chunk declares more
+    with pytest.raises(ValueError, match="declares"):
+        decode_wav_samples(trunc)
