@@ -294,7 +294,10 @@ def synth_wav(sample_rate: int, channels: int, n_samples: int) -> bytes:
 def synth_mp4(timescale: int, duration_units: int, n_traks: int,
               total_bytes: int) -> bytes:
     """Deterministic spec-valid MP4 skeleton of exactly ``total_bytes``:
-    ftyp + moov(mvhd v0 + n_traks × trak(tkhd)) + mdat padding."""
+    ftyp + moov(mvhd v0 + n_traks × trak(tkhd + mdia(mdhd + hdlr))) +
+    mdat padding. Per-track media metadata is arithmetic in the track
+    index: mdhd timescale 1000 + 500·t, mdhd duration
+    duration_units·(t + 1), handler alternates vide/soun."""
     def box(btype: bytes, payload: bytes) -> bytes:
         return (8 + len(payload)).to_bytes(4, "big") + btype + payload
 
@@ -311,21 +314,131 @@ def synth_mp4(timescale: int, duration_units: int, n_traks: int,
                + (0x40000000).to_bytes(4, "big")
                + bytes(24)                             # pre_defined
                + (n_traks + 1).to_bytes(4, "big"))     # next_track_ID
-    traks = b"".join(
-        box(b"trak", box(b"tkhd", bytes(3) + b"\x07"   # v0, enabled
-                         + bytes(8)                    # ctime, mtime
-                         + (t + 1).to_bytes(4, "big")  # track_ID
-                         + bytes(4)                    # reserved
-                         + duration_units.to_bytes(4, "big")
-                         + bytes(60)))                 # layer..matrix..wh
-        for t in range(n_traks))
-    head = ftyp + box(b"moov", mvhd + traks)
+
+    def trak(t: int) -> bytes:
+        tkhd = box(b"tkhd", bytes(3) + b"\x07"         # v0, enabled
+                   + bytes(8)                          # ctime, mtime
+                   + (t + 1).to_bytes(4, "big")        # track_ID
+                   + bytes(4)                          # reserved
+                   + duration_units.to_bytes(4, "big")
+                   + bytes(60))                        # layer..matrix..wh
+        mdhd = box(b"mdhd", bytes(4)                   # v0 + flags
+                   + bytes(8)                          # ctime, mtime
+                   + (1000 + 500 * t).to_bytes(4, "big")
+                   + (duration_units * (t + 1) % (1 << 32))
+                   .to_bytes(4, "big")   # u32 field per spec
+                   + b"\x55\xc4"                       # lang 'und'
+                   + bytes(2))                         # pre_defined
+        hdlr = box(b"hdlr", bytes(4) + bytes(4)
+                   + (b"vide" if t % 2 == 0 else b"soun")
+                   + bytes(12) + b"\x00")              # empty NUL name
+        return box(b"trak", tkhd + box(b"mdia", mdhd + hdlr))
+
+    head = ftyp + box(b"moov", mvhd + b"".join(trak(t)
+                                               for t in range(n_traks)))
     pad = total_bytes - len(head) - 8
     if pad < 0:
         raise ValueError(f"total_bytes {total_bytes} < skeleton size")
     mdat = box(b"mdat", bytes((timescale + duration_units + i * 31) % 256
                               for i in range(pad)))
     return head + mdat
+
+
+def parse_mp4_tracks(data: bytes) -> list[tuple[int, str, int, int]]:
+    """Per-track media metadata from an MP4: one (track_id, handler,
+    media_timescale, media_duration) per trak box, via the nested
+    moov → trak → {tkhd, mdia → {mdhd, hdlr}} walk — the box-tree
+    recursion production metadata extractors actually run (the flat
+    parse_media_header walk only counts traks). mdhd v0/v1 both
+    handled; structural corruption raises ValueError."""
+    if len(data) < 12 or data[4:8] != b"ftyp":
+        raise ValueError("not an MP4: missing ftyp")
+
+    def boxes(lo: int, hi: int):
+        i = lo
+        while i + 8 <= hi:
+            size = int.from_bytes(data[i:i + 4], "big")
+            btype = data[i + 4:i + 8]
+            body = i + 8
+            if size == 1:
+                size = int.from_bytes(data[i + 8:i + 16], "big")
+                body = i + 16
+            elif size == 0:
+                size = hi - i
+            if size < 8 or i + size > hi:
+                raise ValueError(f"corrupt MP4: bad box size at {i}")
+            yield btype, body, i + size
+            i += size
+
+    out = []
+    for btype, body, end in boxes(0, len(data)):
+        if btype != b"moov":
+            continue
+        for ctype, cbody, cend in boxes(body, end):
+            if ctype != b"trak":
+                continue
+            track_id = handler = ts = dur = None
+            for t2, b2, e2 in boxes(cbody, cend):
+                if t2 == b"tkhd":
+                    v = data[b2]
+                    off = b2 + (4 + 16 if v else 4 + 8)
+                    track_id = int.from_bytes(data[off:off + 4], "big")
+                elif t2 == b"mdia":
+                    for t3, b3, _e3 in boxes(b2, e2):
+                        if t3 == b"mdhd":
+                            v = data[b3]
+                            if v == 1:
+                                ts = int.from_bytes(
+                                    data[b3 + 20:b3 + 24], "big")
+                                dur = int.from_bytes(
+                                    data[b3 + 24:b3 + 32], "big")
+                            else:
+                                ts = int.from_bytes(
+                                    data[b3 + 12:b3 + 16], "big")
+                                dur = int.from_bytes(
+                                    data[b3 + 16:b3 + 20], "big")
+                        elif t3 == b"hdlr":
+                            handler = data[b3 + 8:b3 + 12].decode(
+                                "ascii", "replace")
+            if None in (track_id, handler, ts, dur):
+                raise ValueError(
+                    "corrupt MP4: trak missing tkhd/mdhd/hdlr")
+            if not ts:
+                raise ValueError("corrupt MP4: zero mdhd timescale")
+            out.append((track_id, handler, ts, dur))
+    if not out:
+        raise ValueError("corrupt MP4: no trak boxes under moov")
+    return out
+
+
+TRACK_META_SCHEMA = ("doc_id bigint, track_id int, handler string, "
+                     "media_timescale int, duration_ms bigint")
+
+
+def decode_track_meta(binary_files: DataFrame) -> DataFrame:
+    """Distributed per-track MP4 metadata: Arrow-batched mapInPandas,
+    one nested box walk per file, one output row per track. Input
+    contract: (doc_id, content)."""
+    def decode(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            rows = {"doc_id": [], "track_id": [], "handler": [],
+                    "media_timescale": [], "duration_ms": []}
+            for doc_id, content in zip(pdf["doc_id"], pdf["content"]):
+                for tid, handler, ts, dur in parse_mp4_tracks(
+                        bytes(content)):
+                    rows["doc_id"].append(doc_id)
+                    rows["track_id"].append(tid)
+                    rows["handler"].append(handler)
+                    rows["media_timescale"].append(ts)
+                    rows["duration_ms"].append(dur * 1000 // ts)
+            yield pd.DataFrame(rows).astype(
+                {"track_id": "int32", "media_timescale": "int32",
+                 "duration_ms": "int64"})
+
+    return (binary_files.select("doc_id", "content")
+            .mapInPandas(decode, TRACK_META_SCHEMA))
 
 
 #: duration_ms is BIGINT deliberately: 2^31 ms is only ~24.8 days, and a

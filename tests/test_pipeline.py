@@ -1077,7 +1077,7 @@ def test_media_and_image_parsers_property():
     @given(st.integers(1, 2**31 - 1), st.integers(0, 2**31 - 1),
            st.integers(0, 8), st.integers(0, 200))
     def mp4_roundtrip(ts, dur, traks, pad):
-        data = synth_mp4(ts, dur, traks, total_bytes=1500 + pad)
+        data = synth_mp4(ts, dur, traks, total_bytes=2600 + pad)
         got = parse_media_header(data)
         assert got == ("mp4", dur * 1000 // ts, ts, traks)
 
@@ -1245,3 +1245,33 @@ def test_wav_sample_decoder_deinterleave_and_refusals():
     trunc = synth_wav(8000, 1, 100)[:60]  # data chunk declares more
     with pytest.raises(ValueError, match="declares"):
         decode_wav_samples(trunc)
+
+
+def test_mp4_track_walk_roundtrip_and_corrupt():
+    """parse_mp4_tracks recovers every track's (id, handler, timescale,
+    duration) via the nested moov/trak/mdia walk across the synth
+    param grid, and quarantines a trak missing its mdia."""
+    from database_syncer_spark.pipeline.multimodal import (
+        parse_mp4_tracks, synth_mp4)
+
+    for dur in (0, 3001, 999999):
+        for traks in (1, 2, 3, 7):
+            got = parse_mp4_tracks(synth_mp4(600, dur, traks,
+                                             total_bytes=2600))
+            want = [(t + 1, "vide" if t % 2 == 0 else "soun",
+                     1000 + 500 * t, dur * (t + 1))
+                    for t in range(traks)]
+            assert got == want, (dur, traks)
+
+    # a trak with tkhd only (no mdia) must refuse, not emit garbage
+    import struct
+    def box(btype, p):
+        return struct.pack(">I", 8 + len(p)) + btype + p
+    mvhd = box(b"mvhd", bytes(4) + bytes(8) + (600).to_bytes(4, "big")
+               + (100).to_bytes(4, "big") + bytes(80))
+    tkhd = box(b"tkhd", bytes(4) + bytes(8) + (1).to_bytes(4, "big")
+               + bytes(4) + (100).to_bytes(4, "big") + bytes(60))
+    mp4 = (box(b"ftyp", b"isomxxxxisommp42")
+           + box(b"moov", mvhd + box(b"trak", tkhd)))
+    with pytest.raises(ValueError, match="missing tkhd/mdhd/hdlr"):
+        parse_mp4_tracks(mp4)
