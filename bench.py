@@ -90,7 +90,10 @@ SECONDARY = [
     "corpus_curate",               # composed filter→scrub→dedup→pack pipeline
     # r10 additions
     "sink_merge_incremental",      # set-based CDC merge batches + replay
-    "corpus_curate_incremental",   # batch curation vs corpus novelty gates
+    # corpus_curate_incremental moved to HEADLINE_EXT (r11): it was
+    # double-timed here AND there (11 executions of one of the heaviest
+    # keys per bench); the ext slot's 2-warmup/5-rep discipline is the
+    # stricter record
     # r11 addition
     "dedup_incremental_indexed",   # at-rest bucketed band index probe
 ]

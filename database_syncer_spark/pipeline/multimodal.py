@@ -224,54 +224,71 @@ def parse_media_header(data: bytes) -> tuple[str, int, int, int]:
             raise ValueError("corrupt WAV: missing fmt/data chunk")
         if not fmt["sample_rate"] or not fmt["block_align"]:
             raise ValueError("corrupt WAV: zero rate/block align")
+        if not fmt["channels"]:
+            raise ValueError("corrupt WAV: zero channel count")
         n_samples = data_size // fmt["block_align"]
         return ("wav", n_samples * 1000 // fmt["sample_rate"],
                 fmt["sample_rate"], fmt["channels"])
     if len(data) >= 12 and data[4:8] == b"ftyp":
         mvhd = None
         n_traks = 0
-
-        def boxes(lo: int, hi: int):
-            i = lo
-            while i + 8 <= hi:
-                size = int.from_bytes(data[i:i + 4], "big")
-                btype = data[i + 4:i + 8]
-                body = i + 8
-                if size == 1:  # 64-bit largesize follows
-                    size = int.from_bytes(data[i + 8:i + 16], "big")
-                    body = i + 16
-                elif size == 0:  # box extends to end of enclosing scope
-                    size = hi - i
-                if size < 8 or i + size > hi:
-                    raise ValueError(f"corrupt MP4: bad box size at {i}")
-                yield btype, body, i + size
-                i += size
-
-        for btype, body, end in boxes(0, len(data)):
+        for btype, body, end in _iter_boxes(data, 0, len(data)):
             if btype != b"moov":
                 continue
-            for ctype, cbody, _cend in boxes(body, end):
+            for ctype, cbody, cend in _iter_boxes(data, body, end):
                 if ctype == b"trak":
                     n_traks += 1
                 elif ctype == b"mvhd":
-                    version = data[cbody]
-                    if version == 1:
-                        timescale = int.from_bytes(
-                            data[cbody + 20:cbody + 24], "big")
-                        duration = int.from_bytes(
-                            data[cbody + 24:cbody + 32], "big")
-                    else:
-                        timescale = int.from_bytes(
-                            data[cbody + 12:cbody + 16], "big")
-                        duration = int.from_bytes(
-                            data[cbody + 16:cbody + 20], "big")
-                    mvhd = (timescale, duration)
+                    mvhd = _read_mvhd_like(data, cbody, cend, "mvhd")
         if mvhd is None:
             raise ValueError("corrupt MP4: no moov/mvhd box")
         if not mvhd[0]:
             raise ValueError("corrupt MP4: zero mvhd timescale")
         return ("mp4", mvhd[1] * 1000 // mvhd[0], mvhd[0], n_traks)
     raise ValueError(f"unrecognized media container: {data[:12].hex()}")
+
+
+def _iter_boxes(data: bytes, lo: int, hi: int):
+    """Walk ISO-BMFF boxes in data[lo:hi] — the ONE box-size/largesize/
+    bounds implementation both the flat (parse_media_header) and nested
+    (parse_mp4_tracks) walks ride, so a bounds fix can't miss one."""
+    i = lo
+    while i + 8 <= hi:
+        size = int.from_bytes(data[i:i + 4], "big")
+        btype = data[i + 4:i + 8]
+        body = i + 8
+        if size == 1:  # 64-bit largesize follows
+            if i + 16 > hi:
+                raise ValueError(f"corrupt MP4: truncated largesize at {i}")
+            size = int.from_bytes(data[i + 8:i + 16], "big")
+            body = i + 16
+        elif size == 0:  # box extends to end of enclosing scope
+            size = hi - i
+        if size < 8 or i + size > hi:
+            raise ValueError(f"corrupt MP4: bad box size at {i}")
+        yield btype, body, i + size
+        i += size
+
+
+def _read_mvhd_like(data: bytes, body: int, end: int,
+                    name: str) -> tuple[int, int]:
+    """(timescale, duration) from an mvhd/mdhd box BODY, with the box
+    required to actually contain the fields it claims — an undersized
+    box quarantines (ValueError) instead of silently reading the
+    sibling box's bytes as a timescale."""
+    if end - body < 4:
+        raise ValueError(f"corrupt MP4: truncated {name} box")
+    version = data[body]
+    need = 32 if version == 1 else 20
+    if end - body < need:
+        raise ValueError(
+            f"corrupt MP4: {name} v{version} box too small "
+            f"({end - body} < {need} bytes)")
+    if version == 1:
+        return (int.from_bytes(data[body + 20:body + 24], "big"),
+                int.from_bytes(data[body + 24:body + 32], "big"))
+    return (int.from_bytes(data[body + 12:body + 16], "big"),
+            int.from_bytes(data[body + 16:body + 20], "big"))
 
 
 def synth_wav(sample_rate: int, channels: int, n_samples: int) -> bytes:
@@ -354,58 +371,38 @@ def parse_mp4_tracks(data: bytes) -> list[tuple[int, str, int, int]]:
     if len(data) < 12 or data[4:8] != b"ftyp":
         raise ValueError("not an MP4: missing ftyp")
 
-    def boxes(lo: int, hi: int):
-        i = lo
-        while i + 8 <= hi:
-            size = int.from_bytes(data[i:i + 4], "big")
-            btype = data[i + 4:i + 8]
-            body = i + 8
-            if size == 1:
-                size = int.from_bytes(data[i + 8:i + 16], "big")
-                body = i + 16
-            elif size == 0:
-                size = hi - i
-            if size < 8 or i + size > hi:
-                raise ValueError(f"corrupt MP4: bad box size at {i}")
-            yield btype, body, i + size
-            i += size
-
     out = []
-    for btype, body, end in boxes(0, len(data)):
+    for btype, body, end in _iter_boxes(data, 0, len(data)):
         if btype != b"moov":
             continue
-        for ctype, cbody, cend in boxes(body, end):
+        for ctype, cbody, cend in _iter_boxes(data, body, end):
             if ctype != b"trak":
                 continue
-            track_id = handler = ts = dur = None
-            for t2, b2, e2 in boxes(cbody, cend):
+            track_id = handler = None
+            ts_dur = None
+            for t2, b2, e2 in _iter_boxes(data, cbody, cend):
                 if t2 == b"tkhd":
-                    v = data[b2]
+                    v = data[b2] if e2 > b2 else None
                     off = b2 + (4 + 16 if v else 4 + 8)
+                    if v is None or off + 4 > e2:
+                        raise ValueError("corrupt MP4: truncated tkhd")
                     track_id = int.from_bytes(data[off:off + 4], "big")
                 elif t2 == b"mdia":
-                    for t3, b3, _e3 in boxes(b2, e2):
+                    for t3, b3, e3 in _iter_boxes(data, b2, e2):
                         if t3 == b"mdhd":
-                            v = data[b3]
-                            if v == 1:
-                                ts = int.from_bytes(
-                                    data[b3 + 20:b3 + 24], "big")
-                                dur = int.from_bytes(
-                                    data[b3 + 24:b3 + 32], "big")
-                            else:
-                                ts = int.from_bytes(
-                                    data[b3 + 12:b3 + 16], "big")
-                                dur = int.from_bytes(
-                                    data[b3 + 16:b3 + 20], "big")
+                            ts_dur = _read_mvhd_like(data, b3, e3, "mdhd")
                         elif t3 == b"hdlr":
+                            if e3 - b3 < 12:
+                                raise ValueError(
+                                    "corrupt MP4: truncated hdlr")
                             handler = data[b3 + 8:b3 + 12].decode(
                                 "ascii", "replace")
-            if None in (track_id, handler, ts, dur):
+            if track_id is None or handler is None or ts_dur is None:
                 raise ValueError(
                     "corrupt MP4: trak missing tkhd/mdhd/hdlr")
-            if not ts:
+            if not ts_dur[0]:
                 raise ValueError("corrupt MP4: zero mdhd timescale")
-            out.append((track_id, handler, ts, dur))
+            out.append((track_id, handler, ts_dur[0], ts_dur[1]))
     if not out:
         raise ValueError("corrupt MP4: no trak boxes under moov")
     return out
@@ -626,33 +623,46 @@ def decode_gif_pixels(data: bytes) -> tuple[int, int, bytes]:
     fmt, width, height = parse_image_header(data)
     if fmt != "gif":
         raise ValueError(f"not a GIF: {fmt}")
+    if len(data) < 13:
+        raise ValueError("corrupt GIF: truncated header")
     flags = data[10]
     if not flags & 0x80:
         raise ValueError("decoder covers global-color-table GIFs only")
     gct_n = 2 << (flags & 0x07)
     i = 13
     palette = data[i:i + gct_n * 3]
+    if len(palette) < gct_n * 3:
+        raise ValueError("corrupt GIF: truncated global color table")
     i += gct_n * 3
+
+    def sub_blocks(j: int) -> tuple[bytearray, int]:
+        # reassemble length-prefixed sub-blocks; truncation quarantines
+        out = bytearray()
+        while True:
+            if j >= len(data):
+                raise ValueError("corrupt GIF: truncated sub-block chain")
+            n = data[j]
+            if n == 0:
+                return out, j + 1
+            if j + 1 + n > len(data):
+                raise ValueError("corrupt GIF: truncated sub-block body")
+            out += data[j + 1:j + 1 + n]
+            j += 1 + n
+
     while i < len(data):
         b = data[i]
         if b == 0x21:                  # extension: label + sub-blocks
-            i += 2
-            while data[i]:
-                i += 1 + data[i]
-            i += 1
+            _, i = sub_blocks(i + 2)
         elif b == 0x2C:                # image descriptor
+            if i + 11 > len(data):
+                raise ValueError("corrupt GIF: truncated image descriptor")
             if data[i + 9] & 0xC0:
                 raise ValueError(
                     "decoder covers non-interlaced GCT images only")
             iw = int.from_bytes(data[i + 5:i + 7], "little")
             ih = int.from_bytes(data[i + 7:i + 9], "little")
-            i += 10
-            min_code = data[i]
-            i += 1
-            stream = bytearray()
-            while data[i]:
-                stream += data[i + 1:i + 1 + data[i]]
-                i += 1 + data[i]
+            min_code = data[i + 10]
+            stream, i = sub_blocks(i + 11)
             idx = _gif_lzw_decode(bytes(stream), min_code)
             if len(idx) != iw * ih:
                 raise ValueError(
@@ -813,13 +823,18 @@ def decode_wav_samples(data: bytes) -> tuple[int, int, list[bytes]]:
     if fmt_code != 1 or bits != 16:
         raise ValueError(
             f"decoder covers 16-bit PCM only (fmt {fmt_code}, {bits}-bit)")
+    import numpy as np
+
     frame = channels * 2
     n_samples = len(body) // frame
-    body = body[:n_samples * frame]
-    per_channel = [
-        b"".join(body[f * frame + c * 2:f * frame + c * 2 + 2]
-                 for f in range(n_samples))
-        for c in range(channels)]
+    # vectorized de-interleave: reshape (n_samples, channels), column
+    # slice per channel — frombuffer/tobytes never byte-swap, so the
+    # little-endian sample bytes survive regardless of host endianness
+    # (the per-sample Python join this replaces bounded the measured
+    # WAV throughput)
+    arr = np.frombuffer(body[:n_samples * frame],
+                        dtype="<i2").reshape(-1, channels)
+    per_channel = [arr[:, c].tobytes() for c in range(channels)]
     return sample_rate, n_samples, per_channel
 
 

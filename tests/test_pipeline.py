@@ -1275,3 +1275,59 @@ def test_mp4_track_walk_roundtrip_and_corrupt():
            + box(b"moov", mvhd + box(b"trak", tkhd)))
     with pytest.raises(ValueError, match="missing tkhd/mdhd/hdlr"):
         parse_mp4_tracks(mp4)
+
+
+def test_container_parsers_quarantine_not_garbage():
+    """r11 review regressions: undersized/truncated containers must
+    raise ValueError (quarantine) — never a silently-wrong value and
+    never a bare IndexError/ZeroDivisionError that fails the whole
+    Spark stage unclassified."""
+    import struct
+
+    from database_syncer_spark.pipeline.multimodal import (
+        decode_gif_pixels, decode_wav_samples, parse_media_header,
+        parse_mp4_tracks, synth_gif_lzw, synth_mp4)
+
+    def box(btype, p):
+        return struct.pack(">I", 8 + len(p)) + btype + p
+
+    ftyp = box(b"ftyp", b"isomxxxxisommp42")
+    # 16-byte mvhd (8-byte body): previously parsed the SIBLING trak's
+    # ASCII bytes as the timescale — the silent-wrong-value case
+    tiny_mvhd = box(b"mvhd", bytes(8))
+    trak = box(b"trak", bytes(92))
+    with pytest.raises(ValueError, match="mvhd .* too small"):
+        parse_media_header(ftyp + box(b"moov", tiny_mvhd + trak))
+    # empty-body mvhd: previously IndexError at the version read
+    with pytest.raises(ValueError, match="truncated mvhd"):
+        parse_media_header(ftyp + box(b"moov", box(b"mvhd", b"")))
+    # undersized mdhd inside a trak: same class, nested walk
+    bad_trak = box(b"trak", box(b"tkhd", bytes(84))
+                   + box(b"mdia", box(b"mdhd", bytes(8))
+                         + box(b"hdlr", bytes(13))))
+    good_mvhd = box(b"mvhd", bytes(12) + (600).to_bytes(4, "big")
+                    + (100).to_bytes(4, "big") + bytes(80))
+    with pytest.raises(ValueError, match="mdhd .* too small"):
+        parse_mp4_tracks(ftyp + box(b"moov", good_mvhd + bad_trak))
+    # truncated largesize
+    with pytest.raises(ValueError, match="largesize|bad box"):
+        parse_media_header(ftyp + (1).to_bytes(4, "big") + b"skip")
+
+    # GIF prefix truncation at every interesting boundary: ValueError
+    # only, never IndexError
+    full = synth_gif_lzw(10, 10)
+    for cut in (9, 11, 13, 200, 786, 790, 793, 800, len(full) - 2):
+        try:
+            decode_gif_pixels(full[:cut])
+        except ValueError:
+            pass  # the quarantine contract
+
+    # channels=0 WAV: previously ZeroDivisionError in decode_wav_samples
+    zero_ch = (b"RIFF" + bytes(4) + b"WAVE"
+               + b"fmt " + (16).to_bytes(4, "little")
+               + struct.pack("<HHIIHH", 1, 0, 8000, 0, 4, 16)
+               + b"data" + (8).to_bytes(4, "little") + bytes(8))
+    with pytest.raises(ValueError, match="zero channel"):
+        parse_media_header(zero_ch)
+    with pytest.raises(ValueError, match="zero channel"):
+        decode_wav_samples(zero_ch)
