@@ -41,6 +41,18 @@ def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
+def sf_dir_tag(sf_dir: str) -> str:
+    """Cache/table-name tag for a fixture dir: basename for readability
+    plus a short hash of the FULL normalized path, so two different
+    dirs sharing a basename (/a/sf0.1 vs /b/sf0.1) can never reuse each
+    other's staged files, temp tables, or at-rest index tables."""
+    import hashlib
+
+    norm = os.path.normpath(os.path.abspath(sf_dir))
+    h = hashlib.sha256(norm.encode()).hexdigest()[:8]
+    return f"{os.path.basename(norm).replace('.', '_')}_{h}"
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         return _load_events(spark, sf_dir)

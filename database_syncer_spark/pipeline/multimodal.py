@@ -218,6 +218,10 @@ def parse_media_header(data: bytes) -> tuple[str, int, int, int]:
                                                   "little"),
                 }
             elif cid == b"data":
+                if i + 8 + csize > len(data):
+                    raise ValueError(
+                        f"corrupt WAV: data chunk declares {csize} bytes, "
+                        f"only {len(data) - i - 8} present")
                 data_size = csize
             i += 8 + csize + (csize & 1)  # RIFF pads odd chunks
         if fmt is None or data_size is None:
@@ -409,7 +413,7 @@ def parse_mp4_tracks(data: bytes) -> list[tuple[int, str, int, int]]:
 
 
 TRACK_META_SCHEMA = ("doc_id bigint, track_id int, handler string, "
-                     "media_timescale int, duration_ms bigint")
+                     "media_timescale bigint, duration_ms bigint")
 
 
 def decode_track_meta(binary_files: DataFrame) -> DataFrame:
@@ -430,8 +434,11 @@ def decode_track_meta(binary_files: DataFrame) -> DataFrame:
                     rows["handler"].append(handler)
                     rows["media_timescale"].append(ts)
                     rows["duration_ms"].append(dur * 1000 // ts)
+            # media_timescale is int64: mdhd carries a u32 timescale, so
+            # a structurally-valid value > 2^31 must not overflow the
+            # Arrow cast on exactly the inputs the parser survives
             yield pd.DataFrame(rows).astype(
-                {"track_id": "int32", "media_timescale": "int32",
+                {"track_id": "int32", "media_timescale": "int64",
                  "duration_ms": "int64"})
 
     return (binary_files.select("doc_id", "content")
@@ -877,7 +884,7 @@ def wav_sample_stats(binary_files: DataFrame) -> DataFrame:
 
 
 MEDIA_META_SCHEMA = ("doc_id bigint, container string, duration_ms bigint, "
-                     "sample_rate int, n_tracks int, n_bytes int")
+                     "sample_rate bigint, n_tracks int, n_bytes int")
 
 
 def decode_media_headers(binary_files: DataFrame) -> DataFrame:
@@ -895,8 +902,10 @@ def decode_media_headers(binary_files: DataFrame) -> DataFrame:
                 "container": [p[0] for p in parsed],
                 "duration_ms": pd.Series([p[1] for p in parsed],
                                          dtype="int64"),
+                # int64: for MP4 this is the mvhd timescale, a u32 field
+                # that can legally exceed 2^31
                 "sample_rate": pd.Series([p[2] for p in parsed],
-                                         dtype="int32"),
+                                         dtype="int64"),
                 "n_tracks": pd.Series([p[3] for p in parsed],
                                       dtype="int32"),
                 "n_bytes": pdf["content"].map(len).astype("int32"),

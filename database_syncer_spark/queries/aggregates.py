@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
-from database_syncer_spark.catalog import load_table
+from database_syncer_spark.catalog import load_table, sf_dir_tag
 
 
 def _money_sum(col, scale: int = 4):
@@ -123,7 +123,7 @@ def agg_hll_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     sk = (o.groupBy("o_orderpriority")
           .agg(F.hll_sketch_agg("o_custkey").alias("sk")))
     # serialization round trip: binary sketches at rest, then restored
-    tag = os.path.basename(os.path.normpath(sf_dir))
+    tag = sf_dir_tag(sf_dir)
     path = os.path.join(tempfile.gettempdir(), f"dss_hll_{tag}.parquet")
     sk.write.mode("overwrite").parquet(path)
     stored = spark.read.parquet(path)

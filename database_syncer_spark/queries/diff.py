@@ -12,7 +12,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from database_syncer_spark.catalog import load_table
+from database_syncer_spark.catalog import load_table, sf_dir_tag
 from database_syncer_spark.core.diff import (
     dedup_last_wins, diff_stats, scd2_history, snapshot_diff)
 from database_syncer_spark.core.script import generate_sync_script
@@ -215,7 +215,7 @@ def diff_bucketed_zeroshuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     from database_syncer_spark.core.bucketing import write_bucketed_snapshot
 
     prod, backup = _snapshot_pair(spark, sf_dir)
-    tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+    tag = sf_dir_tag(sf_dir)
     bp = write_bucketed_snapshot(
         prod.select(*ORDERS_COLS), f"dss_bkt_prod_{tag}", ["o_orderkey"], 8)
     bb = write_bucketed_snapshot(
@@ -232,7 +232,7 @@ def sink_cdc_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
     import tempfile
 
-    tag = os.path.basename(os.path.normpath(sf_dir))
+    tag = sf_dir_tag(sf_dir)
     path = os.path.join(tempfile.gettempdir(), f"dss_cdc_{tag}_orders")
     changes = diff_cdc_fullouter(spark, sf_dir)
     changes.write.mode("overwrite").partitionBy("change_type").parquet(path)

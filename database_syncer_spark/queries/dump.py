@@ -15,7 +15,7 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from database_syncer_spark.catalog import load_table
+from database_syncer_spark.catalog import load_table, sf_dir_tag
 from database_syncer_spark.sources.dump import read_sql_dump, write_sql_dump
 from database_syncer_spark.sources.pg_dump import read_pg_dump
 
@@ -29,7 +29,7 @@ _DUMP_FMT = "v3"
 
 
 def _dump_path(sf_dir: str, suffix: str) -> str:
-    tag = os.path.basename(os.path.normpath(sf_dir))
+    tag = sf_dir_tag(sf_dir)
     return os.path.join(
         tempfile.gettempdir(), f"dss_dump_{_DUMP_FMT}_{tag}_{suffix}.sql")
 

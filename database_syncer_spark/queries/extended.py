@@ -24,7 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
-from database_syncer_spark.catalog import load_table
+from database_syncer_spark.catalog import load_table, sf_dir_tag
 
 _BAND = 500.0          # banding width == the range half-window
 _RANGE = 500.0
@@ -211,7 +211,7 @@ def _roundtrip_dir(sf_dir: str, fmt: str) -> str:
     import os
     import tempfile
 
-    tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+    tag = sf_dir_tag(sf_dir)
     return os.path.join(tempfile.gettempdir(), f"dss_rt_{fmt}_{tag}")
 
 
@@ -679,7 +679,7 @@ def scan_binary_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
     import tempfile
 
-    tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+    tag = sf_dir_tag(sf_dir)
     # v-token in the cache name (the queries/dump.py _DUMP_FMT
     # discipline): bump it whenever staged content/layout changes so a
     # stale dir from an older build can't shadow the current fixture

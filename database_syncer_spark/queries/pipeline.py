@@ -21,7 +21,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
-from database_syncer_spark.catalog import load_table
+from database_syncer_spark.catalog import load_table, sf_dir_tag
 from database_syncer_spark.pipeline import dedup as D
 from database_syncer_spark.pipeline import multimodal as M
 from database_syncer_spark.pipeline import similarity as S
@@ -79,8 +79,7 @@ def dedup_incremental_indexed(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     is_batch = F.col("doc_id") % _BATCH_MOD == _BATCH_REM
     corpus = docs.where(~is_batch)
-    tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
-    table = f"dss_atrest_bands_{tag}"
+    table = f"dss_atrest_bands_{sf_dir_tag(sf_dir)}"
     # the index is ONE-TIME by contract: reuse it within the session
     # (the fixture corpus for a given sf_dir is immutable), so repeated
     # invocations — bench warmups/reps included — measure the steady
@@ -1056,8 +1055,8 @@ def _stage_fixture_dir(spark, sf_dir, dirname: str, id_bound: int,
     import os
     import tempfile
 
-    tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
-    d = os.path.join(tempfile.gettempdir(), f"{dirname}_{tag}")
+    d = os.path.join(tempfile.gettempdir(),
+                     f"{dirname}_{sf_dir_tag(sf_dir)}")
     if not os.path.isdir(d):
         tmp = f"{d}.tmp{os.getpid()}"
         os.makedirs(tmp, exist_ok=True)
@@ -2234,7 +2233,7 @@ WITH d AS (SELECT doc_id, CAST(1 + doc_id % 3 AS INT) AS n_traks,
            FROM documents WHERE doc_id < 60 AND doc_id % 2 = 1)
 SELECT d.doc_id, CAST(ts.t + 1 AS INT) AS track_id,
        CASE WHEN ts.t % 2 = 0 THEN 'vide' ELSE 'soun' END AS handler,
-       CAST(1000 + 500 * ts.t AS INT) AS media_timescale,
+       CAST(1000 + 500 * ts.t AS BIGINT) AS media_timescale,
        CAST((d.dur * (ts.t + 1) * 1000) // (1000 + 500 * ts.t)
             AS BIGINT) AS duration_ms
 FROM d, LATERAL (SELECT unnest(generate_series(0, d.n_traks - 1)) AS t) ts
@@ -2276,7 +2275,7 @@ SELECT doc_id,
             ELSE ((3000 + doc_id * 53) * 1000) // (600 + (doc_id % 7) * 100)
             END AS BIGINT) AS duration_ms,
        CAST(CASE WHEN doc_id % 2 = 0 THEN 8000 + (doc_id % 5) * 4000
-            ELSE 600 + (doc_id % 7) * 100 END AS INT) AS sample_rate,
+            ELSE 600 + (doc_id % 7) * 100 END AS BIGINT) AS sample_rate,
        CAST(CASE WHEN doc_id % 2 = 0 THEN 1 + (doc_id // 2) % 2
             ELSE 1 + doc_id % 3 END AS INT) AS n_tracks,
        CAST(CASE WHEN doc_id % 2 = 0

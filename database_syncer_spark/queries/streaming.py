@@ -19,7 +19,7 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
-from database_syncer_spark.catalog import load_table
+from database_syncer_spark.catalog import load_table, sf_dir_tag
 from database_syncer_spark.streaming.queries import (
     session_window_agg,
     sliding_agg,
@@ -67,7 +67,7 @@ def stream_foreachbatch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     prod = load_table(spark, sf_dir, "orders")
     backup = derive_backup(prod, "o_orderkey", "o_totalprice")
     changes = snapshot_diff(prod, backup, ["o_orderkey"])
-    tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+    tag = sf_dir_tag(sf_dir)
     workdir = tempfile.mkdtemp(prefix=f"dss_febm_{tag}_")
     # changes are a pure function of the read-only fixture — stage once
     # per machine (reuse=True); state versions stay in the fresh workdir.
@@ -103,7 +103,7 @@ def stream_stateful_custom(spark: SparkSession, sf_dir: str) -> DataFrame:
     from database_syncer_spark.streaming.stateful import running_user_profile
 
     events = load_table(spark, sf_dir, "events")
-    tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+    tag = sf_dir_tag(sf_dir)
     src = stage_as_stream_source(
         events, os.path.join(tempfile.gettempdir(), f"dss_stateful_src_{_STAGE_FMT}_{tag}"),
         3, reuse=True)
@@ -134,7 +134,7 @@ def stream_transform_with_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     from database_syncer_spark.streaming.stateful import user_type_profile_tws
 
     events = load_table(spark, sf_dir, "events")
-    tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+    tag = sf_dir_tag(sf_dir)
     src = stage_as_stream_source(
         events, os.path.join(tempfile.gettempdir(), f"dss_tws_src_{_STAGE_FMT}_{tag}"),
         3, reuse=True)
@@ -177,7 +177,7 @@ def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         run_stream_to_memory, stage_as_stream_source)
 
     events = load_table(spark, sf_dir, "events")
-    tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+    tag = sf_dir_tag(sf_dir)
     src = stage_as_stream_source(
         events, os.path.join(tempfile.gettempdir(), f"dss_ssj_src_{_STAGE_FMT}_{tag}"),
         3, reuse=True)
@@ -236,7 +236,7 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     events = load_table(spark, sf_dir, "events").where(
         F.col("event_type").isin("click", "purchase"))
-    tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+    tag = sf_dir_tag(sf_dir)
     src = stage_as_stream_source_ordered(
         events,
         os.path.join(tempfile.gettempdir(), f"dss_ssj2cp_src_{_STAGE_FMT}_{tag}"),

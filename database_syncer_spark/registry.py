@@ -93,7 +93,7 @@ _KEY_ORDER = [
     "sim_ivf_ann", "sim_pq_ann", "sim_ivfpq_ann", "dedup_ngram_jaccard",
     "stream_stateful_custom", "stream_transform_with_state",
     "sink_merge_executor",
-    # --- last driver value row: r8 (window tail) [32-49] ---
+    # --- last driver value row: r8 (window tail) [33-49] ---
     "dedup_paragraph", "dedup_cluster_components",
     "dedup_embedding_incremental", "dedup_corpus_keep", "dedup_soft_keep",
     "dedup_exact", "dedup_minhash_lsh", "dedup_simhash", "text_decontaminate",

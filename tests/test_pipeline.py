@@ -605,8 +605,16 @@ def test_media_header_parser_roundtrip_and_externally_encoded():
            + b"LIST" + (4).to_bytes(4, "little") + b"INFO"
            + b"junk" + (5).to_bytes(4, "little") + b"abcde\x00"  # pad
            + fmt
-           + b"data" + (6000 * 4).to_bytes(4, "little") + bytes(8))
+           + b"data" + (6000 * 4).to_bytes(4, "little") + bytes(6000 * 4))
     assert parse_media_header(wav) == ("wav", 250, 24000, 2)
+
+    # truncated data chunk (declares bytes that are not present) must
+    # QUARANTINE, matching decode_wav_samples — not report a confident
+    # duration computed from the declared size
+    trunc = (b"RIFF" + (0).to_bytes(4, "little") + b"WAVE" + fmt
+             + b"data" + (6000 * 4).to_bytes(4, "little") + bytes(8))
+    with pytest.raises(ValueError, match="data chunk declares"):
+        parse_media_header(trunc)
 
     # externally-shaped MP4: largesize skip box, then moov with mvhd v1
     mvhd_v1 = (b"\x01\x00\x00\x00" + bytes(16)      # v1, ctime/mtime u64
@@ -1095,9 +1103,9 @@ def test_media_and_image_parsers_property():
             got = parse_media_header(full[:min(cut, len(full))])
         except ValueError:
             return
-        # WAV duration derives from the data chunk's DECLARED size, so
-        # a prefix keeping all chunk headers parses identically; any
-        # successful parse must agree with the full file
+        # a prefix that cuts into the data chunk raises (declared-size
+        # truncation check); any successful parse must agree with the
+        # full file
         assert got == want
 
     @settings(max_examples=60, deadline=None)
