@@ -59,6 +59,12 @@ HEADLINE_EXT = [
     "scan_pg_dump",               # pg COPY-protocol ingest
     "win_retention_cohort",       # cohort window + conditional agg
     "corpus_curate_incremental",  # ingest-time curation verdict
+    # r12 rotation (VERDICT r11 item 6): the newest families accrue
+    # trend history on the full headline discipline from birth
+    "multimodal_jpeg_pixels",     # baseline-JPEG Huffman+IDCT decode
+    "dedup_incremental_indexed",  # at-rest bucketed band-index probe
+    #   (moved up from SECONDARY r12 — the ext discipline's 2-warmup/
+    #   5-rep record is the stricter trend instrument)
 ]
 
 # Heaviest non-headline families, tracked so a regression is visible
@@ -94,8 +100,9 @@ SECONDARY = [
     # double-timed here AND there (11 executions of one of the heaviest
     # keys per bench); the ext slot's 2-warmup/5-rep discipline is the
     # stricter record
-    # r11 addition
-    "dedup_incremental_indexed",   # at-rest bucketed band index probe
+    # r11 addition dedup_incremental_indexed moved to HEADLINE_EXT (r12)
+    # r12 addition
+    "dedup_incremental_rolling",   # two-day admit-and-grow index loop
 ]
 
 
@@ -312,10 +319,23 @@ def main() -> None:
     #   line 2  — the compact machine record, guaranteed < 2 KB, LAST.
     probe_end = _host_probe(spark)
 
+    # Probe-normalized per-key ratios (VERDICT r11 item 7): key_sec /
+    # mean(host_probe start, end sec). The next round's regression
+    # screen is then a division against the previous round's normalized
+    # value instead of an adjudication debate — a key whose RAW seconds
+    # doubled but whose ratio held ran on a slow host, not slow code.
+    probe_mean = round((probe_start["sec"] + probe_end["sec"]) / 2, 3)
+    normalized = {
+        k: round(v / probe_mean, 3)
+        for block in (timings, headline_ext, secondary)
+        for k, v in block.items()}
+
     detail = {
         "metric": "bench_detail",
         "prev_totals": prev,
         "host_probe": {"start": probe_start, "end": probe_end},
+        "probe_mean_sec": probe_mean,
+        "normalized": normalized,
         "headline_ext": headline_ext,
         "headline_ext_runs": ext_runs,
         "secondary": secondary,

@@ -232,6 +232,32 @@ def build_corpus_band_index(corpus: DataFrame, table: str,
         ec, table, ["band_id", "band_hash"], n_buckets)
 
 
+def append_band_index(admitted: DataFrame, table: str, k: int = 3,
+                      n_buckets: int = 16) -> DataFrame:
+    """APPEND-ONLY maintenance of the at-rest band index — the other
+    half of the steady-state deployment build_corpus_band_index's
+    docstring promises: after an ingest batch's novel docs are admitted
+    to the corpus, ONLY their band keys are computed and appended into
+    the same bucketed layout (matching bucket spec, so the files land
+    in the right buckets and the next batch's probe sees them through
+    the identical bucket-pruned scan). Cost is O(admitted), never
+    corpus-proportional; at 100 TB a periodic compaction folds the
+    small appended files — a storage chore, not a recompute. Returns
+    the refreshed table."""
+    spark = admitted.sparkSession
+    sc = minhash_signatures(admitted, k, slim=True)
+    ec = (sc.select(F.col("doc_id").alias("corpus_id"),
+                    F.explode(_band_structs()).alias("band"))
+          .select("corpus_id", "band.band_id", "band.band_hash"))
+    (ec.write.mode("append")
+       .bucketBy(n_buckets, "band_id", "band_hash")
+       .sortBy("band_id", "band_hash")
+       .format("parquet")
+       .saveAsTable(table))
+    spark.catalog.refreshTable(table)
+    return spark.table(table)
+
+
 def build_corpus_digest_index(corpus: DataFrame, table: str,
                               n_buckets: int = 16) -> DataFrame:
     """At-rest exact-dup gate: sha2(text) digests, bucketed by digest —

@@ -32,22 +32,24 @@ def attach_binary_payload(documents: DataFrame) -> DataFrame:
 
 
 def decode_media(payload: bytes) -> dict:
-    """REAL entropy-coded decode (JPEG/GIF pixels, audio/video
-    samples) — not available in this container (no codec libraries
-    baked in). The distributed plumbing in extract_features works
-    unchanged once this is implemented. Everything that needs NO codec
-    library IS implemented: parse_image_header (PNG/GIF/JPEG
+    """Remaining un-implemented decode surface — now down to
+    progressive JPEG (SOF2 spectral selection / successive
+    approximation) and MDCT-transform audio/video (MP3/AAC/H.26x),
+    whose codecs live in libraries this container does not have.
+    Everything else decodes FOR REAL: parse_image_header (PNG/GIF/JPEG
     dimensions), parse_media_header (WAV/RIFF audio metadata,
-    MP4/ISO-BMFF movie metadata), and decode_png_pixels (FULL PNG pixel
-    reconstruction — zlib inflate + all five scanline filters, stdlib
-    only). What remains stubbed is exactly the set whose entropy coders
-    (Huffman/arithmetic DCT, LZW, MDCT audio) live in codec libraries."""
+    MP4/ISO-BMFF movie metadata), decode_png_pixels (zlib inflate + all
+    five scanline filters), decode_gif_pixels (variable-width LZW),
+    decode_wav_samples (PCM), and jpeg.decode_jpeg_pixels (BASELINE
+    JPEG: generic DQT/DHT parse, Huffman entropy decode, dequantize,
+    numpy IDCT, 4:2:0 upsampling, YCbCr->RGB). The distributed plumbing
+    in extract_features works unchanged once the rest is implemented."""
     raise NotImplementedError(
-        "entropy-coded codecs not available in this environment; "
-        "image dims: parse_image_header / decode_image_headers; "
-        "PNG pixels: decode_png_pixels / png_pixel_stats; "
-        "audio/video metadata: parse_media_header / decode_media_headers; "
-        "byte-level features: extract_features")
+        "progressive-JPEG and MDCT codecs not available in this "
+        "environment; baseline-JPEG pixels: jpeg.decode_jpeg_pixels / "
+        "jpeg_pixel_stats; PNG pixels: decode_png_pixels; GIF pixels: "
+        "decode_gif_pixels; PCM samples: decode_wav_samples; "
+        "container metadata: parse_image_header / parse_media_header")
 
 
 # --- real image-container header decode (no codec library needed) ----------
@@ -794,6 +796,12 @@ def png_pixel_stats(binary_files: DataFrame) -> DataFrame:
 
 def gif_pixel_stats(binary_files: DataFrame) -> DataFrame:
     return _pixel_stats(binary_files, decode_gif_pixels)
+
+
+def jpeg_pixel_stats(binary_files: DataFrame) -> DataFrame:
+    from database_syncer_spark.pipeline.jpeg import decode_jpeg_pixels
+
+    return _pixel_stats(binary_files, decode_jpeg_pixels)
 
 
 # --- real WAV PCM sample decode (no codec library) --------------------------

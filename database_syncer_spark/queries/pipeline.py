@@ -92,6 +92,59 @@ def dedup_incremental_indexed(spark, sf_dir):
                                    corpus_bands=bands)
 
 
+#: rolling-ingest fixture params: day-2 slice and the planted-derivative
+#: id offset (both mirrored verbatim by the oracle SQL)
+_DAY2_REM, _PLANT_OFFSET = 9, 10_000_000
+
+
+def dedup_incremental_rolling(spark, sf_dir):
+    """TWO-DAY rolling ingest against the at-rest band index — the
+    admit-and-grow loop build_corpus_band_index's append-only contract
+    promises (pipeline/dedup.py:append_band_index), closed end to end
+    under one driver hash:
+
+      day 1: the doc_id % 16 == 5 slice probes the corpus index; its
+             NOVEL docs are admitted and ONLY their band keys are
+             appended into the same bucketed layout (O(batch), never a
+             corpus recompute);
+      day 2: the doc_id % 16 == 9 slice PLUS planted derivatives of
+             every day-1 doc (id + 10M, text + ' rolling probe')
+             probes the GROWN index — the planted docs are near-dups
+             of their day-1 sources, so day 2 can only report them as
+             dups if the append actually landed and the bucket-pruned
+             probe actually reads it.
+
+    Output: (day, doc_id, n_dups, max_jaccard, novel) for both days.
+    The oracle replays both days relationally (day-1 verdicts vs the
+    base corpus, day-2 verdicts vs base + day-1 admissions), so a
+    regression in the append path, the refresh, or the bucket layout
+    breaks the hash. Index tables are rebuilt per call (build is the
+    one-time cost the steady state amortizes; rebuilding keeps the key
+    idempotent across driver reps)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    rem = F.col("doc_id") % _BATCH_MOD
+    day1 = docs.where(rem == _BATCH_REM)
+    corpus0 = docs.where(~rem.isin(_BATCH_REM, _DAY2_REM))
+    planted = day1.select(
+        (F.col("doc_id") + _PLANT_OFFSET).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" rolling probe")).alias("text"))
+    day2 = docs.where(rem == _DAY2_REM).unionByName(planted)
+
+    table = f"dss_rolling_bands_{sf_dir_tag(sf_dir)}"
+    bands0 = D.build_corpus_band_index(corpus0, table)
+    v1 = D.incremental_near_dups(day1, corpus0, corpus_bands=bands0)
+    admitted = day1.join(v1.where(F.col("novel")).select("doc_id"),
+                         "doc_id", "left_semi")
+    bands1 = D.append_band_index(admitted, table)
+    corpus1 = corpus0.unionByName(admitted)
+    v2 = D.incremental_near_dups(day2, corpus1, corpus_bands=bands1)
+    return (v1.select(F.lit(1).alias("day"), "doc_id", "n_dups",
+                      "max_jaccard", "novel")
+            .unionByName(
+                v2.select(F.lit(2).alias("day"), "doc_id", "n_dups",
+                          "max_jaccard", "novel")))
+
+
 def dedup_ngram_jaccard(spark, sf_dir):
     return D.ngram_jaccard_pairs(load_table(spark, sf_dir, "documents"))
 
@@ -1006,6 +1059,35 @@ def multimodal_gif_pixels(spark, sf_dir):
         _scan_staged(spark, d, "gif_*", r"gif_(\d+)\.gif$"))
 
 
+def multimodal_jpeg_pixels(spark, sf_dir):
+    """REAL baseline-JPEG PIXEL decode, pure Python + numpy
+    (pipeline/jpeg.py:decode_jpeg_pixels): stage real SOF0 JPEGs —
+    generic DQT/DHT tables built two-pass from the emitted symbols,
+    Huffman entropy coding with byte stuffing, every third doc
+    4:2:0-subsampled, every fourth with restart markers — then decode
+    (marker walk, canonical Huffman, dequantize, de-zigzag, float IDCT,
+    chroma replication, YCbCr→RGB) and sum channels in Arrow-batched
+    mapInPandas. The fixtures place quantized coefficients only at
+    DC/(4,0)/(0,4) with step 8, so the IDCT lands on exact integers and
+    the chroma offsets round deterministically — the oracle recomputes
+    the exact per-channel sums from the coefficient arithmetic alone,
+    so only a byte-correct Huffman+IDCT+color decode can match. JPEG is
+    the dominant real-corpus image format; with PNG and GIF this
+    leaves only progressive JPEG and MDCT codecs stubbed."""
+    import os
+
+    from database_syncer_spark.pipeline.jpeg import synth_jpeg_fixture
+    from database_syncer_spark.pipeline.multimodal import jpeg_pixel_stats
+
+    def write_one(i, tmp):
+        with open(os.path.join(tmp, f"jpg_{i:05d}.jpg"), "wb") as fh:
+            fh.write(synth_jpeg_fixture(i))
+
+    d = _stage_fixture_dir(spark, sf_dir, "dss_jpgfiles_v1", 40, write_one)
+    return jpeg_pixel_stats(
+        _scan_staged(spark, d, "jpg_*", r"jpg_(\d+)\.jpg$"))
+
+
 def multimodal_track_meta(spark, sf_dir):
     """Per-track MP4 metadata via the NESTED box walk
     (pipeline/multimodal.py:parse_mp4_tracks — moov → trak → {tkhd,
@@ -1185,6 +1267,7 @@ QUERIES = {
     "dedup_minhash_lsh": dedup_minhash_lsh,      # exact-SQL oracle (recall total)
     "dedup_simhash": dedup_simhash,              # pinned-rows oracle
     "dedup_incremental": dedup_incremental,      # exact-SQL oracle
+    "dedup_incremental_rolling": dedup_incremental_rolling,
     "dedup_incremental_indexed": dedup_incremental_indexed,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_ngram_containment": dedup_ngram_containment,
@@ -1232,6 +1315,7 @@ QUERIES = {
     "multimodal_track_meta": multimodal_track_meta,
     "multimodal_pixel_stats": multimodal_pixel_stats,
     "multimodal_gif_pixels": multimodal_gif_pixels,
+    "multimodal_jpeg_pixels": multimodal_jpeg_pixels,
     "udf_tokenizer": udf_tokenizer,
     "udaf_pandas_grouped": udaf_pandas_grouped,
     "udtf_statement_split": udtf_statement_split,
@@ -1780,6 +1864,57 @@ SELECT bt.doc_id, coalesce(agg.n_dups, 0) AS n_dups, agg.max_jaccard,
        coalesce(agg.n_dups, 0) = 0 AS novel
 FROM bt LEFT JOIN agg USING (doc_id)
 """,
+    # the two-day rolling replay: day-1 verdicts vs the base corpus,
+    # day-1 novel docs join the corpus, day-2 verdicts (organic slice +
+    # planted derivatives of every day-1 doc) vs the GROWN corpus —
+    # complete for the Spark side's LSH candidates by the same
+    # recall-is-total premise as dedup_incremental, and the planted
+    # near-identical pairs are the easiest recall case by construction
+    "dedup_incremental_rolling": f"""
+WITH d1 AS (SELECT doc_id, text FROM documents
+            WHERE doc_id % {_BATCH_MOD} = {_BATCH_REM}),
+c0 AS (SELECT doc_id, text FROM documents
+       WHERE doc_id % {_BATCH_MOD} NOT IN ({_BATCH_REM}, {_DAY2_REM})),
+d2 AS (SELECT doc_id, text FROM documents
+       WHERE doc_id % {_BATCH_MOD} = {_DAY2_REM}
+       UNION ALL
+       SELECT doc_id + {_PLANT_OFFSET}, text || ' rolling probe' FROM d1),
+sd1 AS (SELECT doc_id, {_SHINGLE_SQL} AS shingles FROM d1),
+sc0 AS (SELECT doc_id, {_SHINGLE_SQL} AS shingles FROM c0),
+sd2 AS (SELECT doc_id, {_SHINGLE_SQL} AS shingles FROM d2),
+u1 AS (SELECT doc_id, len(shingles) AS n_sh, unnest(shingles) AS sh FROM sd1),
+uc1 AS (SELECT doc_id AS corpus_id, len(shingles) AS n_sh_c,
+               unnest(shingles) AS sh FROM sc0),
+i1 AS (SELECT b.doc_id, c.corpus_id, b.n_sh AS na, c.n_sh_c AS nb,
+              count(*) AS c
+       FROM u1 b JOIN uc1 c USING (sh) GROUP BY 1, 2, 3, 4),
+ver1 AS (SELECT doc_id, round(CAST(c AS DOUBLE) / (na + nb - c), 6) AS j
+         FROM i1 WHERE round(CAST(c AS DOUBLE) / (na + nb - c), 6) >= 0.5),
+agg1 AS (SELECT doc_id, count(*) AS n_dups, max(j) AS max_jaccard
+         FROM ver1 GROUP BY doc_id),
+v1 AS (SELECT d1.doc_id, coalesce(agg1.n_dups, 0) AS n_dups,
+              agg1.max_jaccard, coalesce(agg1.n_dups, 0) = 0 AS novel
+       FROM d1 LEFT JOIN agg1 USING (doc_id)),
+corp2 AS (SELECT * FROM sc0
+          UNION ALL
+          SELECT sd1.* FROM sd1 JOIN v1 USING (doc_id) WHERE v1.novel),
+u2 AS (SELECT doc_id, len(shingles) AS n_sh, unnest(shingles) AS sh FROM sd2),
+uc2 AS (SELECT doc_id AS corpus_id, len(shingles) AS n_sh_c,
+               unnest(shingles) AS sh FROM corp2),
+i2 AS (SELECT b.doc_id, c.corpus_id, b.n_sh AS na, c.n_sh_c AS nb,
+              count(*) AS c
+       FROM u2 b JOIN uc2 c USING (sh) GROUP BY 1, 2, 3, 4),
+ver2 AS (SELECT doc_id, round(CAST(c AS DOUBLE) / (na + nb - c), 6) AS j
+         FROM i2 WHERE round(CAST(c AS DOUBLE) / (na + nb - c), 6) >= 0.5),
+agg2 AS (SELECT doc_id, count(*) AS n_dups, max(j) AS max_jaccard
+         FROM ver2 GROUP BY doc_id),
+v2 AS (SELECT d2.doc_id, coalesce(agg2.n_dups, 0) AS n_dups,
+              agg2.max_jaccard, coalesce(agg2.n_dups, 0) = 0 AS novel
+       FROM d2 LEFT JOIN agg2 USING (doc_id))
+SELECT 1 AS day, doc_id, n_dups, max_jaccard, novel FROM v1
+UNION ALL
+SELECT 2 AS day, doc_id, n_dups, max_jaccard, novel FROM v2
+""",
     "dedup_simhash": _simhash_sql(),
     "sim_lsh_ann": _LSH_RECALL_SQL,
     "sim_ivfpq_ann": _IVFPQ_RECALL_SQL,
@@ -2183,6 +2318,47 @@ SELECT doc_id,
        CAST(16 + (doc_id * 104729) % 2000 AS INT) AS height,
        CAST(200 + doc_id % 100 AS INT) AS n_bytes
 FROM documents WHERE doc_id < 60
+""",
+    # exact per-channel sums recomputed from the COEFFICIENT arithmetic
+    # alone (decoded luma = 128 + a + b*sx + c*sy, chroma offsets from
+    # the pinned rounding table) — only a byte-correct Huffman entropy
+    # decode + dequantize + IDCT + YCbCr->RGB can match
+    "multimodal_jpeg_pixels": """
+WITH d AS (
+  SELECT doc_id,
+         CAST(CASE WHEN doc_id % 3 = 0 THEN 16 ELSE 8 END
+              * (1 + doc_id % 4) AS INT) AS width,
+         CAST(CASE WHEN doc_id % 3 = 0 THEN 16 ELSE 8 END
+              * (1 + doc_id % 3) AS INT) AS height,
+         2 * ((doc_id % 5) - 2) AS cd
+  FROM documents WHERE doc_id < 40
+), o AS (
+  SELECT *,
+         CASE cd WHEN -4 THEN -6 WHEN -2 THEN -3 WHEN 0 THEN 0
+                 WHEN 2 THEN 3 ELSE 6 END AS ro,
+         CASE cd WHEN -4 THEN 4 WHEN -2 THEN 2 WHEN 0 THEN 0
+                 WHEN 2 THEN -2 ELSE -4 END AS go,
+         CASE cd WHEN -4 THEN -7 WHEN -2 THEN -4 WHEN 0 THEN 0
+                 WHEN 2 THEN 4 ELSE 7 END AS bo
+  FROM d
+), px AS (
+  SELECT o.doc_id, o.width, o.height, o.ro, o.go, o.bo,
+         128 + ((o.doc_id * 7 + (xs.x // 8) * 3 + (ys.y // 8) * 5) % 121 - 60)
+             + ((o.doc_id + (xs.x // 8) * 11 + (ys.y // 8)) % 41 - 20)
+               * (CASE WHEN ((xs.x % 8 + 1) // 2) % 2 = 0 THEN 1 ELSE -1 END)
+             + ((o.doc_id * 13 + (xs.x // 8) + (ys.y // 8) * 17) % 41 - 20)
+               * (CASE WHEN ((ys.y % 8 + 1) // 2) % 2 = 0 THEN 1 ELSE -1 END)
+         AS yv
+  FROM o,
+       LATERAL (SELECT unnest(generate_series(0, o.width - 1)) AS x) xs,
+       LATERAL (SELECT unnest(generate_series(0, o.height - 1)) AS y) ys
+)
+SELECT doc_id, width, height,
+       CAST(sum(yv + ro) AS BIGINT) AS sum_r,
+       CAST(sum(yv + go) AS BIGINT) AS sum_g,
+       CAST(sum(yv + bo) AS BIGINT) AS sum_b,
+       CAST(count(*) AS BIGINT) AS n_px
+FROM px GROUP BY doc_id, width, height
 """,
     # exact per-channel sums recomputed from the index-formula + palette
     # arithmetic alone — only a byte-correct variable-width LZW round

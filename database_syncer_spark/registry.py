@@ -69,6 +69,9 @@ _MODULES = [
 # to-refresh key at index 50). REGENERATE after each round's
 # CORRECTNESS lands.
 _KEY_ORDER = [
+    # --- NEW in r12 (window fully regenerated at round close) ---
+    "multimodal_jpeg_pixels",
+    "dedup_incremental_rolling",
     # --- NEW in r11 — verify first [0-9] ---
     "multimodal_pixel_stats",
     "multimodal_gif_pixels",

@@ -271,10 +271,72 @@ def _stage_serve(spark, n_batches: int) -> dict:
                 100.0 * (stats["n"] - stats["novel"]) / stats["n"], 2)}
 
 
+def _stage_rolling(spark) -> dict:
+    """TWO-DAY admit-and-grow A/B at organic density (r11 verdict item
+    4's missing half): day 1 probes the at-rest index and APPENDS its
+    admitted docs' bands (append_band_index — timed alone, must be
+    O(admitted)); day 2 probes the GROWN table with near-derivatives of
+    every day-1 admission and must catch 100% of them (proof the
+    appended files land in the bucket layout the probe prunes on),
+    at a serve wall in the same class as day 1's."""
+    from pyspark.sql import functions as F
+
+    from database_syncer_spark.pipeline.dedup import (
+        append_band_index, build_corpus_band_index, incremental_near_dups)
+
+    corpus_raw = (_score_scrub(load_table(spark, OUT, "documents")
+                               .select("doc_id", "text"))
+                  .where(F.col("quality_score") >= QUALITY_MIN)
+                  .select("doc_id", "text"))
+    corpus_store = os.path.join(OUT, "curated_corpus.parquet")
+    if not os.path.isdir(corpus_store):
+        corpus_raw.write.mode("overwrite").parquet(corpus_store)
+    at_rest = spark.read.parquet(corpus_store)
+
+    t0 = time.perf_counter()
+    bands = build_corpus_band_index(at_rest, "dss_roll_bands")
+    bands.count()
+    index_sec = round(time.perf_counter() - t0, 1)
+
+    # day 1: probe + admit
+    t0 = time.perf_counter()
+    b1 = (spark.read.parquet(os.path.join(OUT, "batch.parquet"))
+          .select("doc_id", "text"))
+    v1 = incremental_near_dups(b1, at_rest, corpus_bands=bands)
+    admitted = (b1.join(v1.where(F.col("novel")).select("doc_id"),
+                        "doc_id", "left_semi").persist())
+    n_admitted = admitted.count()
+    day1_sec = round(time.perf_counter() - t0, 1)
+
+    # the append leg alone: O(admitted) band keys into the bucket layout
+    t0 = time.perf_counter()
+    grown = append_band_index(admitted, "dss_roll_bands")
+    grown.count()
+    append_sec = round(time.perf_counter() - t0, 1)
+
+    # day 2: near-derivatives of every admission probe the grown table
+    t0 = time.perf_counter()
+    corpus1 = at_rest.unionByName(admitted)
+    b2 = admitted.select(
+        (F.col("doc_id") + 50_000_000).alias("doc_id"),
+        F.concat("text", F.lit(" rolling probe")).alias("text"))
+    v2 = incremental_near_dups(b2, corpus1, corpus_bands=grown)
+    caught = v2.agg(
+        F.count("*").alias("n"),
+        F.sum((~F.col("novel")).cast("int")).alias("dups")).first()
+    day2_sec = round(time.perf_counter() - t0, 1)
+    admitted.unpersist()
+    return {"index_build_sec": index_sec, "day1_serve_sec": day1_sec,
+            "n_admitted": n_admitted, "append_sec": append_sec,
+            "day2_serve_sec": day2_sec, "day2_docs": caught["n"],
+            "day2_caught": int(caught["dups"]),
+            "day2_caught_pct": round(100.0 * caught["dups"] / caught["n"], 2)}
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--stage", required=True,
-                    choices=["gen", "full", "serve"])
+                    choices=["gen", "full", "serve", "rolling"])
     ap.add_argument("--batches", type=int, default=3)
     args = ap.parse_args()
 
@@ -287,6 +349,8 @@ def main() -> None:
         out = _gen(spark)
     elif args.stage == "full":
         out = _stage_full(spark)
+    elif args.stage == "rolling":
+        out = _stage_rolling(spark)
     else:
         out = _stage_serve(spark, args.batches)
     calib = None if args.stage == "gen" else _host_calib(spark)

@@ -79,8 +79,25 @@ def main() -> None:
                             for i in pdf["id"]],
             })
 
+    def gen_jpeg(batches):
+        import pandas as pd
+
+        from database_syncer_spark.pipeline.jpeg import (
+            encode_jpeg_baseline, fixture_coefs)
+
+        for pdf in batches:
+            yield pd.DataFrame({
+                "doc_id": pdf["id"],
+                "content": [encode_jpeg_baseline(
+                    IMG_W + 8 * (int(i) % 2), IMG_H + 8 * (int(i) % 3),
+                    lambda bx, by, i=int(i): fixture_coefs(i % 997, bx, by),
+                    chroma_dc=2 * (int(i) % 5 - 2))
+                    for i in pdf["id"]],
+            })
+
     from database_syncer_spark.pipeline.multimodal import (
-        gif_pixel_stats, png_pixel_stats, wav_sample_stats)
+        gif_pixel_stats, jpeg_pixel_stats, png_pixel_stats,
+        wav_sample_stats)
 
     def calib() -> list[float]:
         import shutil
@@ -103,8 +120,12 @@ def main() -> None:
     jobs = [
         ("png_pixels", N_IMAGES, gen_png, png_pixel_stats),
         ("gif_pixels", N_IMAGES, gen_gif, gif_pixel_stats),
+        ("jpeg_pixels", N_IMAGES, gen_jpeg, jpeg_pixel_stats),
         ("wav_samples", N_WAVS, gen_wav, wav_sample_stats),
     ]
+    only = set(sys.argv[1:])
+    if only:
+        jobs = [j for j in jobs if j[0] in only]
     for name, n, gen, decode in jobs:
         src = (spark.range(0, n, 1, 64)
                .mapInPandas(gen, "doc_id long, content binary")

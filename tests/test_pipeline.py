@@ -1025,6 +1025,55 @@ def test_incremental_near_dups_at_rest_index_identical(spark, sf_dir):
         drop_snapshot(spark, "dss_test_band_idx")
 
 
+def test_append_band_index_rolling_admissions_visible(spark, sf_dir):
+    """The append-only index maintenance loop: after day-1 novel docs'
+    bands are APPENDED to the at-rest table (append_band_index), a
+    day-2 probe of the grown table must (a) flag near-derivatives of
+    every day-1 admission as dups, and (b) return verdicts identical
+    to an inline probe of the grown corpus — so the appended files
+    land in the right buckets and the bucket-pruned scan reads them."""
+    from database_syncer_spark.core.bucketing import drop_snapshot
+    from database_syncer_spark.pipeline.dedup import (
+        append_band_index, build_corpus_band_index, incremental_near_dups)
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    day1 = docs.where(F.col("doc_id") % 16 == 5)
+    corpus0 = docs.where(~(F.col("doc_id") % 16).isin(5, 9))
+    planted = day1.select(
+        (F.col("doc_id") + 10_000_000).alias("doc_id"),
+        F.concat("text", F.lit(" rolling probe")).alias("text"))
+    day2 = docs.where(F.col("doc_id") % 16 == 9).unionByName(planted)
+
+    table = "dss_test_rolling_idx"
+    try:
+        bands0 = build_corpus_band_index(corpus0, table)
+        v1 = incremental_near_dups(day1, corpus0, corpus_bands=bands0)
+        admitted = day1.join(v1.where(F.col("novel")).select("doc_id"),
+                             "doc_id", "left_semi")
+        n_admitted = admitted.count()
+        assert n_admitted > 0
+        before = bands0.count()
+        bands1 = append_band_index(admitted, table)
+        assert bands1.count() > before  # the append physically landed
+
+        corpus1 = corpus0.unionByName(admitted)
+        v2 = incremental_near_dups(day2, corpus1, corpus_bands=bands1)
+        rows = {r.doc_id: r for r in v2.collect()}
+        # every planted derivative of an ADMITTED day-1 doc must be
+        # seen as a dup — only possible if the probe reads the append
+        for r in admitted.select("doc_id").collect():
+            pr = rows[r.doc_id + 10_000_000]
+            assert not pr.novel and pr.n_dups >= 1, pr
+
+        # indexed ≡ inline on the grown corpus
+        inline = incremental_near_dups(day2, corpus1)
+        key = lambda r: (r.doc_id, r.n_dups, r.max_jaccard, r.novel)
+        assert sorted(map(key, inline.collect())) == \
+            sorted(map(key, v2.collect()))
+    finally:
+        drop_snapshot(spark, table)
+
+
 def test_html_strip_external_shapes(spark):
     """html_strip on markup NOT built by the driver key: uppercase
     SCRIPT with a '<' in its body, style with braces, attribute-laden
@@ -1211,6 +1260,75 @@ def test_gif_lzw_decoder_roundtrip_and_corrupt():
     bad_block[13 + 768] = 0x99  # neither extension/image/trailer
     with pytest.raises(ValueError, match="unknown block"):
         decode_gif_pixels(bytes(bad_block))
+
+
+def test_jpeg_baseline_decoder_roundtrip_crop_and_corrupt():
+    """decode_jpeg_pixels round-trips the real two-pass-Huffman encoder
+    byte-exactly across the whole fixture family (4:4:4, 4:2:0
+    subsampled, restart intervals, every chroma offset), crops
+    non-multiple-of-8 SOF dimensions to the exact top-left window,
+    rejects progressive (SOF2) streams, and quarantines corruption —
+    2000 random bitflips per variant either decode or raise ValueError,
+    never crash."""
+    import random
+
+    from database_syncer_spark.pipeline.jpeg import (
+        CHROMA_OFFSETS, basis_sign, decode_jpeg_pixels,
+        encode_jpeg_baseline, fixture_coefs, synth_jpeg_fixture)
+
+    def expected(doc_id):
+        sub = doc_id % 3 == 0
+        w = (16 if sub else 8) * (1 + doc_id % 4)
+        h = (16 if sub else 8) * (1 + doc_id % 3)
+        ro, go, bo = CHROMA_OFFSETS[2 * ((doc_id % 5) - 2)]
+        out = bytearray()
+        for y in range(h):
+            for x in range(w):
+                a, b, c = fixture_coefs(doc_id, x // 8, y // 8)
+                yv = 128 + a + b * basis_sign(x % 8) + c * basis_sign(y % 8)
+                out += bytes((yv + ro, yv + go, yv + bo))
+        return w, h, bytes(out)
+
+    # doc grid covers: 4:4:4 / 4:2:0, restart-interval on/off, all five
+    # chroma offsets, all dim combinations
+    for doc_id in range(24):
+        w, h, px = decode_jpeg_pixels(synth_jpeg_fixture(doc_id))
+        assert (w, h, px) == expected(doc_id), doc_id
+
+    # crop: declare 13x11 in SOF over a 16x16 coded grid — decoded
+    # pixels must be the exact top-left window of the full decode
+    full = encode_jpeg_baseline(
+        16, 16, lambda bx, by: fixture_coefs(5, bx, by))
+    i = full.find(b"\xff\xc0")
+    patched = bytearray(full)
+    patched[i + 5:i + 7] = (11).to_bytes(2, "big")
+    patched[i + 7:i + 9] = (13).to_bytes(2, "big")
+    w, h, px = decode_jpeg_pixels(bytes(patched))
+    _, _, fpx = decode_jpeg_pixels(full)
+    assert (w, h) == (13, 11)
+    for y in range(11):
+        for x in range(13):
+            p = (y * 13 + x) * 3
+            f = (y * 16 + x) * 3
+            assert px[p:p + 3] == fpx[f:f + 3]
+
+    # progressive must quarantine, not mis-decode
+    sof2 = bytearray(full)
+    sof2[i + 1] = 0xC2
+    with pytest.raises(ValueError, match="progressive"):
+        decode_jpeg_pixels(bytes(sof2))
+
+    # corruption: random bitflips either decode or raise ValueError
+    for doc_id in (0, 1, 4, 12):  # 4:4:4 / 4:2:0 / restart / both
+        data = synth_jpeg_fixture(doc_id)
+        rnd = random.Random(doc_id)
+        for _ in range(2000):
+            b = bytearray(data)
+            b[rnd.randrange(2, len(b) - 2)] ^= 1 << rnd.randrange(8)
+            try:
+                decode_jpeg_pixels(bytes(b))
+            except ValueError:
+                pass
 
 
 def test_wav_sample_decoder_deinterleave_and_refusals():

@@ -576,3 +576,34 @@ def test_incremental_indexed_reads_stored_bands(spark, sf_dir):
             < inline.count("documents.parquet")), (
         indexed.count("documents.parquet"), inline.count("documents.parquet"))
     assert "BatchEvalPython" not in indexed
+
+
+def test_html_strip_single_projection_zero_shuffle(spark, sf_dir):
+    """text_html_strip is corpus-linear codegen work: the whole
+    markup-build + strip + entity-decode chain must stay ONE projection
+    over the scan — zero Exchanges (doc-local), zero Python, inside
+    whole-stage codegen. Any Exchange or Python eval here is a scale
+    bug (this stage fronts every crawl-curation run). Asserted on the
+    EXECUTED (post-AQE) plan."""
+    from database_syncer_spark.registry import all_queries
+
+    plan = _plan(all_queries()["text_html_strip"](spark, sf_dir))
+    assert "Exchange" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # the whole build+strip chain fuses into ONE codegen stage over the
+    # scan: a second stage id (*(2)) means the chain fell apart
+    assert "*(1)" in plan and "*(2)" not in plan, plan
+
+
+def test_rolling_ingest_probes_stored_index_not_corpus(spark, sf_dir):
+    """dedup_incremental_rolling's BOTH probe days must read band keys
+    from the at-rest bucketed table (day 1 the build, day 2 the grown
+    post-append table) — the returned two-day plan scans the stored
+    index and never re-MinHashes the corpus text per day (corpus text
+    appears only in candidate-pruned shingle fetches). No Python
+    anywhere."""
+    from database_syncer_spark.registry import all_queries
+
+    plan = _plan(all_queries()["dedup_incremental_rolling"](spark, sf_dir))
+    assert "dss_rolling_bands" in plan, "stored band index not scanned"
+    assert "BatchEvalPython" not in plan
