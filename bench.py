@@ -101,8 +101,9 @@ SECONDARY = [
     # keys per bench); the ext slot's 2-warmup/5-rep discipline is the
     # stricter record
     # r11 addition dedup_incremental_indexed moved to HEADLINE_EXT (r12)
-    # r12 addition
+    # r12 additions
     "dedup_incremental_rolling",   # two-day admit-and-grow index loop
+    "stream_dedup_rolling",        # the same loop as streaming foreachBatch
 ]
 
 

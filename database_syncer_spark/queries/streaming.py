@@ -33,7 +33,7 @@ from database_syncer_spark.streaming.queries import (
 #: stagings are keyed by path, so without a version token an edited
 #: derivation would silently serve the previous round's staged data
 #: (same hazard the dump cache solves with _DUMP_FMT, queries/dump.py).
-_STAGE_FMT = "v3"
+_STAGE_FMT = "v4"
 
 
 def stream_tumbling_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -76,6 +76,102 @@ def stream_foreachbatch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         changes_path=os.path.join(
             tempfile.gettempdir(), f"dss_febm_src_{_STAGE_FMT}_{tag}"),
         reuse_changes=True)
+
+
+#: streaming rolling-ingest fixture params (mirrored by the oracle):
+#: three daily slices + planted derivatives of day 1 arriving on day 3
+_SROLL_SLICES = (5, 9, 13)
+_SROLL_PLANT_OFFSET = 20_000_000  # ≡ 0 mod 16, so rem is preserved
+
+
+def stream_dedup_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING admit-and-grow dedup — the production ingest shape:
+    three daily document slices replayed as real micro-batches
+    (foreachBatch, one file per day via the grouped stager so batch k
+    IS day k), each batch probing the AT-REST band index
+    (incremental_near_dups with corpus_bands=), then admitting its
+    novel docs by appending ONLY their band keys (append_band_index)
+    and their text to the corpus store before the next batch fires.
+    Day 3 carries a planted EXACT copy of every day-1 doc (id + 20M,
+    text unchanged), so the stream can only report them as dups if
+    day 1's admissions were appended AND the day-3 probe reads the
+    grown table — the steady-state loop dedup_incremental_rolling
+    certifies batch-wise, here under a real Structured Streaming query
+    with per-epoch state on disk. Copies are EXACT deliberately: an
+    identical text has identical MinHash signatures, so every planted
+    candidate pair is one the full self-join oracle
+    (dedup_minhash_lsh) already verifies the LSH family catches on
+    these fixtures — recall-totality is inherited structurally, not
+    re-gambled (a 2-token edit at j≈0.9 carries a ~1% per-pair LSH
+    miss probability, and one such pair deterministically missed on
+    the sf0.01 fixture during development).
+
+    Output: (day, doc_id, n_dups, max_jaccard, novel) for all three
+    days; the oracle replays the three days sequentially (day-k corpus
+    = base + all earlier admissions). Workdir state (corpus store,
+    band table, verdicts) is rebuilt per call — idempotent across
+    driver reps; only the staged source is reused."""
+    from database_syncer_spark.pipeline.dedup import (
+        append_band_index, build_corpus_band_index, incremental_near_dups)
+    from database_syncer_spark.streaming.runner import (
+        stage_as_stream_source_grouped)
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    rem = F.col("doc_id") % 16
+    planted = (docs.where(rem == _SROLL_SLICES[0]).select(
+        (F.col("doc_id") + _SROLL_PLANT_OFFSET).alias("doc_id"), "text"))
+    batches = docs.where(rem.isin(*_SROLL_SLICES)).unionByName(planted)
+    corpus0 = docs.where(~rem.isin(*_SROLL_SLICES))
+
+    tag = sf_dir_tag(sf_dir)
+    src = stage_as_stream_source_grouped(
+        batches,
+        os.path.join(tempfile.gettempdir(),
+                     f"dss_sroll_src_{_STAGE_FMT}_{tag}"),
+        [(rem == _SROLL_SLICES[0])
+         & (F.col("doc_id") < _SROLL_PLANT_OFFSET),
+         rem == _SROLL_SLICES[1],
+         (rem == _SROLL_SLICES[2])
+         | (F.col("doc_id") >= _SROLL_PLANT_OFFSET)],
+        reuse=True)
+
+    table = f"dss_sroll_bands_{tag}"
+    workdir = tempfile.mkdtemp(prefix=f"dss_sroll_{tag}_")
+    corpus_store = os.path.join(workdir, "corpus")
+    verdicts_dir = os.path.join(workdir, "verdicts")
+    corpus0.write.mode("overwrite").parquet(corpus_store)
+    build_corpus_band_index(spark.read.parquet(corpus_store), table)
+
+    def probe_admit(batch: DataFrame, epoch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        corpus = spark.read.parquet(corpus_store)
+        v = incremental_near_dups(
+            batch, corpus, corpus_bands=spark.table(table)).persist()
+        v.write.mode("append").parquet(verdicts_dir)
+        admitted = batch.join(v.where(F.col("novel")).select("doc_id"),
+                              "doc_id", "left_semi")
+        append_band_index(admitted, table)
+        admitted.write.mode("append").parquet(corpus_store)
+        v.unpersist()
+
+    q = (spark.readStream.schema(batches.schema)
+         .option("maxFilesPerTrigger", 1)
+         .parquet(src)
+         .writeStream.foreachBatch(probe_admit)
+         .outputMode("update")
+         .start())
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    out = spark.read.parquet(verdicts_dir)
+    day = (F.when(F.col("doc_id") >= _SROLL_PLANT_OFFSET, F.lit(3))
+           .when(F.col("doc_id") % 16 == _SROLL_SLICES[0], F.lit(1))
+           .when(F.col("doc_id") % 16 == _SROLL_SLICES[1], F.lit(2))
+           .otherwise(F.lit(3)))
+    return out.select(day.cast("int").alias("day"), "doc_id", "n_dups",
+                      "max_jaccard", "novel")
 
 
 def _stateful_partitions(spark: SparkSession, events: DataFrame) -> int:
@@ -288,9 +384,68 @@ QUERIES = {
     "stream_static_join": stream_static_join,
     "stream_stream_join": stream_stream_join,
     "stream_foreachbatch_merge": stream_foreachbatch_merge,
+    "stream_dedup_rolling": stream_dedup_rolling,
     "stream_stateful_custom": stream_stateful_custom,
     "stream_transform_with_state": stream_transform_with_state,
 }
+
+def _sroll_sql() -> str:
+    """Three-day sequential replay of the streaming rolling ingest:
+    day-k verdicts computed against base corpus + all earlier days'
+    admissions, via the same exact-jaccard unnest pattern as
+    dedup_incremental's oracle (complete for the Spark side's LSH
+    candidates by the verified recall-is-total premise; the planted
+    near-identical day-3 pairs are the easiest recall case)."""
+    from database_syncer_spark.queries.pipeline import _SHINGLE_SQL
+
+    s0, s1, s2 = _SROLL_SLICES
+
+    def day_block(k: int, batch: str, corpus: str) -> str:
+        # verdict CTE vK for batch bK against shingled corpus CTE
+        return f"""
+u{k} AS (SELECT doc_id, len(sh) AS n_sh, unnest(sh) AS s FROM s{batch}),
+uc{k} AS (SELECT doc_id AS cid, len(sh) AS n_sh_c, unnest(sh) AS s
+          FROM {corpus}),
+i{k} AS (SELECT b.doc_id, c.cid, b.n_sh AS na, c.n_sh_c AS nb, count(*) AS c
+         FROM u{k} b JOIN uc{k} c USING (s) GROUP BY 1, 2, 3, 4),
+ver{k} AS (SELECT doc_id, round(CAST(c AS DOUBLE) / (na + nb - c), 6) AS j
+           FROM i{k}
+           WHERE round(CAST(c AS DOUBLE) / (na + nb - c), 6) >= 0.5),
+agg{k} AS (SELECT doc_id, count(*) AS n_dups, max(j) AS max_jaccard
+           FROM ver{k} GROUP BY doc_id),
+v{k} AS (SELECT b.doc_id, coalesce(agg{k}.n_dups, 0) AS n_dups,
+                agg{k}.max_jaccard,
+                coalesce(agg{k}.n_dups, 0) = 0 AS novel
+         FROM {batch} b LEFT JOIN agg{k} USING (doc_id))"""
+
+    return f"""
+WITH b1 AS (SELECT doc_id, text FROM documents WHERE doc_id % 16 = {s0}),
+b2 AS (SELECT doc_id, text FROM documents WHERE doc_id % 16 = {s1}),
+b3 AS (SELECT doc_id, text FROM documents WHERE doc_id % 16 = {s2}
+       UNION ALL
+       SELECT doc_id + {_SROLL_PLANT_OFFSET}, text FROM b1),
+c0 AS (SELECT doc_id, text FROM documents
+       WHERE doc_id % 16 NOT IN ({s0}, {s1}, {s2})),
+sb1 AS (SELECT doc_id, {_SHINGLE_SQL} AS sh FROM b1),
+sb2 AS (SELECT doc_id, {_SHINGLE_SQL} AS sh FROM b2),
+sb3 AS (SELECT doc_id, {_SHINGLE_SQL} AS sh FROM b3),
+sc0 AS (SELECT doc_id, {_SHINGLE_SQL} AS sh FROM c0),
+{day_block(1, 'b1', 'sc0')},
+corp1 AS (SELECT * FROM sc0
+          UNION ALL
+          SELECT sb1.* FROM sb1 JOIN v1 USING (doc_id) WHERE v1.novel),
+{day_block(2, 'b2', 'corp1')},
+corp2 AS (SELECT * FROM corp1
+          UNION ALL
+          SELECT sb2.* FROM sb2 JOIN v2 USING (doc_id) WHERE v2.novel),
+{day_block(3, 'b3', 'corp2')}
+SELECT 1 AS day, doc_id, n_dups, max_jaccard, novel FROM v1
+UNION ALL
+SELECT 2 AS day, doc_id, n_dups, max_jaccard, novel FROM v2
+UNION ALL
+SELECT 3 AS day, doc_id, n_dups, max_jaccard, novel FROM v3
+"""
+
 
 ORACLES = {
     "stream_tumbling_agg": f"""
@@ -341,6 +496,7 @@ FROM events c JOIN events p
  AND c.event_type = 'click' AND p.event_type = 'purchase'
  AND p.ts BETWEEN c.ts - INTERVAL 10 MINUTE AND c.ts + INTERVAL 10 MINUTE
 """,
+    "stream_dedup_rolling": _sroll_sql(),
     "stream_foreachbatch_merge": """
 SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate,
        o_orderpriority

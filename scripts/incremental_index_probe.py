@@ -281,6 +281,7 @@ def _stage_rolling(spark) -> dict:
     at a serve wall in the same class as day 1's."""
     from pyspark.sql import functions as F
 
+    from database_syncer_spark.catalog import load_table
     from database_syncer_spark.pipeline.dedup import (
         append_band_index, build_corpus_band_index, incremental_near_dups)
 

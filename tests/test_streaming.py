@@ -222,3 +222,68 @@ def test_runner_pins_rocksdb_and_restores_conf(spark, staged_events):
         output_mode="append")
     assert sink.count() == df.select(*sink.columns).distinct().count()
     assert spark.conf.get(_PROVIDER_KEY, None) == before
+
+
+def test_grouped_stager_batch_is_group(spark, tmp_path):
+    """stage_as_stream_source_grouped must make micro-batch k EXACTLY
+    group k: one file per predicate, written in list order (mtime
+    sequence — the property the file source's maxFilesPerTrigger=1
+    replay keys on), each containing precisely its group's rows. The
+    ntile chunkers cannot promise this when groups are unequal."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from database_syncer_spark.streaming.runner import (
+        stage_as_stream_source_grouped)
+
+    df = spark.range(0, 100).select(
+        F.col("id").alias("k"), (F.col("id") % 7).alias("g"))
+    preds = [F.col("g") < 2, F.col("g").isin(2, 3, 4), F.col("g") > 4]
+    path = stage_as_stream_source_grouped(
+        df, str(tmp_path / "grp"), preds)
+    parts = sorted(
+        (os.path.getmtime(os.path.join(path, f)), f)
+        for f in os.listdir(path) if f.startswith("part-"))
+    assert len(parts) == 3
+    expected = [set(r.k for r in df.where(p).collect()) for p in preds]
+    for (_, fname), want in zip(parts, expected):
+        got = set(r.k for r in
+                  spark.read.parquet(os.path.join(path, fname)).collect())
+        assert got == want
+
+
+def test_stream_dedup_rolling_sees_prior_admissions(spark, sf_dir):
+    """The streaming admit-and-grow loop end to end: every day-3
+    planted copy of a day-1 ADMITTED doc must be flagged a dup with
+    max_jaccard 1.0 — possible only if batch 1's append landed in the
+    band table and batch 3's probe read it — and day-1 verdicts must
+    equal the non-streaming incremental path against the same corpus."""
+    from pyspark.sql import functions as F
+
+    from database_syncer_spark.catalog import load_table
+    from database_syncer_spark.pipeline.dedup import incremental_near_dups
+    from database_syncer_spark.queries.streaming import (
+        _SROLL_PLANT_OFFSET, _SROLL_SLICES, stream_dedup_rolling)
+
+    out = stream_dedup_rolling(spark, sf_dir).persist()
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    rem = F.col("doc_id") % 16
+
+    day1 = {r.doc_id: r for r in out.where("day = 1").collect()}
+    day3 = {r.doc_id: r for r in out.where("day = 3").collect()}
+    admitted1 = {d for d, r in day1.items() if r.novel}
+    assert admitted1, "no day-1 admissions in fixture"
+    for d in admitted1:
+        pr = day3[d + _SROLL_PLANT_OFFSET]
+        assert not pr.novel and pr.max_jaccard == 1.0, pr
+
+    # day-1 verdicts ≡ the batch incremental path on the same corpus
+    v1 = incremental_near_dups(
+        docs.where(rem == _SROLL_SLICES[0]),
+        docs.where(~rem.isin(*_SROLL_SLICES)))
+    key = lambda r: (r.doc_id, r.n_dups, r.max_jaccard, r.novel)
+    assert sorted(key(r) for r in v1.collect()) == \
+        sorted(key(r) for r in out.where("day = 1")
+               .drop("day").collect())
+    out.unpersist()
