@@ -47,6 +47,11 @@ ZIGZAG = (
     (6, 5), (7, 4), (7, 5), (6, 6), (5, 7), (6, 7), (7, 6), (7, 7),
 )
 
+#: refuse to decode frames beyond ~16.7 Mpx (4096x4096): the decoder
+#: allocates float64 planes from the DECLARED SOF dims, so a cap is the
+#: quarantine contract's defense against adversarial headers
+_MAX_PIXELS = 1 << 24
+
 #: IDCT basis M[x, u] = C(u)/2 * cos((2x+1)u*pi/16); spatial = M @ F @ M.T
 _IDCT_M = np.array(
     [[(np.sqrt(0.5) if u == 0 else 1.0) / 2.0
@@ -57,8 +62,11 @@ _IDCT_M = np.array(
 # --- decoder ---------------------------------------------------------------
 
 class _BitReader:
-    """MSB-first entropy-segment reader with 0xFF00 unstuffing. Stops at
-    any real marker (0xFF followed by non-zero, non-RST byte)."""
+    """MSB-first entropy-segment reader with 0xFF00 unstuffing. Only a
+    stuffed 0x00 continues the bit stream; ANY other marker byte —
+    RSTn included — raises (restarts are consumed explicitly at their
+    expected MCU boundary via align_and_expect_rst; an RST anywhere
+    else is treated as corruption, not a resync point)."""
 
     def __init__(self, data: bytes, pos: int):
         self.data = data
@@ -208,6 +216,14 @@ def decode_jpeg_pixels(data: bytes) -> tuple[int, int, bytes]:
                               "tq": tq})
             if not width or not height or ncomp not in (1, 3):
                 raise ValueError("corrupt JPEG: bad SOF dimensions")
+            # allocation guard: planes are materialized as float64 from
+            # the DECLARED dims before any entropy byte is read, so an
+            # adversarial 300-byte header claiming 65535x65535 must
+            # quarantine (ValueError), not OOM the executor
+            if width * height > _MAX_PIXELS:
+                raise ValueError(
+                    f"JPEG dimensions {width}x{height} exceed the "
+                    f"{_MAX_PIXELS}-pixel decode limit")
             frame = (width, height, comps)
         elif marker == 0xDD:  # DRI
             restart = int.from_bytes(body[0:2], "big")

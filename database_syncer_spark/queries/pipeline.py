@@ -27,6 +27,35 @@ from database_syncer_spark.pipeline import multimodal as M
 from database_syncer_spark.pipeline import similarity as S
 from database_syncer_spark.pipeline import text as T
 
+def _jaccard_day_block(k: int, shingled_batch: str,
+                       shingled_corpus: str) -> str:
+    """The ONE copy of the rolling-ingest day-verdict SQL (shared by
+    this module's dedup_incremental_rolling oracle and streaming's
+    _sroll_sql): given shingled CTEs (doc_id, sh), emits the CTE chain
+    u{k}/uc{k}/i{k}/ver{k}/agg{k}/v{k} computing one exact-Jaccard
+    verdict row per batch doc against the corpus — unnest-join
+    intersection count, round-before-threshold at 0.5, LEFT join so
+    zero-collision docs surface as novel (the same shape as the
+    dedup_incremental oracle). A change to the verify formula edits
+    exactly one place."""
+    return f"""
+u{k} AS (SELECT doc_id, len(sh) AS n_sh, unnest(sh) AS s
+         FROM {shingled_batch}),
+uc{k} AS (SELECT doc_id AS cid, len(sh) AS n_sh_c, unnest(sh) AS s
+          FROM {shingled_corpus}),
+i{k} AS (SELECT b.doc_id, c.cid, b.n_sh AS na, c.n_sh_c AS nb, count(*) AS c
+         FROM u{k} b JOIN uc{k} c USING (s) GROUP BY 1, 2, 3, 4),
+ver{k} AS (SELECT doc_id, round(CAST(c AS DOUBLE) / (na + nb - c), 6) AS j
+           FROM i{k}
+           WHERE round(CAST(c AS DOUBLE) / (na + nb - c), 6) >= 0.5),
+agg{k} AS (SELECT doc_id, count(*) AS n_dups, max(j) AS max_jaccard
+           FROM ver{k} GROUP BY doc_id),
+v{k} AS (SELECT b.doc_id, coalesce(agg{k}.n_dups, 0) AS n_dups,
+                agg{k}.max_jaccard,
+                coalesce(agg{k}.n_dups, 0) = 0 AS novel
+         FROM {shingled_batch} b LEFT JOIN agg{k} USING (doc_id))"""
+
+
 _STOP_SQL = "['" + "','".join(T.STOPWORDS) + "']"
 _SHINGLE_SQL = (
     "list_distinct(list_transform("
@@ -118,9 +147,21 @@ def dedup_incremental_rolling(spark, sf_dir):
     The oracle replays both days relationally (day-1 verdicts vs the
     base corpus, day-2 verdicts vs base + day-1 admissions), so a
     regression in the append path, the refresh, or the bucket layout
-    breaks the hash. Index tables are rebuilt per call (build is the
-    one-time cost the steady state amortizes; rebuilding keeps the key
-    idempotent across driver reps)."""
+    breaks the hash. Index tables and the per-tag workdir are rebuilt
+    per call (build is the one-time cost the steady state amortizes;
+    rebuilding keeps the key idempotent across driver reps, and the
+    fixed workdir name means repeated bench/driver calls reclaim the
+    previous call's space instead of accumulating — a prior call's
+    returned DataFrame is invalidated, matching every staged key's
+    one-live-result contract). Day-1 verdicts are MATERIALIZED to
+    parquet BEFORE the append mutates the band table: the returned v1
+    branch and the admitted set both read that snapshot, so nothing
+    re-executes the day-1 probe against the grown table (which would
+    be value-correct only by the verify join's grace) and the probe
+    runs exactly once."""
+    import shutil
+    import tempfile
+
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     rem = F.col("doc_id") % _BATCH_MOD
     day1 = docs.where(rem == _BATCH_REM)
@@ -130,9 +171,14 @@ def dedup_incremental_rolling(spark, sf_dir):
         F.concat(F.col("text"), F.lit(" rolling probe")).alias("text"))
     day2 = docs.where(rem == _DAY2_REM).unionByName(planted)
 
-    table = f"dss_rolling_bands_{sf_dir_tag(sf_dir)}"
+    tag = sf_dir_tag(sf_dir)
+    work = os.path.join(tempfile.gettempdir(), f"dss_rolling_work_{tag}")
+    shutil.rmtree(work, ignore_errors=True)
+    table = f"dss_rolling_bands_{tag}"
     bands0 = D.build_corpus_band_index(corpus0, table)
-    v1 = D.incremental_near_dups(day1, corpus0, corpus_bands=bands0)
+    (D.incremental_near_dups(day1, corpus0, corpus_bands=bands0)
+     .write.mode("overwrite").parquet(os.path.join(work, "v1")))
+    v1 = spark.read.parquet(os.path.join(work, "v1"))
     admitted = day1.join(v1.where(F.col("novel")).select("doc_id"),
                          "doc_id", "left_semi")
     bands1 = D.append_band_index(admitted, table)
@@ -1879,38 +1925,14 @@ d2 AS (SELECT doc_id, text FROM documents
        WHERE doc_id % {_BATCH_MOD} = {_DAY2_REM}
        UNION ALL
        SELECT doc_id + {_PLANT_OFFSET}, text || ' rolling probe' FROM d1),
-sd1 AS (SELECT doc_id, {_SHINGLE_SQL} AS shingles FROM d1),
-sc0 AS (SELECT doc_id, {_SHINGLE_SQL} AS shingles FROM c0),
-sd2 AS (SELECT doc_id, {_SHINGLE_SQL} AS shingles FROM d2),
-u1 AS (SELECT doc_id, len(shingles) AS n_sh, unnest(shingles) AS sh FROM sd1),
-uc1 AS (SELECT doc_id AS corpus_id, len(shingles) AS n_sh_c,
-               unnest(shingles) AS sh FROM sc0),
-i1 AS (SELECT b.doc_id, c.corpus_id, b.n_sh AS na, c.n_sh_c AS nb,
-              count(*) AS c
-       FROM u1 b JOIN uc1 c USING (sh) GROUP BY 1, 2, 3, 4),
-ver1 AS (SELECT doc_id, round(CAST(c AS DOUBLE) / (na + nb - c), 6) AS j
-         FROM i1 WHERE round(CAST(c AS DOUBLE) / (na + nb - c), 6) >= 0.5),
-agg1 AS (SELECT doc_id, count(*) AS n_dups, max(j) AS max_jaccard
-         FROM ver1 GROUP BY doc_id),
-v1 AS (SELECT d1.doc_id, coalesce(agg1.n_dups, 0) AS n_dups,
-              agg1.max_jaccard, coalesce(agg1.n_dups, 0) = 0 AS novel
-       FROM d1 LEFT JOIN agg1 USING (doc_id)),
-corp2 AS (SELECT * FROM sc0
+sd1 AS (SELECT doc_id, {_SHINGLE_SQL} AS sh FROM d1),
+sc0 AS (SELECT doc_id, {_SHINGLE_SQL} AS sh FROM c0),
+sd2 AS (SELECT doc_id, {_SHINGLE_SQL} AS sh FROM d2),
+{_jaccard_day_block(1, 'sd1', 'sc0')},
+corp1 AS (SELECT * FROM sc0
           UNION ALL
           SELECT sd1.* FROM sd1 JOIN v1 USING (doc_id) WHERE v1.novel),
-u2 AS (SELECT doc_id, len(shingles) AS n_sh, unnest(shingles) AS sh FROM sd2),
-uc2 AS (SELECT doc_id AS corpus_id, len(shingles) AS n_sh_c,
-               unnest(shingles) AS sh FROM corp2),
-i2 AS (SELECT b.doc_id, c.corpus_id, b.n_sh AS na, c.n_sh_c AS nb,
-              count(*) AS c
-       FROM u2 b JOIN uc2 c USING (sh) GROUP BY 1, 2, 3, 4),
-ver2 AS (SELECT doc_id, round(CAST(c AS DOUBLE) / (na + nb - c), 6) AS j
-         FROM i2 WHERE round(CAST(c AS DOUBLE) / (na + nb - c), 6) >= 0.5),
-agg2 AS (SELECT doc_id, count(*) AS n_dups, max(j) AS max_jaccard
-         FROM ver2 GROUP BY doc_id),
-v2 AS (SELECT d2.doc_id, coalesce(agg2.n_dups, 0) AS n_dups,
-              agg2.max_jaccard, coalesce(agg2.n_dups, 0) = 0 AS novel
-       FROM d2 LEFT JOIN agg2 USING (doc_id))
+{_jaccard_day_block(2, 'sd2', 'corp1')}
 SELECT 1 AS day, doc_id, n_dups, max_jaccard, novel FROM v1
 UNION ALL
 SELECT 2 AS day, doc_id, n_dups, max_jaccard, novel FROM v2

@@ -109,8 +109,13 @@ def stream_dedup_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
     Output: (day, doc_id, n_dups, max_jaccard, novel) for all three
     days; the oracle replays the three days sequentially (day-k corpus
     = base + all earlier admissions). Workdir state (corpus store,
-    band table, verdicts) is rebuilt per call — idempotent across
-    driver reps; only the staged source is reused."""
+    band table, verdicts) lives in ONE fixed per-tag dir rebuilt per
+    call — idempotent across driver reps AND space-bounded: bench runs
+    this key 4× per round, and a mkdtemp per call would leak four
+    corpus-sized parquet copies into /tmp per round (a prior call's
+    returned DataFrame is invalidated by the rebuild, matching every
+    staged key's one-live-result contract). Only the staged source is
+    reused across calls."""
     from database_syncer_spark.pipeline.dedup import (
         append_band_index, build_corpus_band_index, incremental_near_dups)
     from database_syncer_spark.streaming.runner import (
@@ -135,8 +140,11 @@ def stream_dedup_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
          | (F.col("doc_id") >= _SROLL_PLANT_OFFSET)],
         reuse=True)
 
+    import shutil
+
     table = f"dss_sroll_bands_{tag}"
-    workdir = tempfile.mkdtemp(prefix=f"dss_sroll_{tag}_")
+    workdir = os.path.join(tempfile.gettempdir(), f"dss_sroll_work_{tag}")
+    shutil.rmtree(workdir, ignore_errors=True)
     corpus_store = os.path.join(workdir, "corpus")
     verdicts_dir = os.path.join(workdir, "verdicts")
     corpus0.write.mode("overwrite").parquet(corpus_store)
@@ -392,32 +400,16 @@ QUERIES = {
 def _sroll_sql() -> str:
     """Three-day sequential replay of the streaming rolling ingest:
     day-k verdicts computed against base corpus + all earlier days'
-    admissions, via the same exact-jaccard unnest pattern as
-    dedup_incremental's oracle (complete for the Spark side's LSH
+    admissions. The per-day verdict SQL is the SHARED
+    _jaccard_day_block builder (queries/pipeline.py) — one copy of the
+    verify formula across this oracle, dedup_incremental_rolling's,
+    and dedup_incremental's shape (complete for the Spark side's LSH
     candidates by the verified recall-is-total premise; the planted
-    near-identical day-3 pairs are the easiest recall case)."""
-    from database_syncer_spark.queries.pipeline import _SHINGLE_SQL
+    exact-copy day-3 pairs inherit it structurally)."""
+    from database_syncer_spark.queries.pipeline import (
+        _SHINGLE_SQL, _jaccard_day_block)
 
     s0, s1, s2 = _SROLL_SLICES
-
-    def day_block(k: int, batch: str, corpus: str) -> str:
-        # verdict CTE vK for batch bK against shingled corpus CTE
-        return f"""
-u{k} AS (SELECT doc_id, len(sh) AS n_sh, unnest(sh) AS s FROM s{batch}),
-uc{k} AS (SELECT doc_id AS cid, len(sh) AS n_sh_c, unnest(sh) AS s
-          FROM {corpus}),
-i{k} AS (SELECT b.doc_id, c.cid, b.n_sh AS na, c.n_sh_c AS nb, count(*) AS c
-         FROM u{k} b JOIN uc{k} c USING (s) GROUP BY 1, 2, 3, 4),
-ver{k} AS (SELECT doc_id, round(CAST(c AS DOUBLE) / (na + nb - c), 6) AS j
-           FROM i{k}
-           WHERE round(CAST(c AS DOUBLE) / (na + nb - c), 6) >= 0.5),
-agg{k} AS (SELECT doc_id, count(*) AS n_dups, max(j) AS max_jaccard
-           FROM ver{k} GROUP BY doc_id),
-v{k} AS (SELECT b.doc_id, coalesce(agg{k}.n_dups, 0) AS n_dups,
-                agg{k}.max_jaccard,
-                coalesce(agg{k}.n_dups, 0) = 0 AS novel
-         FROM {batch} b LEFT JOIN agg{k} USING (doc_id))"""
-
     return f"""
 WITH b1 AS (SELECT doc_id, text FROM documents WHERE doc_id % 16 = {s0}),
 b2 AS (SELECT doc_id, text FROM documents WHERE doc_id % 16 = {s1}),
@@ -430,15 +422,15 @@ sb1 AS (SELECT doc_id, {_SHINGLE_SQL} AS sh FROM b1),
 sb2 AS (SELECT doc_id, {_SHINGLE_SQL} AS sh FROM b2),
 sb3 AS (SELECT doc_id, {_SHINGLE_SQL} AS sh FROM b3),
 sc0 AS (SELECT doc_id, {_SHINGLE_SQL} AS sh FROM c0),
-{day_block(1, 'b1', 'sc0')},
+{_jaccard_day_block(1, 'sb1', 'sc0')},
 corp1 AS (SELECT * FROM sc0
           UNION ALL
           SELECT sb1.* FROM sb1 JOIN v1 USING (doc_id) WHERE v1.novel),
-{day_block(2, 'b2', 'corp1')},
+{_jaccard_day_block(2, 'sb2', 'corp1')},
 corp2 AS (SELECT * FROM corp1
           UNION ALL
           SELECT sb2.* FROM sb2 JOIN v2 USING (doc_id) WHERE v2.novel),
-{day_block(3, 'b3', 'corp2')}
+{_jaccard_day_block(3, 'sb3', 'corp2')}
 SELECT 1 AS day, doc_id, n_dups, max_jaccard, novel FROM v1
 UNION ALL
 SELECT 2 AS day, doc_id, n_dups, max_jaccard, novel FROM v2

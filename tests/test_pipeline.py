@@ -1318,6 +1318,15 @@ def test_jpeg_baseline_decoder_roundtrip_crop_and_corrupt():
     with pytest.raises(ValueError, match="progressive"):
         decode_jpeg_pixels(bytes(sof2))
 
+    # adversarial dims: a structurally-valid header declaring 65535^2
+    # must QUARANTINE (ValueError) before allocating ~34 GB of planes,
+    # not OOM the executor
+    huge = bytearray(full)
+    huge[i + 5:i + 7] = (65535).to_bytes(2, "big")
+    huge[i + 7:i + 9] = (65535).to_bytes(2, "big")
+    with pytest.raises(ValueError, match="decode limit"):
+        decode_jpeg_pixels(bytes(huge))
+
     # corruption: random bitflips either decode or raise ValueError
     for doc_id in (0, 1, 4, 12):  # 4:4:4 / 4:2:0 / restart / both
         data = synth_jpeg_fixture(doc_id)
