@@ -104,6 +104,7 @@ SECONDARY = [
     # r12 additions
     "dedup_incremental_rolling",   # two-day admit-and-grow index loop
     "stream_dedup_rolling",        # the same loop as streaming foreachBatch
+    "sim_ivf_incremental",         # frozen-centroid vector-index append
 ]
 
 

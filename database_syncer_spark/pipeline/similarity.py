@@ -731,6 +731,28 @@ def build_ivf_index(embeddings: DataFrame, n_cells: int = 16,
     return {"centroids": centroids, "assigned": assigned}
 
 
+def append_ivf_index(index: dict, batch: DataFrame, dim: int = 64) -> dict:
+    """Index MAINTENANCE for IVF — the vector-side twin of the dedup
+    family's append_band_index: new vectors are assigned to the FROZEN
+    centroids (one Arrow matmul pass over the batch; the model does not
+    retrain and the existing corpus is not re-assigned) and their rows
+    join the at-rest assigned set. Cost is O(batch); at 100 TB the
+    append is a partitionBy("cell") write into the same layout the
+    probes prune on, and a periodic retrain/re-assign is the
+    compaction-class chore, not the per-ingest cost. Centroid drift is
+    the known trade: a frozen model mis-cells vectors from a shifted
+    distribution, which shows up as recall decay — the signal that
+    schedules the retrain."""
+    centroids = index["centroids"]
+    add = (_with_probe_cells(
+        batch.select("vec_id", "embedding"), centroids, n_probe=1)
+        .select("vec_id", "embedding",
+                V.norm("embedding", dim).alias("nrm"),
+                F.col("probe_cells")[0].alias("cell")))
+    return {"centroids": centroids,
+            "assigned": index["assigned"].unionByName(add)}
+
+
 def ivf_ann_topk(embeddings: DataFrame, n_queries: int = 10, k: int = 10,
                  n_cells: int = 16, n_probe: int = 4,
                  dim: int = 64, index: dict | None = None) -> DataFrame:

@@ -865,6 +865,29 @@ def sim_ivf_ann(spark, sf_dir):
     return S.ann_recall(emb, S.ivf_ann_topk(emb, dim=dim), dim=dim)
 
 
+def sim_ivf_incremental(spark, sf_dir):
+    """IVF index MAINTENANCE under the driver hash — the vector twin of
+    dedup_incremental_rolling (pipeline/similarity.py:append_ivf_index):
+    the vec_id % 16 == 5 slice plays a new-vector ingest batch, the
+    rest the already-indexed corpus. The index is built on the CORPUS
+    ONLY (frozen centroids + assigned rows), the batch is appended by
+    assigning to the frozen model (O(batch), no retrain, no corpus
+    re-assignment), and the standard query set then serves against the
+    GROWN index with recall scored against exact truth over the FULL
+    vector set — so the pinned per-query hit counts can only match if
+    the appended rows are genuinely probed (query 5 IS a batch vector,
+    and batch vectors appear among every query's candidates). Oracle:
+    pinned rows independently re-derived by the Spark-free numpy
+    mirror (tests/ann_reference.py:ivf_incremental_retrieve)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    dim = _emb_dim(sf_dir, emb)
+    is_batch = F.col("vec_id") % _BATCH_MOD == _BATCH_REM
+    index = S.build_ivf_index(emb.where(~is_batch), dim=dim)
+    grown = S.append_ivf_index(index, emb.where(is_batch), dim=dim)
+    return S.ann_recall(emb, S.ivf_ann_topk(emb, dim=dim, index=grown),
+                        dim=dim)
+
+
 def sim_pq_ann(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
     dim = _emb_dim(sf_dir, emb)
@@ -1334,6 +1357,7 @@ QUERIES = {
     "sim_topk_cosine": sim_topk_cosine,
     "sim_lsh_ann": sim_lsh_ann,                  # recall@10 rows, pinned oracle
     "sim_ivf_ann": sim_ivf_ann,                  # recall@10 rows, pinned oracle
+    "sim_ivf_incremental": sim_ivf_incremental,  # frozen-model append + serve
     "sim_pq_ann": sim_pq_ann,                    # recall@10 rows, pinned oracle
     "sim_ivfpq_ann": sim_ivfpq_ann,              # composed path, pinned oracle
     "text_tokens_tf": text_tokens_tf,
@@ -1638,12 +1662,17 @@ _ANN_PINS: dict[str, tuple[list[int], list[int]]] = {
     "ivf": ([5, 4, 4, 6, 4, 5, 8, 2, 9, 6], [6, 1, 6, 4, 4, 1, 6, 8, 10, 4]),
     "pq": ([7, 8, 9, 9, 7, 8, 8, 9, 9, 7], [9, 8, 6, 9, 9, 6, 8, 8, 8, 7]),
     "ivfpq": ([5, 4, 4, 6, 3, 5, 8, 2, 9, 6], [6, 1, 6, 3, 4, 1, 6, 8, 10, 4]),
+    # r12: corpus-trained frozen centroids + appended ingest batch
+    # (append_ivf_index), recall over the full set — the maintenance key
+    "ivf_incr": ([5, 3, 4, 9, 5, 5, 8, 4, 9, 7],
+                 [6, 1, 6, 4, 4, 1, 5, 6, 10, 4]),
 }
 
 _LSH_RECALL_SQL = _ann_recall_sql(*_ANN_PINS["lsh"])
 _IVF_RECALL_SQL = _ann_recall_sql(*_ANN_PINS["ivf"])
 _PQ_RECALL_SQL = _ann_recall_sql(*_ANN_PINS["pq"])
 _IVFPQ_RECALL_SQL = _ann_recall_sql(*_ANN_PINS["ivfpq"])
+_IVF_INCR_RECALL_SQL = _ann_recall_sql(*_ANN_PINS["ivf_incr"])
 
 
 # text_langid oracle: the n-gram classifier is EXACT relational algebra
@@ -1941,6 +1970,7 @@ SELECT 2 AS day, doc_id, n_dups, max_jaccard, novel FROM v2
     "sim_lsh_ann": _LSH_RECALL_SQL,
     "sim_ivfpq_ann": _IVFPQ_RECALL_SQL,
     "sim_ivf_ann": _IVF_RECALL_SQL,
+    "sim_ivf_incremental": _IVF_INCR_RECALL_SQL,
     "sim_pq_ann": _PQ_RECALL_SQL,
     "dedup_ngram_containment": _CONTAINMENT_SQL,
     "dedup_corpus_keep": _CORPUS_KEEP_SQL,

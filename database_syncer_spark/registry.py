@@ -26,17 +26,19 @@ _MODULES = [
 # showed the driver checks a bounded prefix (exactly the first 50 keys get a
 # CORRECTNESS row each round). After r11 the staleness ledger is: 50 pass-r11,
 # 45 pass-r9, 39 pass-r10, 27 pass-r8 (the r8 remainder the r11 window could
-# not fit). r12 window (positions 0-49, 3+4+27+16 = 50):
-#   [0-2]   the keys ADDED in r12: multimodal_jpeg_pixels (baseline-JPEG
+# not fit). r12 window (positions 0-49, 4+4+27+15 = 50):
+#   [0-3]   the keys ADDED in r12: multimodal_jpeg_pixels (baseline-JPEG
 #           pixel decode — generic Huffman entropy decode + numpy IDCT
 #           + 4:2:0 + YCbCr→RGB, coefficient-exact oracle),
 #           dedup_incremental_rolling (the two-day admit-and-grow
 #           at-rest-index loop: day-1 admissions APPEND, day-2 probes
-#           the grown table), and stream_dedup_rolling (the same loop
+#           the grown table), stream_dedup_rolling (the same loop
 #           as a REAL Structured Streaming foreachBatch query, three
-#           deterministic daily micro-batches), under the driver hash
-#           for the first time;
-#   [3-6]   r12 CODE-CHURN, 4 keys: multimodal_track_meta and
+#           deterministic daily micro-batches), and sim_ivf_incremental
+#           (IVF index maintenance: frozen-centroid assign + append,
+#           serve against the grown index, numpy-mirrored pins), under
+#           the driver hash for the first time;
+#   [4-7]   r12 CODE-CHURN, 4 keys: multimodal_track_meta and
 #           multimodal_media_meta (media_timescale / sample_rate
 #           widened int→bigint — SCHEMA changed, oracle updated),
 #           multimodal_audio_stats (parse_media_header gained the
@@ -46,9 +48,9 @@ _MODULES = [
 #           (sf_dir_tag in roundtrip/dump/stream staging names) is
 #           value-identical by construction and keys carrying only it
 #           are not force-refreshed;
-#   [7-33]  the 27 pass-r8 keys (stalest — the full r8 remainder, so
+#   [8-34]  the 27 pass-r8 keys (stalest — the full r8 remainder, so
 #           the staleness floor moves to r9 after r12);
-#   [34-49] the 16 stalest pass-r9 keys (head of the r9 block in its
+#   [35-49] the 15 stalest pass-r9 keys (head of the r9 block in its
 #           standing order; agg_hll_sketch_merge among them also
 #           carries the cache-tag churn).
 # Then the remaining r9 keys, the r10 block, and the r11 window keys
@@ -58,14 +60,15 @@ _MODULES = [
 # to-refresh key at index 50). REGENERATE after each round's
 # CORRECTNESS lands.
 _KEY_ORDER = [
-    # --- NEW in r12 — verify first [0-2] ---
+    # --- NEW in r12 — verify first [0-3] ---
     "multimodal_jpeg_pixels",
     "dedup_incremental_rolling",
     "stream_dedup_rolling",
-    # --- r12 code-churn [3-6] ---
+    "sim_ivf_incremental",
+    # --- r12 code-churn [4-7] ---
     "multimodal_track_meta", "multimodal_media_meta",
     "multimodal_audio_stats", "dedup_incremental_indexed",
-    # --- last driver value row: r8 (stalest — whole remainder) [7-33] ---
+    # --- last driver value row: r8 (stalest — whole remainder) [8-34] ---
     "diff_bucketed_zeroshuffle", "diff_cdc_fullouter", "diff_composite_pk",
     "diff_stats_by_type",
     "fn_date", "fn_map_json", "fn_math", "join_runtime_bloom",
@@ -76,15 +79,14 @@ _KEY_ORDER = [
     "stream_tumbling_agg", "stream_watermark_late", "text_quality_score",
     "text_tfidf_topk", "udaf_pandas_grouped", "udtf_statement_split",
     "win_lag_lead_change", "win_rank_topn_per_group", "win_running_sum",
-    # --- last driver value row: r9 (head of the block) [34-49] ---
+    # --- last driver value row: r9 (head of the block) [35-49] ---
     "win_retention_cohort", "scan_pg_dump", "scan_pg_dump_sharded",
     "text_gopher_filters", "sample_mix_epochs", "corpus_datacard",
     "agg_hll_sketch_merge", "corpus_version_diff", "sample_reshard_seeded",
     "agg_approx_distinct", "agg_approx_quantile", "agg_bitmap_distinct",
     "agg_mode_histogram", "diff_scd2_history", "filter_null_safe_eq",
-    "filter_predicate",
     # --- r9 remainder, outside the window (queued first for r13) ---
-    "join_asof", "join_asof_tolerance", "join_broadcast",
+    "filter_predicate", "join_asof", "join_asof_tolerance", "join_broadcast",
     "join_full_outer", "join_inner", "join_left_anti", "join_left_outer",
     "join_left_semi", "join_multiway_star", "join_range_banded",
     "join_skew_salted", "join_theta_range", "scan_binary_files",

@@ -575,8 +575,36 @@ def ivfpq_retrieve(ids: np.ndarray, mat: np.ndarray, n_queries: int = 10,
     return out
 
 
+def ivf_incremental_retrieve(ids: np.ndarray, mat: np.ndarray,
+                             n_queries: int = 10, k: int = 10,
+                             n_cells: int = 16, n_probe: int = 4,
+                             batch_mod: int = 16, batch_rem: int = 5,
+                             ) -> dict[int, list[tuple[int, float]]]:
+    """sim_ivf_incremental mirror: centroids trained on the CORPUS only
+    (vec_id % batch_mod != batch_rem), then every row — corpus AND
+    ingest batch — assigned to the frozen model (append_ivf_index's
+    no-retrain contract); probes and exact re-rank run over the grown
+    set exactly as ivf_retrieve does."""
+    corpus = ids % batch_mod != batch_rem
+    centroids = ivf_centroids(ids[corpus], mat[corpus], n_cells=n_cells)
+    cmat = np.asarray(centroids, dtype=np.float64).T
+    dots = np.round(mat @ cmat, 9)
+    cell = np.argsort(-dots, axis=1, kind="stable")[:, 0]
+    nrm = tree_norm(mat)
+    pos = {int(v): i for i, v in enumerate(ids)}
+    out = {}
+    for qpos in np.flatnonzero(ids < n_queries):
+        qid = int(ids[qpos])
+        probes = np.argsort(-dots[qpos], kind="stable")[:n_probe]
+        mask = np.isin(cell, probes) & (ids != qid)
+        out[qid] = _exact_rerank(ids, mat, nrm, pos, qid,
+                                 [int(v) for v in ids[mask]], k)
+    return out
+
+
 _RETRIEVERS = {"lsh": lsh_retrieve, "ivf": ivf_retrieve,
-               "pq": pq_retrieve, "ivfpq": ivfpq_retrieve}
+               "pq": pq_retrieve, "ivfpq": ivfpq_retrieve,
+               "ivf_incr": ivf_incremental_retrieve}
 
 
 def derive_ann_pins(sf_dir: str, n_queries: int = 10,

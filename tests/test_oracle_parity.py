@@ -28,8 +28,8 @@ def test_every_oracle_key_has_a_query():
 _BNLJ_OK = {
     "agg_approx_distinct", "agg_hll_sketch_merge", "corpus_datacard",
     "join_theta_range", "sample_mix_epochs", "sample_temperature_mix",
-    "sim_ivf_ann", "sim_ivfpq_ann", "sim_lsh_ann", "sim_pq_ann",
-    "sim_topk_cosine", "text_langid", "text_tfidf_topk",
+    "sim_ivf_ann", "sim_ivf_incremental", "sim_ivfpq_ann", "sim_lsh_ann",
+    "sim_pq_ann", "sim_topk_cosine", "text_langid", "text_tfidf_topk",
 }
 
 

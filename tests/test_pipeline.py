@@ -1025,6 +1025,41 @@ def test_incremental_near_dups_at_rest_index_identical(spark, sf_dir):
         drop_snapshot(spark, "dss_test_band_idx")
 
 
+def test_append_ivf_index_serves_batch_vectors(spark, sf_dir):
+    """append_ivf_index: batch vectors assigned to FROZEN corpus-trained
+    centroids must (a) grow the assigned set by exactly the batch,
+    (b) keep the corpus rows' cells untouched (no re-assignment), and
+    (c) be retrievable — batch vec_ids appear as neighbors in the
+    served top-k against the grown index."""
+    from pyspark.sql import functions as F
+
+    from database_syncer_spark.catalog import load_table
+    from database_syncer_spark.pipeline.similarity import (
+        append_ivf_index, build_ivf_index, ivf_ann_topk)
+    from database_syncer_spark.queries.pipeline import _emb_dim
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    dim = _emb_dim(sf_dir, emb)
+    is_batch = F.col("vec_id") % 16 == 5
+    corpus = emb.where(~is_batch)
+    index = build_ivf_index(corpus, dim=dim)
+    before = {r.vec_id: r.cell for r in
+              index["assigned"].select("vec_id", "cell").collect()}
+    grown = append_ivf_index(index, emb.where(is_batch), dim=dim)
+    after = {r.vec_id: r.cell for r in
+             grown["assigned"].select("vec_id", "cell").collect()}
+    batch_ids = {r.vec_id for r in
+                 emb.where(is_batch).select("vec_id").collect()}
+    assert set(after) == set(before) | batch_ids
+    assert all(after[v] == c for v, c in before.items())  # frozen
+
+    served = ivf_ann_topk(emb, dim=dim, index=grown)
+    got_neighbors = {r.neighbor_id for r in
+                     served.select("neighbor_id").distinct().collect()}
+    assert got_neighbors & batch_ids, (
+        "no appended vector retrieved — the grown index is not probed")
+
+
 def test_append_band_index_rolling_admissions_visible(spark, sf_dir):
     """The append-only index maintenance loop: after day-1 novel docs'
     bands are APPENDED to the at-rest table (append_band_index), a
