@@ -683,12 +683,19 @@ def connected_components(edges: DataFrame, src: str = "doc_a",
         .select("id", F.col("id").alias("component"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    cached = comp
     for _ in range(max_iter):
         nbr_min = (
             sym.join(comp, sym.b == comp.id)
             .groupBy(F.col("a").alias("id"))
             .agg(F.min("component").alias("nbr_component"))
         )
+        # Convergence detection rides the SAME join that computes the
+        # new label (labels only ever decrease, so "changed" ⇔ some
+        # neighbor's min label beats the current one): one flag column
+        # + a cache-scan count, instead of the previous second
+        # comp-join per iteration (r12: -1 join, -2 Exchanges per
+        # round; measured in OPTIMIZATION_r12.md).
         nxt = (
             comp.join(nbr_min, "id", "left")
             .select(
@@ -697,16 +704,15 @@ def connected_components(edges: DataFrame, src: str = "doc_a",
                     "component",
                     F.coalesce("nbr_component", F.col("component")),
                 ).alias("component"),
+                (F.coalesce("nbr_component", F.col("component"))
+                 < F.col("component")).alias("__improved"),
             )
             .persist(StorageLevel.MEMORY_AND_DISK)
         )
-        changed = (
-            nxt.join(comp.withColumnRenamed("component", "old"), "id")
-            .where(F.col("component") != F.col("old"))
-            .count()
-        )
-        comp.unpersist()
-        comp = nxt
+        changed = nxt.where("__improved").count()
+        cached.unpersist()
+        cached = nxt
+        comp = nxt.select("id", "component")
         if changed == 0:
             break
     # Unpersisting sym/comp directly here would CASCADE: Spark's
@@ -727,7 +733,7 @@ def connected_components(edges: DataFrame, src: str = "doc_a",
     # already made that trade per-iteration via persist+count.)
     result = (comp.select(F.col("id").alias("doc_id"), "component")
               .localCheckpoint(eager=True))
-    comp.unpersist()
+    cached.unpersist()
     sym.unpersist()
     return result
 
@@ -815,12 +821,15 @@ def _first_collision(a: str, b: str, n_tables: int) -> Column:
 
 def _lsh_params(frame: DataFrame, n_planes: int | None,
                 n_tables: int | None,
-                corpus_n: int | None) -> tuple[int, int]:
+                corpus_n: int | None) -> tuple[int, int, int | None]:
     """One defaulting ladder for BOTH blocking callers
     (embedding_near_dup and embedding_incremental_near_dup must block
     identically or the shared recall pin stops covering the incremental
     path): count once if needed, planes from _lsh_block_planes, tables
-    16 in the fixture regime / 8 at scale."""
+    16 in the fixture regime / 8 at scale. Also returns the resolved
+    corpus count (None only when both params were passed explicitly
+    AND no count was supplied) so callers can size the probe-side
+    partitioning from it (:func:`_probe_partitions`)."""
     if n_planes is None or n_tables is None:
         if corpus_n is None:
             corpus_n = frame.count()
@@ -828,7 +837,31 @@ def _lsh_params(frame: DataFrame, n_planes: int | None,
             n_planes = _lsh_block_planes(corpus_n)
         if n_tables is None:
             n_tables = 16 if corpus_n < 50_000 else 8
-    return n_planes, n_tables
+    return n_planes, n_tables, corpus_n
+
+
+def _probe_partitions(frame: DataFrame, n_planes: int, n_tables: int,
+                      corpus_n: int | None) -> int:
+    """Partition count for the band join's PROBE side (guide §2.5: AQE
+    cannot see a join's output multiplication — it sizes partitions from
+    input bytes). The band self-join multiplies its skinny input by the
+    per-bucket pair volume (noise term ~N²/2^planes per table), and at
+    fixture scale the upstream is a 1-4-split parquet scan whose
+    partitioning flows straight through the BroadcastHashJoin — so the
+    whole candidate expansion AND the unrolled exact-cosine verify ran
+    in ≤4 tasks (measured: dedup_embedding_cosine 29.7 s at sf0.1 /
+    2000 vectors, scripts/opt_profile_sf0.1.json). Size from the
+    expected collision volume instead: ~200k candidate pairs per task,
+    floored at defaultParallelism (fill the machine even when the
+    estimate is small), capped at 4096 (one task per ~200k pairs is
+    already generous at scale; beyond the cap per-task volume grows,
+    which sort-merge handles by spilling)."""
+    sc = frame.sparkSession.sparkContext
+    dp = sc.defaultParallelism
+    if corpus_n is None:
+        return dp
+    est = n_tables * corpus_n * corpus_n // (2 ** n_planes)
+    return int(min(4096, max(dp, est // 200_000)))
 
 
 def embedding_near_dup(embeddings: DataFrame, threshold: float = 0.5,
@@ -884,7 +917,7 @@ def embedding_near_dup(embeddings: DataFrame, threshold: float = 0.5,
             .select(F.col("a.vec_id").alias("vec_a"),
                     F.col("b.vec_id").alias("vec_b")))
     else:
-        n_planes, n_tables = _lsh_params(
+        n_planes, n_tables, corpus_n = _lsh_params(
             embeddings, n_planes, n_tables, corpus_n)
         # All n_tables band buckets in ONE Arrow-batched mapInPandas pass.
         # The unrolled-expression alternatives both fail here: explode(
@@ -905,8 +938,17 @@ def embedding_near_dup(embeddings: DataFrame, threshold: float = 0.5,
         # output — the join rows carry each side's full bucket vector
         # (n_tables longs) so the dedup is a codegen'd filter, not a
         # candidate-volume-sized exchange.
+        # Explicit-count repartition on the join key: user-specified
+        # counts survive AQE coalescing, so the pair expansion + verify
+        # run at collision-volume-sized parallelism instead of the
+        # scan's split count (guide §2.5; measured 29.7 s -> see
+        # OPTIMIZATION_r12.md). Keyed on (tbl, bucket) so a shuffle
+        # join at scale reuses this exchange outright.
         skinny = _lsh_band_rows(
-            _lsh_bucket_vectors(embeddings, n_planes, n_tables, dim))
+            _lsh_bucket_vectors(embeddings, n_planes, n_tables, dim)
+        ).repartition(
+            _probe_partitions(embeddings, n_planes, n_tables, corpus_n),
+            "tbl", "bucket")
         a, b = skinny.alias("a"), skinny.alias("b")
         pairs = (
             a.join(b, ["tbl", "bucket"])
@@ -945,14 +987,24 @@ def embedding_incremental_near_dup(batch: DataFrame, corpus: DataFrame,
     SQL is a complete oracle."""
     from database_syncer_spark.pipeline import vector as V
 
-    n_planes, n_tables = _lsh_params(corpus, n_planes, n_tables, corpus_n)
+    n_planes, n_tables, corpus_n = _lsh_params(
+        corpus, n_planes, n_tables, corpus_n)
     # First-collision emit instead of pair DISTINCT, same as
     # embedding_near_dup: dedup is a codegen'd filter over the carried
     # bucket vectors, never a candidate-volume-sized exchange.
     bb = _lsh_band_rows(
         _lsh_bucket_vectors(batch, n_planes, n_tables, dim)).alias("a")
+    # Corpus side is the join's probe side (the batch side broadcasts):
+    # same explicit-count repartition as embedding_near_dup so the
+    # batch×corpus candidate expansion doesn't inherit the corpus
+    # scan's 1-4 splits (guide §2.5). The corpus²-based estimate
+    # overstates a batch probe's collision volume — the floor/cap
+    # clamp keeps that harmless.
     bc = (_lsh_band_rows(
         _lsh_bucket_vectors(corpus, n_planes, n_tables, dim))
+        .repartition(
+            _probe_partitions(corpus, n_planes, n_tables, corpus_n),
+            "tbl", "bucket")
         .withColumnRenamed("vec_id", "corpus_id").alias("b"))
     cand = (bb.join(bc, ["tbl", "bucket"])
             .where(_first_collision("a", "b", n_tables))

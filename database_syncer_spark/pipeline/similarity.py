@@ -88,21 +88,24 @@ def ann_recall(embeddings: DataFrame, ann: DataFrame, n_queries: int = 10,
     tests/test_pipeline.py)."""
     exact = brute_force_topk(embeddings, n_queries=n_queries, k=k, dim=dim)
     thr = exact.groupBy("query_id").agg(F.min("cosine").alias("__thr"))
-    hits = (
-        ann.join(thr, "query_id")
-        .groupBy("query_id")
-        .agg(F.sum(F.when(F.col("cosine") >= F.col("__thr"), 1)
-                   .otherwise(0)).cast("int").alias("__raw_hits"))
-    )
-    # Left-join from the exact-side query set so a query with ZERO
-    # retrieved neighbors reports recall 0 instead of vanishing from the
-    # output (which would only surface as an oracle row-count mismatch).
-    n_hits = F.coalesce(F.col("__raw_hits"), F.lit(0)).cast("int")
+    # ONE consumption of the exact side (r12): LEFT-join the ANN rows
+    # onto the thresholds and count hits inside the same aggregation.
+    # The previous shape referenced ``thr`` twice (inner hits join +
+    # left join back from the query set, so zero-retrieval queries
+    # report recall 0 instead of vanishing) and Catalyst planned the
+    # whole O(Q×N) brute-force subtree TWICE — the before-plan of every
+    # sim_*_ann key shows two BroadcastNestedLoopJoin Cross + Window
+    # chains (plans/r12/sim_lsh_ann_before.txt). The left join from thr
+    # keeps the zero-retrieval guarantee: such queries yield one
+    # NULL-cosine row, when() scores it 0, and the sum is never NULL.
+    n_hits = (F.sum(F.when(F.col("cosine") >= F.col("__thr"), 1)
+                    .otherwise(0)).cast("int"))
     return (
-        thr.select("query_id")
-        .join(hits, "query_id", "left")
-        .select("query_id", F.lit(k).alias("k"), n_hits.alias("n_hits"),
-                (n_hits / F.lit(float(k))).alias("recall"))
+        thr.join(ann.select("query_id", "cosine"), "query_id", "left")
+        .groupBy("query_id")
+        .agg(n_hits.alias("n_hits"))
+        .select("query_id", F.lit(k).alias("k"), "n_hits",
+                (F.col("n_hits") / F.lit(float(k))).alias("recall"))
     )
 
 

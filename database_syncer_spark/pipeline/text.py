@@ -73,14 +73,21 @@ def length_histogram(documents: DataFrame,
 _STOP_COUNT_PATTERN = "(^| )(" + "|".join(STOPWORDS) + ")(?=( |$))"
 
 
-def quality_score(documents: DataFrame) -> DataFrame:
+def quality_score(documents: DataFrame,
+                  carry: tuple[str, ...] = ()) -> DataFrame:
     """Heuristic quality features + score (length / stopword / punct
-    ratios — the standard pre-training corpus filters)."""
+    ratios — the standard pre-training corpus filters).
+
+    ``carry``: extra input columns threaded through unchanged, appended
+    AFTER the feature columns (r12 optimization: the curate pipelines
+    previously scored a skinny (doc_id, score) frame and joined it back
+    on doc_id just to recover ``text`` — one whole join/Exchange per
+    pipeline for a column this projection already had in hand)."""
     # translate() is a plain per-char map; the equivalent negated-class
     # regex ([^a-z0-9 ]) measured 41 s vs 1.2 s at the 1 M-doc probe
     # (bit-identical counts verified on the full fixture, r5)
     base = documents.select(
-        "doc_id",
+        "doc_id", *carry,
         tokens(F.col("text")).alias("__toks"),
         F.regexp_count("text", F.lit(_STOP_COUNT_PATTERN)).alias("__stop"),
         F.length(F.replace(F.col("text"), F.lit(" "), F.lit("")))
@@ -102,6 +109,7 @@ def quality_score(documents: DataFrame) -> DataFrame:
         F.round(stop_ratio, 6).alias("stopword_ratio"),
         F.col("__punct").alias("punct_count"),
         score.alias("quality_score"),
+        *carry,
     )
 
 

@@ -328,10 +328,12 @@ def _curate_pipeline(docs):
                         F.col("doc_id").cast("string"),
                         F.lit("@example.com now")))
         .otherwise(F.col("text")).alias("text"))
-    good = (T.quality_score(planted)
-            .select("doc_id", "quality_score")
-            .where(F.col("quality_score") >= _CURATE_QUALITY_MIN))
-    filtered = planted.join(good, "doc_id")
+    # quality filter WITHOUT the join-back: score in the same projection
+    # that carries text (r12; was score-a-skinny-frame + join on doc_id
+    # — one Exchange + join removed from all three curate front doors)
+    filtered = (T.quality_score(planted, carry=("text",))
+                .where(F.col("quality_score") >= _CURATE_QUALITY_MIN)
+                .select("doc_id", "text", "quality_score"))
     scrubbed = filtered.select(
         "doc_id", "quality_score",
         ((F.regexp_count("text", F.lit(T.EMAIL_PATTERN))
@@ -422,8 +424,9 @@ def corpus_curate_incremental(spark, sf_dir):
                         F.col("doc_id").cast("string"),
                         F.lit("@example.com now")))
         .otherwise(F.col("text")).alias("text"))
-    scored = T.quality_score(planted).select("doc_id", "quality_score")
-    scrubbed = (planted.join(scored, "doc_id").select(
+    # same join-back removal as _curate_pipeline (r12): score and text
+    # live in one projection, no skinny-frame join on doc_id
+    scrubbed = (T.quality_score(planted, carry=("text",)).select(
         "doc_id", "quality_score",
         ((F.regexp_count("text", F.lit(T.EMAIL_PATTERN))
           + F.regexp_count("text", F.lit(T.PHONE_PATTERN))) > 0

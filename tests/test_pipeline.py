@@ -1501,3 +1501,40 @@ def test_container_parsers_quarantine_not_garbage():
         parse_media_header(zero_ch)
     with pytest.raises(ValueError, match="zero channel"):
         decode_wav_samples(zero_ch)
+
+
+def test_quality_score_carry_equals_join_back(spark, sf_dir):
+    """r12 optimization contract: quality_score(df, carry=('text',))
+    must equal the old shape — score a skinny frame, join text back on
+    doc_id — value-for-value (the curate pipelines now rely on the
+    carried projection instead of the join)."""
+    from database_syncer_spark.pipeline.text import quality_score
+
+    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
+    carried = {r.doc_id: (r.quality_score, r.text)
+               for r in quality_score(docs, carry=("text",)).collect()}
+    joined = {r.doc_id: (r.quality_score, r.text)
+              for r in quality_score(docs).select("doc_id", "quality_score")
+              .join(docs.select("doc_id", "text"), "doc_id").collect()}
+    assert carried == joined and len(carried) > 0
+
+
+def test_probe_partitions_scale_ladder(spark):
+    """r12: the embedding band join's probe-side partition count derives
+    from the expected collision volume (guide §2.5 — AQE sizes from
+    input bytes and cannot see the join's output multiplication),
+    floored at defaultParallelism and capped at 4096."""
+    from database_syncer_spark.pipeline.dedup import _probe_partitions
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    dp = spark.sparkContext.defaultParallelism
+    # unknown corpus size -> fill the machine
+    assert _probe_partitions(emb, 4, 16, None) == dp
+    # fixture regime: estimate below the floor -> defaultParallelism
+    assert _probe_partitions(emb, 4, 16, 2_000) == dp
+    # scale regime: 1M vectors / 20 planes / 8 tables -> est/200k tasks
+    est = 8 * 1_000_000 * 1_000_000 // (2 ** 20)
+    assert _probe_partitions(emb, 20, 8, 1_000_000) == min(
+        4096, max(dp, est // 200_000))
+    # cap binds eventually
+    assert _probe_partitions(emb, 4, 16, 50_000_000) == 4096
