@@ -105,6 +105,10 @@ SECONDARY = [
     "dedup_incremental_rolling",   # two-day admit-and-grow index loop
     "stream_dedup_rolling",        # the same loop as streaming foreachBatch
     "sim_ivf_incremental",         # frozen-centroid vector-index append
+    # r12 optimization round: tracked from birth after the probe-side
+    # repartition fix (29.7 s -> 5.6 s at sf0.1; OPTIMIZATION_r12.md)
+    # so a regression of the exploding-band-join shape is visible
+    "dedup_embedding_cosine",      # hyperplane-blocked vector near-dup
 ]
 
 

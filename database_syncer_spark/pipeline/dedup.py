@@ -170,19 +170,18 @@ def minhash_lsh_dedup(documents: DataFrame, threshold: float = 0.5,
     huge, the same plan degrades gracefully to two shuffled joins —
     still strictly less traffic than the 8× ride-along."""
     signed = minhash_signatures(documents, k, slim=True)
-    bands = _band_structs()
-    exploded = (
-        signed.select("doc_id", F.explode(bands).alias("band"))
-        .select("doc_id", "band.band_id", "band.band_hash")
-    )
-    a, b = exploded.alias("a"), exploded.alias("b")
-    cand = (
-        a.join(b, ["band_id", "band_hash"])
-        .where(F.col("a.doc_id") < F.col("b.doc_id"))
-        .select(F.col("a.doc_id").alias("doc_a"),
-                F.col("b.doc_id").alias("doc_b"))
-        .distinct()
-    )
+    # The candidate pair set is referenced THREE times downstream (the
+    # id set that prunes the corpus, and both sides of the verify
+    # join); left lazy, Catalyst plans the whole signature + band-join
+    # subtree once per reference (the r12 before-plan shows it 3x,
+    # 112 operators — plans/r12/dedup_minhash_lsh_before.txt). The
+    # pairs are candidate-sized by construction, so an EAGER node-local
+    # checkpoint executes the generator once and hands all three
+    # consumers a tiny materialized table (same discipline as
+    # connected_components' result; measured ~12% on the key at sf0.1
+    # and a 112-op -> ~40-op plan). The checkpointed RDD is freed by
+    # the ContextCleaner when the result is dropped.
+    cand = lsh_candidate_pairs(signed).localCheckpoint(eager=True)
     # Shingle ONLY the colliding docs: semi-join the corpus down to the
     # candidate id set FIRST (a broadcast probe on doc_id — the scan
     # reads text but does no shingle work for non-colliding rows), then
@@ -255,6 +254,23 @@ def append_band_index(admitted: DataFrame, table: str, k: int = 3,
        .format("parquet")
        .saveAsTable(table))
     spark.catalog.refreshTable(table)
+    # ``admitted`` may be bound to a DIFFERENT SparkSession than the
+    # caller's (foreachBatch hands micro-batch frames on a per-epoch
+    # session): each session keeps its OWN table-relation/file-listing
+    # cache, so refreshing only admitted's session leaves a reader that
+    # resolved the table through the default session on the PREVIOUS
+    # file listing — the r12 optimization round hit exactly this (the
+    # stream_dedup_rolling day-3 probe silently missed day-1's
+    # appended bands once plan timing shifted; caught by the oracle
+    # value check). Refresh the default session's catalog too.
+    from pyspark.sql import SparkSession
+
+    default = SparkSession.getActiveSession() or spark
+    for s in {spark, default, SparkSession.builder.getOrCreate()}:
+        try:
+            s.catalog.refreshTable(table)
+        except Exception:  # noqa: BLE001 — a torn-down session must not fail the append
+            pass
     return spark.table(table)
 
 
@@ -268,6 +284,29 @@ def build_corpus_digest_index(corpus: DataFrame, table: str,
     return write_bucketed_snapshot(
         corpus.select(F.sha2("text", 256).alias("digest")),
         table, ["digest"], n_buckets)
+
+
+def _band_candidates(batch: DataFrame, corpus: DataFrame, k: int,
+                     corpus_bands: DataFrame | None) -> DataFrame:
+    """Skinny batch×corpus band-candidate generator (doc_id, corpus_id)
+    — the same shape (and the same r6 500×-probe rationale) as
+    minhash_lsh_dedup: the CORPUS side's collect_set would otherwise
+    ship every stored doc's distinct shingle text through the shuffle
+    on every ingest batch. With ``corpus_bands`` the corpus side is the
+    AT-REST bucketed table scan; inline otherwise."""
+    sb = minhash_signatures(batch, k, slim=True)
+    bands = _band_structs()
+    eb = (sb.select("doc_id", F.explode(bands).alias("band"))
+          .select("doc_id", "band.band_id", "band.band_hash"))
+    if corpus_bands is not None:
+        ec = corpus_bands.select("corpus_id", "band_id", "band_hash")
+    else:
+        sc = minhash_signatures(corpus, k, slim=True)
+        ec = (sc.select(F.col("doc_id").alias("corpus_id"),
+                        F.explode(bands).alias("band"))
+              .select("corpus_id", "band.band_id", "band.band_hash"))
+    return (eb.join(ec, ["band_id", "band_hash"])
+            .select("doc_id", "corpus_id").distinct())
 
 
 def incremental_near_dups(batch: DataFrame, corpus: DataFrame,
@@ -299,23 +338,14 @@ def incremental_near_dups(batch: DataFrame, corpus: DataFrame,
     is still consulted — but only for the CANDIDATES' shingle fetch
     (left-semi pruned). Recall is the LSH family's (same bands as
     minhash_lsh_dedup); verification is exact Jaccard."""
-    # Skinny band join + candidate-only shingle fetch, the same shape
-    # (and the same r6 500×-probe rationale) as minhash_lsh_dedup: the
-    # CORPUS side's collect_set would otherwise ship every stored doc's
-    # distinct shingle text through the shuffle on every ingest batch.
-    sb = minhash_signatures(batch, k, slim=True)
-    bands = _band_structs()
-    eb = (sb.select("doc_id", F.explode(bands).alias("band"))
-          .select("doc_id", "band.band_id", "band.band_hash"))
-    if corpus_bands is not None:
-        ec = corpus_bands.select("corpus_id", "band_id", "band_hash")
-    else:
-        sc = minhash_signatures(corpus, k, slim=True)
-        ec = (sc.select(F.col("doc_id").alias("corpus_id"),
-                        F.explode(bands).alias("band"))
-              .select("corpus_id", "band.band_id", "band.band_hash"))
-    cand = (eb.join(ec, ["band_id", "band_hash"])
-            .select("doc_id", "corpus_id").distinct())
+    # Same three-consumer shape as minhash_lsh_dedup (batch id set,
+    # corpus id set, verify join): eager node-local checkpoint runs the
+    # batch-signature + band-probe subtree once instead of once per
+    # reference (r12; candidate-sized by construction). The generator
+    # itself lives in _band_candidates so the stored-index-vs-inline
+    # plan guard (test_plans.py) can still read its plan pre-checkpoint.
+    cand = _band_candidates(
+        batch, corpus, k, corpus_bands).localCheckpoint(eager=True)
     sh_b = _doc_shingle_sets(
         batch.join(cand.select("doc_id").distinct(), "doc_id", "left_semi"),
         k).withColumnRenamed("shingles", "sh_b")

@@ -153,9 +153,17 @@ def stream_dedup_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
     def probe_admit(batch: DataFrame, epoch_id: int) -> None:
         if batch.isEmpty():
             return
-        corpus = spark.read.parquet(corpus_store)
+        # Resolve the band table through the BATCH's session: foreachBatch
+        # frames ride a per-epoch session whose fresh catalog lists the
+        # table's CURRENT files, while the outer session's relation cache
+        # can serve a pre-append listing (r12: the day-3 probe missed
+        # day-1's admissions that way — value-oracle caught it; the
+        # append path now also refreshes the default session's catalog,
+        # this is the belt to that suspender).
+        bs = batch.sparkSession
+        corpus = bs.read.parquet(corpus_store)
         v = incremental_near_dups(
-            batch, corpus, corpus_bands=spark.table(table)).persist()
+            batch, corpus, corpus_bands=bs.table(table)).persist()
         v.write.mode("append").parquet(verdicts_dir)
         admitted = batch.join(v.where(F.col("novel")).select("doc_id"),
                               "doc_id", "left_semi")

@@ -1538,3 +1538,27 @@ def test_probe_partitions_scale_ladder(spark):
         4096, max(dp, est // 200_000))
     # cap binds eventually
     assert _probe_partitions(emb, 4, 16, 50_000_000) == 4096
+
+
+def test_append_band_index_refreshes_other_sessions(spark, sf_dir):
+    """r12 regression pin: append_band_index must make the appended
+    bands visible to readers that resolved the table through a
+    DIFFERENT SparkSession — foreachBatch hands per-epoch sessions, and
+    each session caches its own table file listing, so a refresh on
+    only the writing frame's session left the default session's probe
+    on the pre-append listing (the stream_dedup_rolling day-3 probe
+    silently missed day-1 admissions; caught by the value oracle)."""
+    from database_syncer_spark.pipeline.dedup import (
+        append_band_index, build_corpus_band_index)
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    table = "dss_test_xsession_bands"
+    build_corpus_band_index(docs.where(F.col("doc_id") < 100), table)
+    base = spark.table(table).count()  # populate THIS session's cache
+    clone = spark.newSession()  # stands in for the per-epoch session
+    batch = clone.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text").where(
+        (F.col("doc_id") >= 100) & (F.col("doc_id") < 120))
+    append_band_index(batch, table)
+    grown = spark.table(table).count()  # must see the clone's append
+    assert grown > base, (base, grown)

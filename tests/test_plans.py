@@ -213,11 +213,23 @@ def test_minhash_band_join_is_skinny(spark, sf_dir):
     band_hash): no collect_set anywhere (the r6 500×-probe regression —
     shingle text riding the shuffle 8×), and the shingle fetch must be
     candidate-sized (a semi-join prunes the corpus before with_shingles
-    materializes arrays)."""
+    materializes arrays). r12: the candidate pairs are eagerly
+    localCheckpointed (three downstream references planned the
+    generator subtree 3×), so the generator's skinny band join is
+    guarded on ITS OWN plan and the wiring source-level — the same
+    split this file already applies to soft_keep below."""
+    import inspect
+
     from database_syncer_spark.catalog import load_table
-    from database_syncer_spark.pipeline.dedup import minhash_lsh_dedup
+    from database_syncer_spark.pipeline.dedup import (
+        lsh_candidate_pairs, minhash_lsh_dedup, minhash_signatures)
 
     docs = load_table(spark, sf_dir, "documents")
+    gen_plan = _plan(lsh_candidate_pairs(minhash_signatures(docs, slim=True)))
+    assert "collect_set" not in gen_plan, "shingle text rides the band join"
+    assert "band_id" in gen_plan and "band_hash" in gen_plan
+    src = inspect.getsource(minhash_lsh_dedup)
+    assert "lsh_candidate_pairs" in src, "verify path lost the band generator"
     plan = _plan(minhash_lsh_dedup(docs))
     assert "collect_set" not in plan, "shingle sets ride the band join again"
     assert "LeftSemi" in plan, "corpus not pruned before shingle materialization"
@@ -363,9 +375,14 @@ def test_soft_keep_rides_lsh_not_inverted_index(spark, sf_dir):
     from database_syncer_spark.pipeline.dedup import (minhash_lsh_dedup,
                                                       soft_keep_weights)
 
+    # r12: minhash_lsh_dedup checkpoints its candidate pairs, so the
+    # band join is guarded on the generator's own plan (the skinny-band
+    # test above); here assert the verify plan is Python-free and the
+    # wiring chain soft_keep -> minhash_lsh_dedup -> lsh_candidate_pairs
+    # holds source-level.
     plan = _plan(minhash_lsh_dedup(load_table(spark, sf_dir, "documents")))
-    assert "band_id" in plan, "expected the banded-LSH candidate join"
     assert "BatchEvalPython" not in plan
+    assert "lsh_candidate_pairs" in inspect.getsource(minhash_lsh_dedup)
     src = inspect.getsource(soft_keep_weights)
     assert "minhash_lsh_dedup" in src, "soft_keep lost its LSH generator"
     assert "ngram_jaccard_pairs" not in src
@@ -558,16 +575,30 @@ def test_retention_cohort_four_exchanges_no_distinct_join(spark, sf_dir):
 def test_incremental_indexed_reads_stored_bands(spark, sf_dir):
     """dedup_incremental_indexed must read the corpus band keys from the
     AT-REST bucketed table (build_corpus_band_index) — never re-shingle
-    or re-MinHash the corpus per ingest batch. Guarded as an A/B
-    against the inline key: the indexed plan scans the stored table,
-    and carries strictly fewer signature-generation fan-outs (Generate
-    nodes) and strictly fewer documents-parquet scans than the inline
-    plan, because the corpus signature chain moved to the index build."""
+    or re-MinHash the corpus per ingest batch. r12: the candidate
+    generator is eagerly checkpointed inside incremental_near_dups (it
+    was planned 3×), so the composed key's plan no longer shows it —
+    guard the GENERATOR's own plan A/B (stored-table vs inline corpus
+    side) plus the source-level wiring, the same split this file
+    applies for the minhash/soft_keep checkpoints."""
+    import inspect
+
+    from database_syncer_spark.catalog import load_table, sf_dir_tag
+    from database_syncer_spark.pipeline.dedup import (
+        _band_candidates, incremental_near_dups)
     from database_syncer_spark.registry import all_queries
+    from pyspark.sql import functions as F
 
     qs = all_queries()
-    indexed = _plan(qs["dedup_incremental_indexed"](spark, sf_dir))
-    inline = _plan(qs["dedup_incremental"](spark, sf_dir))
+    # run the indexed key's builder once so the at-rest table exists
+    indexed_key = _plan(qs["dedup_incremental_indexed"](spark, sf_dir))
+    assert "BatchEvalPython" not in indexed_key
+    table = f"dss_atrest_bands_{sf_dir_tag(sf_dir)}"
+    docs = load_table(spark, sf_dir, "documents")
+    batch = docs.where(F.col("doc_id") % 16 == 5)
+    corpus = docs.where(F.col("doc_id") % 16 != 5)
+    indexed = _plan(_band_candidates(batch, corpus, 3, spark.table(table)))
+    inline = _plan(_band_candidates(batch, corpus, 3, None))
     assert "dss_atrest_bands" in indexed, "stored band index not scanned"
     assert "dss_atrest_bands" not in inline
     assert indexed.count("Generate") < inline.count("Generate"), (
@@ -575,7 +606,8 @@ def test_incremental_indexed_reads_stored_bands(spark, sf_dir):
     assert (indexed.count("documents.parquet")
             < inline.count("documents.parquet")), (
         indexed.count("documents.parquet"), inline.count("documents.parquet"))
-    assert "BatchEvalPython" not in indexed
+    assert "_band_candidates" in inspect.getsource(incremental_near_dups), (
+        "indexed probe lost the shared band-candidate generator")
 
 
 def test_html_strip_single_projection_zero_shuffle(spark, sf_dir):
@@ -598,12 +630,23 @@ def test_html_strip_single_projection_zero_shuffle(spark, sf_dir):
 def test_rolling_ingest_probes_stored_index_not_corpus(spark, sf_dir):
     """dedup_incremental_rolling's BOTH probe days must read band keys
     from the at-rest bucketed table (day 1 the build, day 2 the grown
-    post-append table) — the returned two-day plan scans the stored
-    index and never re-MinHashes the corpus text per day (corpus text
-    appears only in candidate-pruned shingle fetches). No Python
-    anywhere."""
+    post-append table) and never re-MinHash the corpus text per day.
+    r12: the candidate generator is checkpointed inside
+    incremental_near_dups, so the stored-table scan no longer shows in
+    the returned plan — the generator A/B above
+    (test_incremental_indexed_reads_stored_bands) guards the scan
+    itself; here guard the day wiring source-level (both days pass
+    corpus_bands=, day 2 the APPENDED table) plus Python-freedom of
+    the composed plan."""
+    import inspect
+
+    from database_syncer_spark.queries.pipeline import (
+        dedup_incremental_rolling as roll)
     from database_syncer_spark.registry import all_queries
 
     plan = _plan(all_queries()["dedup_incremental_rolling"](spark, sf_dir))
-    assert "dss_rolling_bands" in plan, "stored band index not scanned"
     assert "BatchEvalPython" not in plan
+    src = inspect.getsource(roll)
+    assert "corpus_bands=bands0" in src, "day-1 probe lost the stored index"
+    assert "corpus_bands=bands1" in src, "day-2 probe lost the grown index"
+    assert "append_band_index" in src, "day-1 admissions no longer appended"
