@@ -334,14 +334,19 @@ def _curate_pipeline(docs):
     filtered = (T.quality_score(planted, carry=("text",))
                 .where(F.col("quality_score") >= _CURATE_QUALITY_MIN)
                 .select("doc_id", "text", "quality_score"))
+    # had_pii = "the scrub changed the text": the replacement tokens
+    # cannot themselves match either pattern, so inequality ⇔ ≥1 match —
+    # exactly the old regexp_count(email)+regexp_count(phone) > 0 flag,
+    # minus two full regex passes per doc (r12 A/B: 0.30 s -> 0.18 s at
+    # sf0.1, values equal; codegen subexpression elimination shares the
+    # replace chain between the flag and the text column).
+    _scr = F.regexp_replace(
+        F.regexp_replace("text", T.EMAIL_PATTERN, "<EMAIL>"),
+        T.PHONE_PATTERN, "<PHONE>")
     scrubbed = filtered.select(
         "doc_id", "quality_score",
-        ((F.regexp_count("text", F.lit(T.EMAIL_PATTERN))
-          + F.regexp_count("text", F.lit(T.PHONE_PATTERN))) > 0
-         ).alias("had_pii"),
-        F.regexp_replace(
-            F.regexp_replace("text", T.EMAIL_PATTERN, "<EMAIL>"),
-            T.PHONE_PATTERN, "<PHONE>").alias("text"))
+        (_scr != F.col("text")).alias("had_pii"),
+        _scr.alias("text"))
     # scrubbed is consumed by FIVE downstream references (exact dedup,
     # LSH survivors, the curated semi-join, pack input, final join) and
     # its chain carries two corpus-wide regex replaces — unpersisted it
@@ -424,16 +429,17 @@ def corpus_curate_incremental(spark, sf_dir):
                         F.col("doc_id").cast("string"),
                         F.lit("@example.com now")))
         .otherwise(F.col("text")).alias("text"))
-    # same join-back removal as _curate_pipeline (r12): score and text
-    # live in one projection, no skinny-frame join on doc_id
+    # same join-back removal and inequality had_pii flag as
+    # _curate_pipeline (r12): score and text live in one projection,
+    # and the flag reuses the replace chain instead of two extra
+    # regexp_count passes
+    _scr = F.regexp_replace(
+        F.regexp_replace("text", T.EMAIL_PATTERN, "<EMAIL>"),
+        T.PHONE_PATTERN, "<PHONE>")
     scrubbed = (T.quality_score(planted, carry=("text",)).select(
         "doc_id", "quality_score",
-        ((F.regexp_count("text", F.lit(T.EMAIL_PATTERN))
-          + F.regexp_count("text", F.lit(T.PHONE_PATTERN))) > 0
-         ).alias("had_pii"),
-        F.regexp_replace(
-            F.regexp_replace("text", T.EMAIL_PATTERN, "<EMAIL>"),
-            T.PHONE_PATTERN, "<PHONE>").alias("text")))
+        (_scr != F.col("text")).alias("had_pii"),
+        _scr.alias("text")))
     from pyspark import StorageLevel
 
     is_batch = F.col("doc_id") % _BATCH_MOD == _BATCH_REM
