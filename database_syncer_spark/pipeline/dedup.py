@@ -207,6 +207,19 @@ def minhash_lsh_dedup(documents: DataFrame, threshold: float = 0.5,
     )
 
 
+def _corpus_band_rows(docs, k: int = 3) -> DataFrame:
+    """(corpus_id, band_id, band_hash) band rows of a (doc_id, text)
+    frame — THE at-rest band-index row shape. One definition shared by
+    the index build, the append-only maintenance, and the inline
+    fallback of the batch probe (r12 review: the block existed in three
+    copies; a band-shape change applied to fewer than all three would
+    silently diverge the stored index from the inline probe)."""
+    sc = minhash_signatures(docs, k, slim=True)
+    return (sc.select(F.col("doc_id").alias("corpus_id"),
+                      F.explode(_band_structs()).alias("band"))
+            .select("corpus_id", "band.band_id", "band.band_hash"))
+
+
 def build_corpus_band_index(corpus: DataFrame, table: str,
                             k: int = 3, n_buckets: int = 16) -> DataFrame:
     """ONE-TIME at-rest index build for ingest-time dedup: the corpus's
@@ -223,10 +236,7 @@ def build_corpus_band_index(corpus: DataFrame, table: str,
     a storage chore, not a recompute)."""
     from database_syncer_spark.core.bucketing import write_bucketed_snapshot
 
-    sc = minhash_signatures(corpus, k, slim=True)
-    ec = (sc.select(F.col("doc_id").alias("corpus_id"),
-                    F.explode(_band_structs()).alias("band"))
-          .select("corpus_id", "band.band_id", "band.band_hash"))
+    ec = _corpus_band_rows(corpus, k)
     return write_bucketed_snapshot(
         ec, table, ["band_id", "band_hash"], n_buckets)
 
@@ -244,29 +254,28 @@ def append_band_index(admitted: DataFrame, table: str, k: int = 3,
     small appended files — a storage chore, not a recompute. Returns
     the refreshed table."""
     spark = admitted.sparkSession
-    sc = minhash_signatures(admitted, k, slim=True)
-    ec = (sc.select(F.col("doc_id").alias("corpus_id"),
-                    F.explode(_band_structs()).alias("band"))
-          .select("corpus_id", "band.band_id", "band.band_hash"))
+    ec = _corpus_band_rows(admitted, k)
     (ec.write.mode("append")
        .bucketBy(n_buckets, "band_id", "band_hash")
        .sortBy("band_id", "band_hash")
        .format("parquet")
        .saveAsTable(table))
-    spark.catalog.refreshTable(table)
     # ``admitted`` may be bound to a DIFFERENT SparkSession than the
     # caller's (foreachBatch hands micro-batch frames on a per-epoch
     # session): each session keeps its OWN table-relation/file-listing
     # cache, so refreshing only admitted's session leaves a reader that
-    # resolved the table through the default session on the PREVIOUS
-    # file listing — the r12 optimization round hit exactly this (the
+    # resolved the table through another session on the PREVIOUS file
+    # listing — the r12 optimization round hit exactly this (the
     # stream_dedup_rolling day-3 probe silently missed day-1's
     # appended bands once plan timing shifted; caught by the oracle
-    # value check). Refresh the default session's catalog too.
+    # value check). Refresh the writing, thread-active, and default
+    # (builder.getOrCreate) sessions' catalogs — the set dedupes
+    # same-wrapper repeats.
     from pyspark.sql import SparkSession
 
-    default = SparkSession.getActiveSession() or spark
-    for s in {spark, default, SparkSession.builder.getOrCreate()}:
+    active = SparkSession.getActiveSession()
+    for s in {spark, SparkSession.builder.getOrCreate(),
+              *([active] if active is not None else [])}:
         try:
             s.catalog.refreshTable(table)
         except Exception:  # noqa: BLE001 — a torn-down session must not fail the append
@@ -295,16 +304,12 @@ def _band_candidates(batch: DataFrame, corpus: DataFrame, k: int,
     on every ingest batch. With ``corpus_bands`` the corpus side is the
     AT-REST bucketed table scan; inline otherwise."""
     sb = minhash_signatures(batch, k, slim=True)
-    bands = _band_structs()
-    eb = (sb.select("doc_id", F.explode(bands).alias("band"))
+    eb = (sb.select("doc_id", F.explode(_band_structs()).alias("band"))
           .select("doc_id", "band.band_id", "band.band_hash"))
     if corpus_bands is not None:
         ec = corpus_bands.select("corpus_id", "band_id", "band_hash")
     else:
-        sc = minhash_signatures(corpus, k, slim=True)
-        ec = (sc.select(F.col("doc_id").alias("corpus_id"),
-                        F.explode(bands).alias("band"))
-              .select("corpus_id", "band.band_id", "band.band_hash"))
+        ec = _corpus_band_rows(corpus, k)
     return (eb.join(ec, ["band_id", "band_hash"])
             .select("doc_id", "corpus_id").distinct())
 

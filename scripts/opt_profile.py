@@ -37,6 +37,8 @@ def main() -> None:
             only = args.pop(0).split(",")
         elif a == "--reps":
             reps = int(args.pop(0))
+            if reps < 1:
+                raise SystemExit("--reps must be >= 1")
         elif a == "--plans":
             plans = args.pop(0)
         else:
@@ -96,15 +98,21 @@ def main() -> None:
                 "stages": n_stages,
                 "tasks": n_tasks,
             }
-            if plans != "none":
+        except Exception as exc:  # noqa: BLE001
+            rec = {"err": f"{type(exc).__name__}: {exc}"[:300]}
+        if plans != "none" and "err" not in rec:
+            # separate try: a plan-dump failure (private-API drift,
+            # plans-dir write error) must not discard timings the run
+            # just spent minutes collecting
+            try:
                 df = fn(spark, sf_dir)
                 txt = df._sc._jvm.PythonSQLUtils.explainString(
                     df._jdf.queryExecution(), "formatted")
                 with open(os.path.join(plans_dir, f"{key}_{plans}.txt"),
                           "w", encoding="utf-8") as fh:
                     fh.write(txt)
-        except Exception as exc:  # noqa: BLE001
-            rec = {"err": f"{type(exc).__name__}: {exc}"[:300]}
+            except Exception as exc:  # noqa: BLE001
+                rec["plan_err"] = f"{type(exc).__name__}: {exc}"[:200]
         out[key] = rec
         print(f"{key:32s} {rec}", flush=True)
 

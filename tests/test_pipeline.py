@@ -1530,8 +1530,12 @@ def test_probe_partitions_scale_ladder(spark):
     dp = spark.sparkContext.defaultParallelism
     # unknown corpus size -> fill the machine
     assert _probe_partitions(emb, 4, 16, None) == dp
-    # fixture regime: estimate below the floor -> defaultParallelism
-    assert _probe_partitions(emb, 4, 16, 2_000) == dp
+    # estimate below the floor -> defaultParallelism (500 vectors:
+    # est//200k == 0 on any host, so the floor always binds)
+    assert _probe_partitions(emb, 4, 16, 500) == dp
+    # fixture regime (2000 vectors): est//200k == 20 — floor binds on
+    # wide hosts, the estimate on narrow ones (machine-independent form)
+    assert _probe_partitions(emb, 4, 16, 2_000) == max(dp, 20)
     # scale regime: 1M vectors / 20 planes / 8 tables -> est/200k tasks
     est = 8 * 1_000_000 * 1_000_000 // (2 ** 20)
     assert _probe_partitions(emb, 20, 8, 1_000_000) == min(
