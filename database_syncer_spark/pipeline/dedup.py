@@ -273,13 +273,23 @@ def append_band_index(admitted: DataFrame, table: str, k: int = 3,
     # same-wrapper repeats.
     from pyspark.sql import SparkSession
 
+    # The WRITING session's refresh must propagate: swallowing it would
+    # leave the stale file listing this refresh exists to fix (the
+    # silent-miss bug class the r12 oracle check caught) with no signal
+    # at all. Only the SECONDARY sessions' refreshes are best-effort —
+    # a torn-down per-epoch session must not fail the append — and a
+    # swallowed failure is at least logged (ADVICE r12).
+    spark.catalog.refreshTable(table)
     active = SparkSession.getActiveSession()
-    for s in {spark, SparkSession.builder.getOrCreate(),
-              *([active] if active is not None else [])}:
+    for s in {SparkSession.builder.getOrCreate(),
+              *([active] if active is not None else [])} - {spark}:
         try:
             s.catalog.refreshTable(table)
-        except Exception:  # noqa: BLE001 — a torn-down session must not fail the append
-            pass
+        except Exception as exc:  # noqa: BLE001 — secondary session may be torn down
+            import logging
+            logging.getLogger(__name__).warning(
+                "append_band_index: secondary-session catalog refresh "
+                "of %s failed (%s: %s)", table, type(exc).__name__, exc)
     return spark.table(table)
 
 
@@ -349,6 +359,14 @@ def incremental_near_dups(batch: DataFrame, corpus: DataFrame,
     # reference (r12; candidate-sized by construction). The generator
     # itself lives in _band_candidates so the stored-index-vs-inline
     # plan guard (test_plans.py) can still read its plan pre-checkpoint.
+    # (r13: a lazy-candidates variant for the single-probe
+    # dedup_incremental key — VERDICT r12 item 5's "checkpoint tax" —
+    # was A/B'd INTERLEAVED in one session and measured parity
+    # (eager 1.34-1.69 s vs lazy 1.24-1.56 s at sf0.1); the r12
+    # before/after delta it was meant to recover was cross-session
+    # host drift. The checkpoint stays unconditional: at scale the
+    # lazy form re-executes the corpus-signature subtree per
+    # reference, which is strictly worse.)
     cand = _band_candidates(
         batch, corpus, k, corpus_bands).localCheckpoint(eager=True)
     sh_b = _doc_shingle_sets(
@@ -510,10 +528,42 @@ def _shingle_intersections(documents: DataFrame, k: int,
     distinct k-shingles, apply the df_cap prefix filter (the count
     window partitions by the JOIN key, so it shares the join's hash
     exchange), inverted-index self-join, and count the intersection once
-    per unordered pair. Returns (doc_a < doc_b, na, nb, c)."""
+    per unordered pair. Returns (doc_a < doc_b, na, nb, c).
+
+    Shingle stage (r13, guide §4.1/§2.4): positional explode +
+    codegen'd slice/concat_ws — the minhash_signatures shape — instead
+    of exploding the with_shingles HOF array, whose transform lambda is
+    interpreted PER ELEMENT (the exact text_decontaminate finding; A/B
+    at sf0.1: 2.3-2.9 s -> 1.0 s for the full jaccard key, and 4.1-6.4 s
+    -> 1.2-1.5 s for this stage alone at a 100 k-doc probe, values
+    identical — scripts/ngram_shape_ab.py / ngram_shape_scale_probe.py).
+    The per-doc DISTINCT the array form gave row-locally comes from a
+    collect_set grouped on doc_id, with the corpus repartitioned by
+    doc_id FIRST (the repetition_score trick): hashpartitioning(doc_id)
+    already satisfies the aggregation's clustering, so the one new
+    exchange carries document TEXT (1x corpus) and the exploded shingle
+    rows never cross the wire; n_sh = size(set) keeps counting ALL the
+    doc's distinct shingles, preserving the df_cap one-sided-error
+    argument below."""
     from pyspark.sql import Window as W
 
-    sh = with_shingles(documents, k).select(
+    # NULL text rows are row-identical across the shapes WITHOUT a
+    # guard: with_shingles' sequence runs over greatest(size(NULL)-2, 1)
+    # = 1, so the array form also emits exactly one '' shingle for a
+    # NULL text — same as concat_ws over the NULL slice here (pinned by
+    # test_shingle_intersections_equals_array_form's NULL/empty rows).
+    toks = (documents.repartition("doc_id")
+            .select("doc_id", F.split("text", " ").alias("__toks")))
+    pos = toks.select(
+        "doc_id", "__toks",
+        F.explode(F.sequence(
+            F.lit(1), F.greatest(F.size("__toks") - (k - 1), F.lit(1)))
+        ).alias("__i"))
+    raw = pos.select(
+        "doc_id",
+        F.concat_ws(" ", F.slice("__toks", F.col("__i"), k)).alias("sh"))
+    sets = raw.groupBy("doc_id").agg(F.collect_set("sh").alias("shingles"))
+    sh = sets.select(
         "doc_id", F.explode("shingles").alias("sh"),
         F.size("shingles").alias("n_sh"),
     )
@@ -705,10 +755,37 @@ def connected_components(edges: DataFrame, src: str = "doc_a",
     # selects form executed the (possibly expensive) upstream pair plan
     # once per branch — measured +2.2 s per components call at sf0.1
     # after the r6 skinny-band rewrite added stages to that plan.
+    # r13: SELF-EDGES inject each node's own label into the
+    # neighbor-min, so "min over N(a) ∪ {a}" — the exact update rule —
+    # is ONE join + one groupBy per iteration; the comp.join(nbr_min,
+    # "left") + least() that previously re-attached the node's own
+    # label disappears (-1 join, -1 Exchange per round; loop A/B
+    # interleaved on pre-materialized edges: 18 -> 14 jobs,
+    # 0.82-1.85 -> 0.64-1.05 s per call at sf0.1, 5.20 -> 3.98 s at a
+    # 1 M-edge star-forest probe, label maps identical —
+    # scripts/components_ab.py). The self-edges ride the SAME explode
+    # as the symmetric pair — (a,b),(b,a),(a,a),(b,b), one pass over
+    # the edge plan; duplicates of a self-edge are harmless under min
+    # and cost less than the distinct-nodes union branch that would
+    # otherwise execute the (possibly expensive, lazily-planned)
+    # upstream pair generator a second time (measured: the union-branch
+    # form regressed corpus_curate 3.6 -> 4.2 s while this form
+    # improves it). Convergence is detected by the MONOTONE LABEL SUM:
+    # labels only ever decrease, so any change strictly decreases
+    # sum(component) — no flag column needed. The single comp
+    # reference per iteration also keeps the logical tree LINEAR in
+    # the iteration count: the old shape referenced the cached comp
+    # twice per round, so analysis + event-log plan stringification
+    # walked ~2^i fragments — measured as a driver MELT (>21 min of
+    # generateTreeString CPU, run killed) on a deep-chain probe that
+    # the new shape finishes in 27 s (9 iterations, 1 M edges,
+    # depth 8).
     sym = (
         edges.select(F.explode(F.array(
             F.struct(F.col(src).alias("a"), F.col(dst).alias("b")),
             F.struct(F.col(dst).alias("a"), F.col(src).alias("b")),
+            F.struct(F.col(src).alias("a"), F.col(src).alias("b")),
+            F.struct(F.col(dst).alias("a"), F.col(dst).alias("b")),
         )).alias("e"))
         .select("e.a", "e.b")
     )
@@ -718,38 +795,25 @@ def connected_components(edges: DataFrame, src: str = "doc_a",
         .select("id", F.col("id").alias("component"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    # decimal(38,0): the sum of N doc_id-sized longs must not overflow
+    # under ANSI mode (2^63-scale ids x 10^10 rows ~ 10^29 << 10^38)
+    prev_sum = None
     cached = comp
     for _ in range(max_iter):
-        nbr_min = (
+        nxt = (
             sym.join(comp, sym.b == comp.id)
             .groupBy(F.col("a").alias("id"))
-            .agg(F.min("component").alias("nbr_component"))
-        )
-        # Convergence detection rides the SAME join that computes the
-        # new label (labels only ever decrease, so "changed" ⇔ some
-        # neighbor's min label beats the current one): one flag column
-        # + a cache-scan count, instead of the previous second
-        # comp-join per iteration (r12: -1 join, -2 Exchanges per
-        # round; measured in OPTIMIZATION_r12.md).
-        nxt = (
-            comp.join(nbr_min, "id", "left")
-            .select(
-                "id",
-                F.least(
-                    "component",
-                    F.coalesce("nbr_component", F.col("component")),
-                ).alias("component"),
-                (F.coalesce("nbr_component", F.col("component"))
-                 < F.col("component")).alias("__improved"),
-            )
+            .agg(F.min("component").alias("component"))
             .persist(StorageLevel.MEMORY_AND_DISK)
         )
-        changed = nxt.where("__improved").count()
+        cur_sum = nxt.agg(
+            F.sum(F.col("component").cast("decimal(38,0)"))).collect()[0][0]
         cached.unpersist()
         cached = nxt
-        comp = nxt.select("id", "component")
-        if changed == 0:
+        comp = nxt
+        if cur_sum == prev_sum:
             break
+        prev_sum = cur_sum
     # Unpersisting sym/comp directly here would CASCADE: Spark's
     # CacheManager also evicts every cached plan containing the
     # unpersisted plan as a subplan — i.e. the result the caller is

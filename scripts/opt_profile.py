@@ -1,8 +1,9 @@
 #!/usr/bin/env python
-"""r12 optimization instrumentation (guide §1): per-key wall time under
-the bench's noop-sink discipline PLUS the Spark-side shape counters the
-guide says to read before changing anything — jobs, stages, tasks per
-execution — and the formatted physical plan, dumped to plans/r12/.
+"""Optimization-round instrumentation (guide §1): per-key wall time
+under the bench's noop-sink discipline PLUS the Spark-side shape
+counters the guide says to read before changing anything — jobs,
+stages, tasks per execution — and the formatted physical plan, dumped
+to plans/<round>/ (--round, default r13).
 
 The bench reports seconds; this reports WHY: at fixture scale (5 k docs,
 600 k lineitem) most multi-second keys are stage-count-bound, so the
@@ -11,8 +12,8 @@ setJobGroup + statusTracker over the LAST timed rep only.
 
 Usage:
   python scripts/opt_profile.py [sf_dir] [--keys k1,k2] [--reps N]
-                                [--plans before|after|none]
-Writes scripts/opt_profile_<tag>.json and plans/r12/<key>_<plans>.txt.
+                                [--plans before|after|none] [--round rNN]
+Writes scripts/opt_profile_<tag>.json and plans/<round>/<key>_<plans>.txt.
 """
 
 from __future__ import annotations
@@ -30,6 +31,7 @@ def main() -> None:
     only = None
     reps = 2
     plans = "none"
+    rnd = "r13"
     args = sys.argv[1:]
     while args:
         a = args.pop(0)
@@ -41,6 +43,8 @@ def main() -> None:
                 raise SystemExit("--reps must be >= 1")
         elif a == "--plans":
             plans = args.pop(0)
+        elif a == "--round":
+            rnd = args.pop(0)
         else:
             sf_dir = a
 
@@ -53,7 +57,7 @@ def main() -> None:
     queries = all_queries()
 
     here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    plans_dir = os.path.join(here, "plans", "r12")
+    plans_dir = os.path.join(here, "plans", rnd)
     if plans != "none":
         os.makedirs(plans_dir, exist_ok=True)
 
@@ -79,7 +83,12 @@ def main() -> None:
                 group = f"{key}__rep{r}"
                 sc.setJobGroup(group, key)
                 times.append(run())
-            sc.setJobGroup(None, None)
+            # Detach later jobs from the last rep's group via the JVM's
+            # clearJobGroup: setJobGroup(None, None) leaned on
+            # undocumented None pass-through in a str-typed API and
+            # would crash mid-run if a future PySpark validates args
+            # (ADVICE r12).
+            sc._jsc.clearJobGroup()
             st = sc.statusTracker()
             job_ids = st.getJobIdsForGroup(group)
             n_stages = n_tasks = 0

@@ -711,6 +711,55 @@ def test_ngram_containment_catches_subdocument(spark, sf_dir):
     assert all(v < 0.5 for v in jac.values()), jac
 
 
+def test_shingle_intersections_equals_array_form(spark, sf_dir):
+    """r13: _shingle_intersections' shingle stage moved from exploding
+    the with_shingles HOF array (interpreted per element) to the
+    codegen posexplode + collect_set shape. Pin value equality against
+    the old array form on a corpus with repeated in-doc shingles,
+    sub-k-token docs, empty strings, and NULL text — the edge classes
+    where the two shapes could diverge."""
+    from pyspark.sql import Window as W
+
+    from database_syncer_spark.pipeline.dedup import (
+        _shingle_intersections, with_shingles)
+
+    extras = spark.createDataFrame(
+        [(9100, "repeat me repeat me repeat me repeat me"),
+         (9101, "repeat me repeat me repeat me repeat me again"),
+         (9102, "tiny"),
+         (9103, "two tokens"),
+         (9104, ""),
+         (9105, None)],
+        "doc_id long, text string")
+    docs = (load_table(spark, sf_dir, "documents")
+            .where(F.col("doc_id") < 40).select("doc_id", "text")
+            .unionByName(extras))
+
+    def old_form(documents, k=3, df_cap=10_000):
+        sh = with_shingles(documents, k).select(
+            "doc_id", F.explode("shingles").alias("sh"),
+            F.size("shingles").alias("n_sh"))
+        sh = sh.withColumn(
+            "__df", F.count("*").over(W.partitionBy("sh"))
+        ).where(F.col("__df") <= df_cap).drop("__df")
+        a, b = sh.alias("a"), sh.alias("b")
+        return (a.join(b, "sh")
+                .where(F.col("a.doc_id") < F.col("b.doc_id"))
+                .groupBy(F.col("a.doc_id").alias("doc_a"),
+                         F.col("b.doc_id").alias("doc_b"),
+                         F.col("a.n_sh").alias("na"),
+                         F.col("b.n_sh").alias("nb"))
+                .agg(F.count("*").alias("c")))
+
+    got = sorted(map(tuple, _shingle_intersections(docs, 3, 10_000).collect()))
+    ref = sorted(map(tuple, old_form(docs).collect()))
+    assert got == ref
+    # tiny df_cap too (the prefix-filter path)
+    got2 = sorted(map(tuple, _shingle_intersections(docs, 3, 2).collect()))
+    ref2 = sorted(map(tuple, old_form(docs, df_cap=2).collect()))
+    assert got2 == ref2
+
+
 def test_tfidf_topk_ranks_rare_terms(spark, sf_dir):
     """A term unique to one doc must outrank corpus-wide terms there."""
     from database_syncer_spark.pipeline.text import tfidf_topk

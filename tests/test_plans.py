@@ -167,9 +167,22 @@ def test_bench_headline_keys_exist():
     from database_syncer_spark.registry import all_queries
 
     qs = all_queries()
-    missing = [k for k in (*bench.HEADLINE, *bench.SECONDARY)
+    missing = [k for k in (*bench.HEADLINE, *bench.HEADLINE_EXT,
+                           *bench.SCALING_SENTINEL, *bench.SECONDARY)
                if k not in qs]
     assert not missing, missing
+
+
+def test_session_pins_cached_plan_aqe(spark):
+    """session.py sets canChangeCachedPlanOutputPartitioning=true so AQE
+    sizes cached-plan materializations by bytes (r12: the components
+    keys dropped 993-1030 -> 71-78 tasks/call on it). A silent revert
+    to the Spark default (false) would restore the 1000-task cache
+    materializations with every value test still green — pin the conf
+    (VERDICT r12 item 7)."""
+    assert spark.conf.get(
+        "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning"
+    ) == "true"
 
 
 def test_ann_paths_survive_runtime_codegen(spark, sf_dir):
