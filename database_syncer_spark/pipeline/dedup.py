@@ -799,7 +799,7 @@ def connected_components(edges: DataFrame, src: str = "doc_a",
     # under ANSI mode (2^63-scale ids x 10^10 rows ~ 10^29 << 10^38)
     prev_sum = None
     cached = comp
-    for _ in range(max_iter):
+    for it in range(max_iter):
         nxt = (
             sym.join(comp, sym.b == comp.id)
             .groupBy(F.col("a").alias("id"))
@@ -814,6 +814,23 @@ def connected_components(edges: DataFrame, src: str = "doc_a",
         if cur_sum == prev_sum:
             break
         prev_sum = cur_sum
+        # Lineage truncation every 8 rounds: even the single-reference
+        # chain's per-iteration cost turns superlinear past ~10 nested
+        # persist levels (measured at a depth-14 chain: iters 0-8 run
+        # 0.3-0.8 s, then 1.5/2.1/3.8/8.4/17.8/60.3 s — the
+        # unpersist-invalidated cache chain re-plans/re-executes ever
+        # deeper lineage). A periodic eager localCheckpoint caps the
+        # lineage depth at one segment. Shallow near-dup graphs
+        # (2-5 rounds) never reach it, so the persist path — which
+        # beats an every-iteration checkpoint 5.9 s vs 22.4 s at a
+        # 1 M-edge star forest (stats/broadcast survive, no per-round
+        # full re-store) — is untouched where it wins; a depth-14
+        # chain drops 121 s -> 19 s with identical label maps
+        # (scripts/components_ab.py regimes + the deep-chain test).
+        if (it + 1) % 8 == 0:
+            comp = comp.localCheckpoint(eager=True)
+            cached.unpersist()
+            cached = comp
     # Unpersisting sym/comp directly here would CASCADE: Spark's
     # CacheManager also evicts every cached plan containing the
     # unpersisted plan as a subplan — i.e. the result the caller is

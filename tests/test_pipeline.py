@@ -682,6 +682,31 @@ def test_connected_components_chain_and_islands(spark):
                    (10, 10), (11, 10), (7, 7), (20, 7)}
 
 
+def test_connected_components_deep_chains_converge(spark):
+    """r13: the loop keeps ONE reference to the cached label map per
+    iteration (self-edge min + monotone-sum convergence). The previous
+    shape referenced it twice, so iteration i's logical tree held ~2^i
+    fragments — a depth-14 chain was effectively unrunnable (plan
+    analysis + event stringification; the 1 M-edge probe melted the
+    driver for >21 min). This pins both convergence and correctness at
+    a depth the old shape could not reach inside a test budget."""
+    from database_syncer_spark.pipeline.dedup import connected_components
+
+    depth, chains = 14, 50
+    edges = spark.range(chains * depth).select(
+        ((F.col("id") % chains) * 1000
+         + (F.col("id") / chains).cast("long")).alias("doc_a"),
+        ((F.col("id") % chains) * 1000
+         + (F.col("id") / chains).cast("long") + 1).alias("doc_b"))
+    got = {r.doc_id: r.component
+           for r in connected_components(edges).collect()}
+    assert len(got) == chains * (depth + 1)
+    for c in range(chains):
+        head = c * 1000
+        for pos in range(depth + 1):
+            assert got[head + pos] == head
+
+
 def test_ngram_containment_catches_subdocument(spark, sf_dir):
     """A short doc embedded verbatim inside a much longer one:
     containment(short→long) = 1.0 while Jaccard ≈ |A|/|B| is far below
